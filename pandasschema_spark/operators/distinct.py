@@ -1,0 +1,98 @@
+"""Order-sensitive distinctness (keep='first') at shuffle scale.
+
+Semantics: reference ``IsDistinctValidation``
+(/root/reference/pandas_schema/validation.py:351-364) =
+``~series.duplicated(keep='first')`` — the first occurrence *in row order*
+passes, all later occurrences fail; NaNs compare equal to each other.
+
+Spark plan (the north star's "clip_id uniqueness via salted repartition +
+hash-agg"):
+
+  stage 1  groupBy(value, salt = pmod(xxhash64(row_idx), S))
+              -> partial (count, min(row_idx))        [map-side combine,
+                 salt bounds any single reducer's share of a hot key]
+  stage 2  groupBy(value) -> (sum(count), min(min))   [tiny: one row per
+                 distinct salted group]
+  filter count > 1                                    [duplicate keys only]
+  broadcast join-back on value (null-safe)            [duplicates are rare;
+                 falls back to shuffle join when broadcast=False]
+  filter row_idx != global_min_row_idx                -> violations
+
+A window (`row_number over partitionBy(value) orderBy(row_idx)`) expresses
+the same thing but funnels every row of a hot key through one task; the
+two-phase salted aggregation keeps partials bounded. The window form lives
+only in tests as the semantic oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..plans.compiler import VIOLATION_SCHEMA, value_repr
+from ..validation import is_numeric_spark_type
+
+
+def duplicate_keys(df: DataFrame, value_col: str, row_col: str, salt_buckets: int = 64) -> DataFrame:
+    """Two-phase salted aggregation -> (value, cnt, min_row) for cnt > 1."""
+    base = df.select(F.col(value_col).alias("__v__"), F.col(row_col).cast("long").alias("__r__"))
+    stage1 = (
+        base.groupBy("__v__", F.pmod(F.xxhash64("__r__"), F.lit(salt_buckets)).alias("__s__"))
+        .agg(F.count(F.lit(1)).alias("__c__"), F.min("__r__").alias("__m__"))
+    )
+    return (
+        stage1.groupBy("__v__")
+        .agg(F.sum("__c__").alias("__c__"), F.min("__m__").alias("__m__"))
+        .where(F.col("__c__") > 1)
+    )
+
+
+def distinct_violations(
+    df: DataFrame,
+    value_col: str,
+    row_col: str,
+    *,
+    warn_col: str,
+    message: str,
+    check_id: str,
+    seq: int,
+    salt_buckets: int = 64,
+    broadcast_dupes: bool = True,
+    allow_empty: bool = False,
+) -> DataFrame:
+    """Violation rows (VIOLATION_SCHEMA) for non-first duplicates."""
+    spark_type = df.schema[value_col].dataType
+    dupes = duplicate_keys(df, value_col, row_col, salt_buckets)
+    if broadcast_dupes:
+        dupes = F.broadcast(dupes)
+    base = df.select(F.col(value_col).alias("__v__"), F.col(row_col).cast("long").alias("__r__"))
+    joined = (
+        base.join(dupes, base["__v__"].eqNullSafe(dupes["__v__"]), "inner")
+        .where(F.col("__r__") != F.col("__m__"))
+    )
+    v = base["__v__"]
+    if allow_empty:
+        if is_numeric_spark_type(spark_type):
+            joined = joined.where(v.isNotNull())
+        else:
+            joined = joined.where(v.isNotNull() & (F.length(v.cast("string")) > 0))
+    return joined.select(
+        F.col("__r__").alias("row"),
+        F.lit(warn_col).alias("column"),
+        value_repr(v, spark_type).alias("value"),
+        F.lit(message).alias("message"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(seq).cast("int").alias("seq"),
+    )
+
+
+def distinct_violations_window_oracle(df: DataFrame, value_col: str, row_col: str) -> DataFrame:
+    """Small-scale semantic spec (tests only): row_number over a window.
+    NOT for production — a hot key serializes through one task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(value_col).orderBy(row_col)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") > 1)
+        .select(F.col(row_col).cast("long").alias("row"), F.col(value_col))
+    )

@@ -1,0 +1,241 @@
+"""Schema: pairing + dispatch + the compiled Spark validation plan.
+
+Pairing / precheck semantics are parity with the reference
+(/root/reference/pandas_schema/schema.py:32-88):
+
+- ``columns=None``: column-count precheck — on mismatch emit ONE warning
+  ('Invalid number of columns. ...', row=-1) and return immediately.
+- ``columns=[...]``: names not in the schema raise PanSchArgumentError with
+  the reference's exact message (including its quirk of diffing the name
+  set against Column *objects*, schema.py:60-62).
+- ``ordered=True``: pair by position, zipping df columns with schema
+  columns and carrying the *data frame's* header name in warnings
+  (reference zips df.iteritems(), schema.py:66-68). Quirk preserved: the
+  ``columns`` subset is ignored in this branch, as in the reference.
+- ``ordered=False``: pair by name; a schema column missing from the df
+  yields a warning (column=name) and validation continues (0.3.6
+  behavior, schema.py:70-82).
+
+Execution diverges deliberately (SURVEY.md §3.4): all row-local checks of
+all columns compile into ONE select (plans/compiler.py); global checks
+(distinctness, referential) are separate small plans unioned in; dtype
+checks run driver-side against df.schema with zero jobs.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame
+
+from .column import Column
+from .errors import PanSchArgumentError, PanSchInvalidSchemaError
+from .plans import compiler as _compiler
+from .plans.rowindex import ROW_IDX_COL, with_row_index
+from .validation import (
+    InTableValidation,
+    IsDistinctValidation,
+    IsDtypeValidation,
+    _SeriesValidation,
+)
+from .validation_warning import ValidationWarning
+
+
+class ValidationResult:
+    """Outcome of Schema.validate on a Spark DataFrame.
+
+    ``frame_warnings`` — driver-side warnings (column count, missing
+    columns, dtype), available without running a job.
+    ``violations`` — lazy violations DataFrame
+    (row, column, value, message, check_id, seq); None when validation
+    early-returned on the column-count precheck.
+    """
+
+    def __init__(self, frame_warnings, violations: typing.Optional[DataFrame]):
+        self.frame_warnings: typing.List[ValidationWarning] = frame_warnings
+        self.violations = violations
+
+    def is_early_return(self) -> bool:
+        return self.violations is None and bool(self.frame_warnings)
+
+    def collect_warnings(self, limit: int = None) -> typing.List[ValidationWarning]:
+        """Materialize the reference's sorted warning list.
+
+        Ordering parity: the reference builds warnings in (column position,
+        check position, row) insertion order then stable-sorts by row
+        (schema.py:88); we sort collected violations by (row, seq) and
+        stable-sort the frame+row union by row, which is equivalent.
+        At warehouse scale use ``violations`` directly (or ``limit=``) —
+        collecting 10^12 warnings to the driver is not a thing.
+        """
+        warnings = list(self.frame_warnings)
+        if self.violations is not None:
+            df = self.violations.orderBy("row", "seq")
+            rows = df.limit(limit).collect() if limit is not None else df.collect()
+            for r in rows:
+                warnings.append(
+                    ValidationWarning(
+                        message=r["message"], value=r["value"], row=r["row"], column=r["column"]
+                    )
+                )
+        return sorted(warnings, key=lambda e: e.row)
+
+
+class Schema:
+    def __init__(self, columns: typing.Iterable[Column], ordered: bool = False):
+        # constructor checks: parity with reference schema.py:14-30
+        if not columns:
+            raise PanSchInvalidSchemaError("An instance of the schema class must have a columns list")
+        if not isinstance(columns, list):
+            raise PanSchInvalidSchemaError("The columns field must be a list of Column objects")
+        if not isinstance(ordered, bool):
+            raise PanSchInvalidSchemaError("The ordered field must be a boolean")
+        self.columns = list(columns)
+        self.ordered = ordered
+
+    def get_column_names(self) -> typing.List[str]:
+        return [c.name for c in self.columns]
+
+    # ------------------------------------------------------------------
+    def validate(
+        self,
+        df: DataFrame,
+        columns: typing.List[str] = None,
+        row_key: typing.Union[str, SparkColumn, None] = None,
+    ) -> ValidationResult:
+        """Build the validation plan for a Spark DataFrame.
+
+        ``row_key``: stable long row identity. None (default) materializes
+        a read-order ordinal (plans/rowindex.py) for reference parity; at
+        warehouse scale pass a persisted natural key column name/expr
+        (e.g. a clip ordinal) to avoid the extra scan.
+        """
+        frame_warnings: typing.List[ValidationWarning] = []
+        df_cols = list(df.columns)
+
+        if columns is None:
+            if len(df_cols) != len(self.columns):
+                frame_warnings.append(
+                    ValidationWarning(
+                        message="Invalid number of columns. The schema specifies {}, but the data frame has {}".format(
+                            len(self.columns), len(df_cols)
+                        )
+                    )
+                )
+                return ValidationResult(frame_warnings, None)
+            columns_to_pair = self.columns
+        else:
+            if set(columns).issubset(self.get_column_names()):
+                columns_to_pair = [c for c in self.columns if c.name in columns]
+            else:
+                raise PanSchArgumentError(
+                    "Columns {} passed in are not part of the schema".format(
+                        set(columns).difference(self.columns)
+                    )
+                )
+
+        # -- pairing: (df_col_name, warn_name, schema Column) --------------
+        pairs: typing.List[typing.Tuple[str, str, Column]] = []
+        if self.ordered:
+            for df_name, schema_col in zip(df_cols, self.columns):
+                pairs.append((df_name, df_name, schema_col))
+        else:
+            for schema_col in columns_to_pair:
+                if schema_col.name not in df_cols:
+                    frame_warnings.append(
+                        ValidationWarning(
+                            message="The column {} exists in the schema but not in the data frame".format(
+                                schema_col.name
+                            ),
+                            column=schema_col.name,
+                        )
+                    )
+                else:
+                    pairs.append((schema_col.name, schema_col.name, schema_col))
+
+        # -- split checks by kind ------------------------------------------
+        row_checks: typing.List[_compiler.RowCheck] = []
+        global_checks = []  # (seq, check_id, df_col, warn_col, validation, allow_empty)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        seq = 0
+        for df_name, warn_name, schema_col in pairs:
+            for v in schema_col.validations:
+                check_id = "{}#{}:{}".format(df_name, seq, type(v).__name__)
+                if isinstance(v, IsDtypeValidation):
+                    frame_warnings.extend(v.get_errors_for_type(schema_col.name, dtypes[df_name]))
+                elif getattr(v, "is_global", False):
+                    global_checks.append((seq, check_id, df_name, warn_name, v, schema_col.allow_empty))
+                elif isinstance(v, _SeriesValidation):
+                    row_checks.append(
+                        _compiler.RowCheck(
+                            seq=seq,
+                            check_id=check_id,
+                            df_col=df_name,
+                            warn_col=warn_name,
+                            message=v.message,
+                            validation=v,
+                            allow_empty=schema_col.allow_empty,
+                        )
+                    )
+                else:
+                    raise PanSchArgumentError(
+                        "Unsupported validation object {!r}".format(type(v).__name__)
+                    )
+                seq += 1
+
+        if not row_checks and not global_checks:
+            return ValidationResult(frame_warnings, _compiler.empty_violations(df.sparkSession))
+
+        # -- row identity ---------------------------------------------------
+        if row_key is None:
+            keyed = with_row_index(df, ROW_IDX_COL)
+            row_col = ROW_IDX_COL
+        elif isinstance(row_key, str):
+            keyed, row_col = df, row_key
+        else:
+            keyed = df.withColumn(ROW_IDX_COL, row_key)
+            row_col = ROW_IDX_COL
+
+        # -- compile --------------------------------------------------------
+        violations = _compiler.build_row_violations(keyed, row_checks, row_col)
+        for g_seq, check_id, df_name, warn_name, v, allow_empty in global_checks:
+            violations = violations.unionByName(
+                self._plan_global(keyed, row_col, g_seq, check_id, df_name, warn_name, v, allow_empty)
+            )
+        return ValidationResult(frame_warnings, violations)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _plan_global(df, row_col, seq, check_id, df_col, warn_col, v, allow_empty):
+        from .operators.distinct import distinct_violations
+        from .operators.referential import referential_violations
+
+        if isinstance(v, IsDistinctValidation):
+            return distinct_violations(
+                df,
+                df_col,
+                row_col,
+                warn_col=warn_col,
+                message=v.message,
+                check_id=check_id,
+                seq=seq,
+                salt_buckets=v.salt_buckets,
+                broadcast_dupes=v.broadcast_dupes,
+                allow_empty=allow_empty,
+            )
+        if isinstance(v, InTableValidation):
+            return referential_violations(
+                df,
+                df_col,
+                row_col,
+                v.dim_df,
+                v.dim_col,
+                warn_col=warn_col,
+                message=v.message,
+                check_id=check_id,
+                seq=seq,
+                broadcast=v.broadcast,
+                allow_empty=allow_empty,
+            )
+        raise PanSchArgumentError("Unknown global validation {!r}".format(type(v).__name__))

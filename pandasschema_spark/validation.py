@@ -1,0 +1,614 @@
+"""Validation check library — the engine's operator set.
+
+Semantics-parity targets (reference = /root/reference/pandas_schema):
+every class here reproduces the element-wise pass/fail semantics of the
+same-named reference class (validation.py:149-419) but compiles to a Spark
+boolean ``Column`` — a native Catalyst expression when provably equivalent
+for the input Spark type, else a vectorized Arrow ``pandas_udf`` that runs
+the pandas formula on whole batches (never per-row Python at the Spark
+layer).
+
+Compilation contract
+--------------------
+``compile_predicate(col, spark_type) -> Column`` returns the *pass*
+predicate as a null-free boolean Column (nulls coalesced to False at each
+leaf, mirroring pandas masks which are NA-free after coercion). The schema
+compiler inverts it, applies the ``allow_empty`` exemption
+(reference validation.py:86-95) and emits violation structs.
+
+``pandas_validate(series) -> bool Series`` is the same check expressed as
+the reference's pandas formula — used inside the Arrow fallback and as the
+local oracle in parity tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import operator
+import re
+import typing
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import PanSchArgumentError
+from .validation_warning import ValidationWarning
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_NUMERIC_SPARK_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def is_numeric_spark_type(dt: T.DataType) -> bool:
+    """Mirrors pandas.api.types.is_numeric_dtype for the allow_empty branch
+    (reference validation.py:89): numeric + boolean dtypes take the
+    null-based emptiness test; everything else the string-length test."""
+    return isinstance(dt, _NUMERIC_SPARK_TYPES + (T.BooleanType,))
+
+
+def _leaf(pred: SparkColumn) -> SparkColumn:
+    """Null-coalesce a leaf pass-predicate to False.
+
+    pandas leaf masks are NA-free (coercions yield False, reference
+    validation.py:214, 388); Spark three-valued logic would propagate null
+    through combinators, so normalize at each leaf before ~ & | compose.
+    """
+    return F.coalesce(pred, F.lit(False))
+
+
+_JAVA_UNSAFE_RE = re.compile(r"\(\?P|\(\?#|\(\?\(|\\A|\\Z|\\G")
+
+
+def _java_regex_safe(pattern: str) -> bool:
+    """Conservative gate: True only for patterns whose Python-re and
+    Java-regex semantics coincide (no named groups, comments, conditionals,
+    or anchors with divergent semantics). Anything else takes the pandas
+    fallback path."""
+    return not _JAVA_UNSAFE_RE.search(pattern)
+
+
+def _pandas_udf_predicate(fn, col: SparkColumn) -> SparkColumn:
+    """Wrap a Series->bool-Series pandas function as an Arrow-vectorized UDF
+    pass predicate. One UDF invocation per Arrow batch — no per-row Python
+    at the Spark layer (input_hint requirement)."""
+
+    def _wrapped(s: pd.Series) -> pd.Series:
+        if s.dtype == object:
+            # Arrow surfaces SQL NULL as None; the reference's pandas world
+            # (CSV-loaded frames) holds np.nan, whose str() is 'nan'
+            # (validation.py:316 astype(str) semantics). Normalize so the
+            # reference formulas see exactly what they'd see in pandas.
+            na = s.isna()
+            if na.any():
+                s = s.copy()
+                s[na] = np.nan
+        out = fn(s)
+        # normalize to nullable boolean for Arrow; NA -> null -> coalesced False
+        return out.astype("boolean")
+
+    udf = F.pandas_udf(_wrapped, T.BooleanType())
+    return udf(col)
+
+
+# ---------------------------------------------------------------------------
+# base classes
+# ---------------------------------------------------------------------------
+
+class _BaseValidation:
+    """Anything that can produce ValidationWarnings for a column.
+
+    Reference: validation.py:15-28. Frame-level checks (IsDtypeValidation)
+    subclass this directly and run driver-side with zero Spark jobs.
+    """
+
+    #: True when the check needs global state (a shuffle) rather than a
+    #: row-local predicate — routed to pandasschema_spark.operators.*
+    is_global: bool = False
+    #: True for frame-level (driver-side, no per-row output) checks
+    is_frame_level: bool = False
+
+
+class _SeriesValidation(_BaseValidation):
+    """A check defined by an element-wise boolean mask.
+
+    Reference: validation.py:31-110. ``mode`` selects the compilation
+    strategy: 'auto' (native Catalyst expr when provably equivalent for the
+    input type, else Arrow pandas_udf), 'native' (force expr), 'pandas'
+    (force Arrow UDF — exact reference semantics in all corner cases).
+    """
+
+    def __init__(self, message: str = None, mode: str = "auto"):
+        self._custom_message = message
+        if mode not in ("auto", "native", "pandas"):
+            raise PanSchArgumentError("mode must be auto|native|pandas, got {!r}".format(mode))
+        self.mode = mode
+
+    # -- messages ----------------------------------------------------------
+    @property
+    def message(self) -> str:
+        return self._custom_message or self.default_message
+
+    @property
+    def default_message(self) -> str:
+        raise NotImplementedError
+
+    # -- semantics ---------------------------------------------------------
+    def pandas_validate(self, series: pd.Series) -> pd.Series:
+        """Reference pandas formula; element True == pass."""
+        raise NotImplementedError
+
+    # alias matching the reference API (validation.py:54) so ported tests read naturally
+    def validate(self, series: pd.Series) -> pd.Series:
+        return self.pandas_validate(series)
+
+    def spark_predicate(self, col: SparkColumn, spark_type: T.DataType):
+        """Native pass-predicate, or None when no provably-equivalent
+        Catalyst expression exists for this input type."""
+        return None
+
+    def compile_predicate(self, col: SparkColumn, spark_type: T.DataType) -> SparkColumn:
+        if self.mode != "pandas":
+            native = self.spark_predicate(col, spark_type)
+            if native is not None:
+                return _leaf(native)
+            if self.mode == "native":
+                raise PanSchArgumentError(
+                    "{} has no native Spark expression for input type {}".format(
+                        type(self).__name__, spark_type.simpleString()))
+        return _pandas_udf_predicate(self.pandas_validate, col)
+
+    # -- boolean algebra (reference validation.py:61-77) -------------------
+    def __invert__(self):
+        return _InverseValidation(self)
+
+    def __or__(self, other: "_SeriesValidation"):
+        return _CombinedValidation(self, other, operator.or_)
+
+    def __and__(self, other: "_SeriesValidation"):
+        return _CombinedValidation(self, other, operator.and_)
+
+    # -- local (driver-side pandas) warning materialization ----------------
+    def get_errors(self, series: pd.Series, column=None) -> typing.List[ValidationWarning]:
+        """Eager pandas-side materialization, byte-compatible with reference
+        validation.py:79-110. Used for parity tests and tiny frames; the
+        Spark path goes through schema.Schema.validate instead."""
+        from pandas.api.types import is_numeric_dtype
+
+        simple = ~self.pandas_validate(series)
+        allow_empty = bool(getattr(column, "allow_empty", False))
+        if allow_empty:
+            if isinstance(series.dtype, pd.CategoricalDtype) or is_numeric_dtype(series):
+                mask = ~series.isnull() & simple
+            else:
+                mask = (series.str.len() > 0) & simple
+        else:
+            mask = simple
+        mask = mask.fillna(False) if mask.dtype == object else mask
+        errors = []
+        for i in series.index[mask.astype(bool)]:
+            errors.append(ValidationWarning(
+                message=self.message, value=series[i], row=i, column=series.name))
+        return errors
+
+
+# ---------------------------------------------------------------------------
+# combinators (reference validation.py:113-146)
+# ---------------------------------------------------------------------------
+
+class _InverseValidation(_SeriesValidation):
+    """Element-wise NOT; message = wrapped message + ' <negated>'
+    (reference validation.py:113-127)."""
+
+    def __init__(self, validation: _SeriesValidation):
+        self.negated = validation
+        super().__init__()
+
+    @property
+    def default_message(self):
+        return self.negated.message + " <negated>"
+
+    def pandas_validate(self, series):
+        return ~self.negated.pandas_validate(series)
+
+    def compile_predicate(self, col, spark_type):
+        return ~self.negated.compile_predicate(col, spark_type)
+
+
+class _CombinedValidation(_SeriesValidation):
+    """Element-wise AND/OR of two checks; the combined pair emits ONE
+    warning per failing row. Message interpolates the operator function's
+    repr — a reference byte-compat quirk (validation.py:144-146)."""
+
+    def __init__(self, validation_a, validation_b, op):
+        self.operator = op
+        self.v_a = validation_a
+        self.v_b = validation_b
+        super().__init__()
+
+    @property
+    def default_message(self):
+        return "({}) {} ({})".format(self.v_a.message, self.operator, self.v_b.message)
+
+    def pandas_validate(self, series):
+        return self.operator(self.v_a.pandas_validate(series), self.v_b.pandas_validate(series))
+
+    def compile_predicate(self, col, spark_type):
+        a = self.v_a.compile_predicate(col, spark_type)
+        b = self.v_b.compile_predicate(col, spark_type)
+        return (a | b) if self.operator is operator.or_ else (a & b)
+
+
+# ---------------------------------------------------------------------------
+# user-function checks (reference validation.py:149-191, 240-293)
+# ---------------------------------------------------------------------------
+
+class CustomSeriesValidation(_SeriesValidation):
+    """User fn: pd.Series -> bool Series. The reference's Series contract
+    (validation.py:149-169) IS the pandas-UDF contract: the same fn runs
+    unchanged on Arrow batches."""
+
+    def __init__(self, validation: typing.Callable[[pd.Series], pd.Series], message: str, **kw):
+        self._validation = validation
+        super().__init__(message=message, **kw)
+
+    @property
+    def default_message(self):
+        return self._custom_message
+
+    def pandas_validate(self, series):
+        return self._validation(series)
+
+
+class CustomElementValidation(_SeriesValidation):
+    """User fn: scalar -> truthy; applied via series.apply *inside* the
+    Arrow batch (reference validation.py:172-191)."""
+
+    def __init__(self, validation: typing.Callable, message: str, **kw):
+        self._validation = validation
+        super().__init__(message=message, **kw)
+
+    @property
+    def default_message(self):
+        return self._custom_message
+
+    def pandas_validate(self, series):
+        return series.apply(self._validation)
+
+
+class CanCallValidation(_SeriesValidation):
+    """Pass iff func(x) does not raise (reference validation.py:240-268)."""
+
+    def __init__(self, func: typing.Callable, **kw):
+        if not callable(func):
+            raise PanSchArgumentError(
+                'The object "{}" passed to CanCallValidation is not callable!'.format(func))
+        self.callable = func
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return "raised an exception when the callable {} was called on it".format(self.callable)
+
+    def can_call(self, var) -> bool:
+        try:
+            self.callable(var)
+            return True
+        except Exception:
+            return False
+
+    def pandas_validate(self, series):
+        return series.apply(self.can_call)
+
+
+class CanConvertValidation(CanCallValidation):
+    """Pass iff type_(x) succeeds (reference validation.py:271-293).
+    e.g. int('1.0') fails, int('10') passes."""
+
+    def __init__(self, _type: type, **kw):
+        if not isinstance(_type, type):
+            raise PanSchArgumentError("{} is not a valid type".format(_type))
+        super().__init__(_type, **kw)
+
+    @property
+    def default_message(self):
+        return "cannot be converted to type {}".format(self.callable)
+
+    def spark_predicate(self, col, spark_type):
+        # Fast native approximations for the common constructors. Only
+        # enabled under mode='native' (explicit opt-in): CPython's int()
+        # grammar has corners (unicode digits/whitespace) a Java regex
+        # can't reproduce exactly, so 'auto' keeps the Arrow-UDF exact path.
+        if self.mode != "native":
+            return None
+        if self.callable is int and isinstance(spark_type, T.StringType):
+            return F.trim(col).rlike(r"^[+-]?[0-9]+(_[0-9]+)*$")
+        if self.callable is int and is_numeric_spark_type(spark_type):
+            # int(float) succeeds except NaN/inf; ints always succeed
+            if isinstance(spark_type, (T.FloatType, T.DoubleType)):
+                return col.isNotNull() & ~F.isnan(col) & (col != F.lit(float("inf"))) & (col != F.lit(float("-inf")))
+            return col.isNotNull()
+        if self.callable is str:
+            return F.lit(True)
+        return None
+
+
+class DateFormatValidation(_SeriesValidation):
+    """Pass iff datetime.strptime(str(x), fmt) succeeds — *semantic* date
+    validity, not shape (reference validation.py:393-419; '11112233' fails
+    '%Y%m%d' because month 22 is invalid). strptime directives differ from
+    Spark datetime patterns, so the exact path is always the Arrow UDF; a
+    fast native variant is opt-in via spark_format= when the caller has
+    verified equivalence for their format."""
+
+    def __init__(self, date_format: str, spark_format: str = None, **kw):
+        self.date_format = date_format
+        self.spark_format = spark_format
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return 'does not match the date format string "{}"'.format(self.date_format)
+
+    def valid_date(self, val) -> bool:
+        try:
+            datetime.datetime.strptime(val, self.date_format)
+            return True
+        except Exception:
+            return False
+
+    def pandas_validate(self, series):
+        return series.astype(str).apply(self.valid_date)
+
+    def spark_predicate(self, col, spark_type):
+        if self.spark_format is None:
+            return None
+        return F.try_to_timestamp(col.cast("string"), F.lit(self.spark_format)).isNotNull()
+
+
+# ---------------------------------------------------------------------------
+# expression checks (reference validation.py:194-214, 296-390)
+# ---------------------------------------------------------------------------
+
+class InRangeValidation(_SeriesValidation):
+    """pd.to_numeric(series, errors='coerce') then (s >= min) & (s < max):
+    min inclusive, max exclusive; non-numeric text coerces to NaN -> fails
+    (reference validation.py:194-214). Native path for numeric Spark types
+    is exactly equivalent (null -> fail); string input takes the pandas
+    path by default because pd.to_numeric's grammar differs from Spark's
+    cast ('0x1f', '1_0', locale corner cases)."""
+
+    def __init__(self, min: float = -math.inf, max: float = math.inf, **kw):
+        self.min = min
+        self.max = max
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return "was not in the range [{}, {})".format(self.min, self.max)
+
+    def pandas_validate(self, series):
+        s = pd.to_numeric(series, errors="coerce")
+        return (s >= self.min) & (s < self.max)
+
+    def spark_predicate(self, col, spark_type):
+        if is_numeric_spark_type(spark_type) and not isinstance(spark_type, T.BooleanType):
+            c = col.cast("double") if isinstance(spark_type, T.DecimalType) else col
+            pred = F.lit(True) if self.min == -math.inf else (c >= F.lit(self.min))
+            pred2 = F.lit(True) if self.max == math.inf else (c < F.lit(self.max))
+            return pred & pred2
+        if self.mode == "native" and isinstance(spark_type, T.StringType):
+            c = F.try_cast(F.trim(col), "double")
+            return (c >= F.lit(self.min)) & (c < F.lit(self.max))
+        return None
+
+
+class InListValidation(_SeriesValidation):
+    """series.isin(options); case-insensitive variant lowercases both sides
+    (reference validation.py:367-390). pandas isin matches by value AND
+    type ('1' not in [1]); the native path is therefore gated on the option
+    types matching the Spark column type family, avoiding Spark's implicit
+    cross-type casts in IN."""
+
+    def __init__(self, options: typing.Iterable, case_sensitive: bool = True, **kw):
+        self.case_sensitive = case_sensitive
+        self.options = list(options)
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        values = ", ".join(str(v) for v in self.options)
+        return "is not in the list of legal options ({})".format(values)
+
+    def pandas_validate(self, series):
+        if self.case_sensitive:
+            return series.isin(self.options)
+        return series.str.lower().isin([s.lower() for s in self.options])
+
+    def spark_predicate(self, col, spark_type):
+        opts = self.options
+        str_col = isinstance(spark_type, T.StringType)
+        num_col = is_numeric_spark_type(spark_type) and not isinstance(spark_type, T.BooleanType)
+        if not self.case_sensitive:
+            if str_col and all(isinstance(o, str) for o in opts):
+                return F.lower(col).isin([o.lower() for o in opts])
+            return None
+        if str_col and all(isinstance(o, str) for o in opts):
+            return col.isin(opts)
+        if num_col and all(isinstance(o, (int, float)) and not isinstance(o, bool) for o in opts):
+            return col.isin(opts)
+        return None
+
+
+class MatchesPatternValidation(_SeriesValidation):
+    """series.astype(str).str.contains(pattern, **options) — substring
+    regex *search*, not fullmatch (reference validation.py:296-316).
+    astype(str) first: nulls become the literal 'nan' (preserved via
+    coalesce in the native path). Native path only for string columns,
+    plain string patterns with Java-compatible syntax and no options;
+    everything else (compiled patterns with flags, case=/regex= options,
+    non-string columns) runs the pandas formula on Arrow batches."""
+
+    def __init__(self, pattern, options={}, **kw):
+        self.pattern = pattern
+        self.options = options
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return 'does not match the pattern "{}"'.format(self.pattern)
+
+    def pandas_validate(self, series):
+        return series.astype(str).str.contains(self.pattern, **self.options)
+
+    def spark_predicate(self, col, spark_type):
+        if (isinstance(spark_type, T.StringType) and isinstance(self.pattern, str)
+                and not self.options and _java_regex_safe(self.pattern)):
+            return F.coalesce(col, F.lit("nan")).rlike(self.pattern)
+        return None
+
+
+class TrailingWhitespaceValidation(_SeriesValidation):
+    """~astype(str).str.contains(r'\\s+$') (reference validation.py:319-332)."""
+
+    @property
+    def default_message(self):
+        return "contains trailing whitespace"
+
+    def pandas_validate(self, series):
+        return ~series.astype(str).str.contains(r"\s+$")
+
+    def spark_predicate(self, col, spark_type):
+        if isinstance(spark_type, T.StringType):
+            return ~F.coalesce(col, F.lit("nan")).rlike(r"\s+$")
+        return None
+
+
+class LeadingWhitespaceValidation(_SeriesValidation):
+    """~astype(str).str.contains(r'^\\s+') (reference validation.py:335-348)."""
+
+    @property
+    def default_message(self):
+        return "contains leading whitespace"
+
+    def pandas_validate(self, series):
+        return ~series.astype(str).str.contains(r"^\s+")
+
+    def spark_predicate(self, col, spark_type):
+        if isinstance(spark_type, T.StringType):
+            return ~F.coalesce(col, F.lit("nan")).rlike(r"^\s+")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# global (shuffle-requiring) checks
+# ---------------------------------------------------------------------------
+
+class IsDistinctValidation(_SeriesValidation):
+    """~series.duplicated(keep='first'): first occurrence (in row order)
+    passes, later duplicates fail (reference validation.py:351-364).
+
+    Row-order-sensitive => needs a stable row ordinal and global state, so
+    the Spark plan is NOT a row-local predicate: the schema compiler routes
+    this to operators.distinct.distinct_violations — a two-phase salted
+    hash aggregation (partial per (value, salt), final per value, keeping
+    count + min row ordinal) followed by a broadcast join-back of the
+    (rare) duplicate keys. ``salt_buckets`` controls skew salting;
+    ``broadcast_threshold`` falls back to a shuffle join when the duplicate
+    key set is too large to broadcast.
+    """
+
+    is_global = True
+
+    def __init__(self, salt_buckets: int = 64, broadcast_dupes: bool = True, **kw):
+        self.salt_buckets = salt_buckets
+        self.broadcast_dupes = broadcast_dupes
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return "contains values that are not unique"
+
+    def pandas_validate(self, series):
+        return ~series.duplicated(keep="first")
+
+
+class InTableValidation(_SeriesValidation):
+    """Engine extension (no reference analog — SURVEY.md §2.4): referential
+    integrity against a dimension table. Pass iff the value exists in
+    ``dim_df[dim_col]``. Planned as a broadcast LEFT ANTI join emitting
+    violations (the north star's codec-dimension check)."""
+
+    is_global = True
+
+    def __init__(self, dim_df, dim_col: str, broadcast: bool = True, **kw):
+        self.dim_df = dim_df
+        self.dim_col = dim_col
+        self.broadcast = broadcast
+        self._options = None
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        return "is not present in the reference table column {}".format(self.dim_col)
+
+    def pandas_validate(self, series):
+        opts = [r[self.dim_col] for r in self.dim_df.select(self.dim_col).distinct().collect()]
+        return series.isin(opts)
+
+
+# ---------------------------------------------------------------------------
+# frame-level check (reference validation.py:217-237)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_NUMPY = {
+    T.ByteType: np.int8, T.ShortType: np.int16, T.IntegerType: np.int32,
+    T.LongType: np.int64, T.FloatType: np.float32, T.DoubleType: np.float64,
+    T.BooleanType: np.bool_, T.StringType: np.object_,
+    T.TimestampType: np.datetime64, T.DateType: np.datetime64,
+    T.BinaryType: np.object_,
+}
+
+
+def spark_type_to_numpy(dt: T.DataType):
+    for k, v in _SPARK_TO_NUMPY.items():
+        if isinstance(dt, k):
+            return np.dtype(v)
+    return np.dtype(np.object_)
+
+
+class IsDtypeValidation(_BaseValidation):
+    """Frame-level dtype check: <=1 warning, no row/value, evaluated on the
+    driver against the Spark schema with zero jobs (reference
+    validation.py:217-237 checks np.issubdtype(series.dtype, expected); we
+    map the Spark type to its numpy equivalent and run the same
+    issubdtype lattice, so int32 passes a required np.number etc.)."""
+
+    is_frame_level = True
+
+    def __init__(self, dtype: np.dtype):
+        self.dtype = dtype
+
+    def get_errors_for_type(self, name: str, spark_type: T.DataType):
+        actual = spark_type_to_numpy(spark_type)
+        if not np.issubdtype(actual, self.dtype):
+            return [ValidationWarning(
+                "The column {} has a dtype of {} which is not a subclass of the required type {}".format(
+                    name, actual, self.dtype))]
+        return []
+
+    # pandas-side parity path (reference signature)
+    def get_errors(self, series: pd.Series, column=None):
+        if not np.issubdtype(series.dtype, self.dtype):
+            return [ValidationWarning(
+                "The column {} has a dtype of {} which is not a subclass of the required type {}".format(
+                    column.name if column else "", series.dtype, self.dtype))]
+        return []
