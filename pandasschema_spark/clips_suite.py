@@ -1,0 +1,137 @@
+"""The north-star constraint suite for the audio clips table.
+
+Binds BASELINE.json's required checks to the engine
+(FIXTURES.md §B "Constraint suite bound to this table"):
+
+- sr_hz   in {8000, 16000, 44100, 48000}   -> native IN predicate (codegen)
+- dur_ms  > 0                              -> InRange(min=1), native
+- codec   in allowed set                   -> native IN
+- codec   referential vs codec_dim         -> broadcast left-anti join
+- transcript matches ^[a-z0-9 ,.'?!-]+$    -> native rlike
+- transcript non-null                      -> native isNotNull
+- clip_id shape clip_############          -> native rlike
+- clip_id uniqueness (keep='first')        -> salted two-phase hash agg
+- bytes: decoded-PCM length + SNR>=30dB vs the sha256-derived synthesis
+  oracle, and transcript equality vs the oracle                -> one
+  Arrow pandas_udf over a struct (cross-column), fully distributed
+
+All row-local checks (including the two Arrow UDF checks) compile into ONE
+scan; the uniqueness agg and the referential anti-join are the only
+shuffles, and the anti-join's build side is 4 rows (broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .column import Column
+from .schema import Schema, ValidationResult
+from .sources.datagen import ALLOWED_SR, TRANSCRIPT_PATTERN
+from .functions import audio as A
+from .validation import (
+    CustomRowValidation,
+    InListValidation,
+    InRangeValidation,
+    InTableValidation,
+    IsDistinctValidation,
+    MatchesPatternValidation,
+    NotNullValidation,
+)
+
+SNR_THRESHOLD_DB = 30.0
+
+
+def _parse_ordinal(clip_id: str):
+    if isinstance(clip_id, str) and clip_id.startswith("clip_") and clip_id[5:].isdigit():
+        return int(clip_id[5:])
+    return None
+
+
+def pcm_integrity_validation(seed: int = 42) -> CustomRowValidation:
+    """Decoded-PCM invariant vs the per-row synthesis oracle (input_hint):
+    stored sr_hz/dur_ms must match the sha256-derived fields for the
+    clip_id's ordinal, len(bytes) must equal 2*sr*dur/1000 samples, and
+    SNR(resynthesized, decoded) >= 30 dB."""
+
+    def _check(batch: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(batch), dtype=bool)
+        ids = batch["clip_id"].to_numpy()
+        raws = batch["bytes"].to_numpy()
+        srs = batch["sr_hz"].to_numpy()
+        durs = batch["dur_ms"].to_numpy()
+        for j in range(len(batch)):
+            ordinal = _parse_ordinal(ids[j])
+            if ordinal is None or raws[j] is None:
+                continue
+            f = A.clip_fields(seed, ordinal)
+            if f["sr_hz"] != srs[j] or f["dur_ms"] != durs[j]:
+                continue
+            if len(raws[j]) != A.expected_len_bytes(srs[j], durs[j]):
+                continue
+            ref = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+            dec = A.decode_pcm(raws[j])
+            if A.snr_db(ref, dec) >= SNR_THRESHOLD_DB:
+                out[j] = True
+        return pd.Series(out, index=batch.index)
+
+    return CustomRowValidation(
+        ["clip_id", "bytes", "sr_hz", "dur_ms"],
+        _check,
+        "decoded PCM does not match the synthesis oracle (length/SNR>=30dB/field mismatch)",
+    )
+
+
+def transcript_oracle_validation(seed: int = 42) -> CustomRowValidation:
+    """Transcript equality vs the synthesis oracle (input_hint per-row
+    invariant). Vectorized apply inside the Arrow batch."""
+
+    def _check(batch: pd.DataFrame) -> pd.Series:
+        def one(row):
+            ordinal = _parse_ordinal(row["clip_id"])
+            if ordinal is None or row["transcript"] is None:
+                return False
+            return A.clip_fields(seed, ordinal)["transcript"] == row["transcript"]
+
+        return batch.apply(one, axis=1)
+
+    return CustomRowValidation(
+        ["clip_id", "transcript"], _check, "transcript does not equal the synthesis oracle")
+
+
+def clips_schema(codec_dim_df=None, *, seed: int = 42, with_pcm_checks: bool = True,
+                 salt_buckets: int = 64) -> Schema:
+    """The full constraint suite as a Schema over the 6 public clip columns."""
+    codec_checks = [InListValidation(["pcm_s16le", "flac", "opus", "mp3"])]
+    if codec_dim_df is not None:
+        codec_checks.append(InTableValidation(codec_dim_df, "codec"))
+    bytes_checks = []
+    transcript_checks = [
+        NotNullValidation(),
+        MatchesPatternValidation(TRANSCRIPT_PATTERN),
+    ]
+    if with_pcm_checks:
+        bytes_checks.append(pcm_integrity_validation(seed))
+        transcript_checks.append(transcript_oracle_validation(seed))
+    return Schema([
+        Column("clip_id", [
+            MatchesPatternValidation(r"^clip_\d{12}$"),
+            IsDistinctValidation(salt_buckets=salt_buckets),
+        ]),
+        Column("bytes", bytes_checks),
+        Column("sr_hz", [InListValidation(ALLOWED_SR)]),
+        Column("dur_ms", [InRangeValidation(min=1)]),
+        Column("codec", codec_checks),
+        Column("transcript", transcript_checks),
+    ])
+
+
+PUBLIC_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def validate_clips(df, codec_dim_df=None, *, seed: int = 42,
+                   with_pcm_checks: bool = True, row_key: str = "row_ord") -> ValidationResult:
+    """Run the suite; df may carry extra warehouse columns (row_ord,
+    bucket) — validation is scoped to the 6 public columns via subset."""
+    schema = clips_schema(codec_dim_df, seed=seed, with_pcm_checks=with_pcm_checks)
+    return schema.validate(df, columns=PUBLIC_COLUMNS, row_key=row_key)

@@ -1,0 +1,106 @@
+"""Audio payload functions: deterministic PCM synthesis + decode checks.
+
+The clips table (FIXTURES.md §B) stores audio as little-endian int16 PCM in
+a ``binary`` column. Every field of row ``i`` derives from
+``h = sha256(f"{seed}:{i}")``, so any executor can recompute the per-row
+oracle locally — the decoded-PCM SNR>=30dB invariant is checked fully
+distributed, no reference data shipped.
+
+All Spark-facing entry points are Arrow-batched (mapInPandas / pandas_udf);
+inside a batch the per-clip work is numpy-vectorized over samples (clips
+have differing lengths, so the loop over clips within a batch is
+irreducible — each iteration is a few thousand-sample numpy kernel, not
+per-row Python at the Spark layer).
+
+No external audio libraries exist in this container; "decode" for the
+pcm_s16le codec is np.frombuffer. Decoders for flac/opus/mp3 would slot in
+behind decode_pcm() and are stubbed with NotImplementedError — the
+synthetic table stores raw PCM regardless of the codec label.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+SAMPLE_RATES = np.array([8000, 16000, 44100, 48000], dtype=np.int32)
+CODECS = ["pcm_s16le", "flac", "opus", "mp3"]
+
+# 256-word deterministic lexicon: 16 onsets x 16 rimes, all lowercase ascii
+_ONSETS = ["b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t", "v", "w", "y", "z"]
+_RIMES = ["a", "e", "i", "o", "u", "an", "en", "in", "on", "un", "ar", "er", "ir", "or", "ur", "ay"]
+LEXICON = [o + r for o in _ONSETS for r in _RIMES]
+assert len(LEXICON) == 256
+
+
+def row_hash(seed: int, i: int) -> bytes:
+    return hashlib.sha256("{}:{}".format(seed, i).encode()).digest()
+
+
+def clip_fields(seed: int, i: int) -> dict:
+    """Closed-form per-row oracle: all clip fields for row i (pre-injection)."""
+    h = row_hash(seed, i)
+    sr = int(SAMPLE_RATES[h[0] % 4])
+    dur_ms = 40 + ((h[1] | (h[2] << 8)) % 161)          # 40..200 ms
+    f1 = 100.0 + ((h[3] | (h[4] << 8)) % 1900)          # 100..1999 Hz
+    f2 = 100.0 + ((h[5] | (h[6] << 8)) % 1900)
+    p1 = 2.0 * math.pi * h[7] / 256.0
+    p2 = 2.0 * math.pi * h[8] / 256.0
+    amp = 0.3 + 0.5 * h[9] / 256.0                      # 0.3..0.8
+    n_words = 3 + (h[10] % 8)                           # 3..10 words
+    words = [LEXICON[h[11 + (j % 20)] ^ (j * 37 % 256)] for j in range(n_words)]
+    return {
+        "clip_id": "clip_{:012d}".format(i),
+        "sr_hz": sr,
+        "dur_ms": int(dur_ms),
+        "f1": f1, "f2": f2, "p1": p1, "p2": p2, "amp": amp,
+        "codec": CODECS[h[12] % 4],
+        "transcript": " ".join(words),
+    }
+
+
+def synth_pcm(sr: int, dur_ms: int, f1: float, f2: float, p1: float, p2: float, amp: float) -> np.ndarray:
+    """Sum of two sine tones, int16-quantized. Vectorized over samples."""
+    n = int(sr) * int(dur_ms) // 1000
+    t = np.arange(n, dtype=np.float64) / float(sr)
+    x = 0.5 * amp * np.sin(2 * np.pi * f1 * t + p1) + 0.5 * amp * np.sin(2 * np.pi * f2 * t + p2)
+    return np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+
+
+def synth_bytes(seed: int, i: int) -> bytes:
+    f = clip_fields(seed, i)
+    return synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"]).tobytes()
+
+
+def decode_pcm(raw: bytes, codec: str = "pcm_s16le") -> np.ndarray:
+    """Decode stored audio bytes to int16 samples. Only raw PCM decode is
+    available in this container; compressed codecs are stubbed (the
+    synthetic warehouse stores PCM under every codec label)."""
+    if codec in ("pcm_s16le", "flac", "opus", "mp3"):
+        # flac/opus/mp3: payload is synthesized PCM in this sandbox. A real
+        # deployment would dispatch: soundfile.read / opuslib / ffmpeg.
+        return np.frombuffer(raw, dtype="<i2")
+    raise NotImplementedError("codec {!r} decode not available".format(codec))
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of decoded vs reference float signals in dB."""
+    ref = reference.astype(np.float64)
+    dec = decoded.astype(np.float64)
+    if ref.shape != dec.shape:
+        return float("-inf")
+    noise = ref - dec
+    p_sig = float((ref ** 2).sum())
+    p_noise = float((noise ** 2).sum())
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * math.log10(p_sig / p_noise)
+
+
+def expected_len_bytes(sr: int, dur_ms: int) -> int:
+    """dur_ms consistency: len(bytes) == 2 * (sr * dur_ms // 1000)."""
+    return 2 * (int(sr) * int(dur_ms) // 1000)

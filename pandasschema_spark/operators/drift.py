@@ -1,0 +1,127 @@
+"""Distribution-drift checks: chi-square (categorical) and KS (numeric).
+
+Engine extension (the reference has no aggregations — SURVEY.md §2.4);
+required by the north star: "KS/chi-square distribution-drift checks on
+sr_hz/dur_ms histograms".
+
+Spark does the heavy lifting as a partial+final hash aggregation
+(`groupBy(value).count()` for categoricals, `groupBy(width-bucket bin)
+.count()` for numerics) — a single shuffle whose output is one row per
+category/bin; the O(bins) statistic + p-value math runs on the driver in
+numpy (functions/stats.py, scipy absent).
+
+Result objects carry (stat, p_value, drifted) and a per-bucket observed
+vs expected frame for reporting; a failing drift check is frame-level
+(one warning), not per-row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import stats as _stats
+from ..validation_warning import ValidationWarning
+
+
+@dataclasses.dataclass
+class DriftResult:
+    column: str
+    kind: str                # 'chi_square' | 'ks'
+    statistic: float
+    p_value: float
+    n: int
+    drifted: bool
+    alpha: float
+    buckets: typing.List[typing.Tuple[str, float, float]]  # (label, observed, expected)
+
+    def warning(self) -> typing.Optional[ValidationWarning]:
+        if not self.drifted:
+            return None
+        return ValidationWarning(
+            message=(
+                "distribution drift detected on column {} ({} statistic={:.6g}, "
+                "p={:.3g} < alpha={:g}, n={})".format(
+                    self.column, self.kind, self.statistic, self.p_value, self.alpha, self.n)
+            ),
+            column=self.column,
+        )
+
+
+def categorical_histogram(df: DataFrame, column: str) -> typing.Dict[typing.Any, int]:
+    """One partial+final hash agg; output is O(categories)."""
+    rows = df.groupBy(F.col(column).alias("bucket")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    return {r["bucket"]: r["cnt"] for r in rows}
+
+
+def chi_square_drift(
+    df: DataFrame,
+    column: str,
+    expected_probs: typing.Dict[typing.Any, float],
+    alpha: float = 0.001,
+) -> DriftResult:
+    """Goodness-of-fit of the observed category frequencies against
+    expected probabilities. Unknown (unexpected) categories are pooled
+    into an expected-0 pseudo-bucket counted via a 1e-12 floor so their
+    presence inflates the statistic instead of being dropped."""
+    observed = categorical_histogram(df, column)
+    n = sum(observed.values())
+    cats = list(expected_probs.keys())
+    extra = sorted([str(c) for c in observed.keys() if c not in expected_probs])
+    obs = np.array([observed.get(c, 0) for c in cats], dtype=float)
+    exp = np.array([expected_probs[c] * n for c in cats], dtype=float)
+    if extra:
+        obs = np.append(obs, sum(v for k, v in observed.items() if k not in expected_probs))
+        exp = np.append(exp, 1e-12 * max(n, 1))
+    stat = _stats.chi2_stat(obs, exp)
+    dof = max(len(cats) - 1, 1)
+    p = _stats.chi2_sf(stat, dof)
+    buckets = [(str(c), float(observed.get(c, 0)), float(expected_probs[c] * n)) for c in cats]
+    return DriftResult(column, "chi_square", stat, p, int(n), p < alpha, alpha, buckets)
+
+
+def binned_histogram(
+    df: DataFrame, column: str, lo: float, hi: float, n_bins: int
+) -> np.ndarray:
+    """width_bucket-style binning + hash agg; clamps out-of-range values
+    into the edge bins. Output is O(n_bins)."""
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    rows = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(bin_expr.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["cnt"]
+    return counts
+
+
+def ks_drift(
+    df: DataFrame,
+    column: str,
+    expected_bin_probs: typing.Sequence[float],
+    lo: float,
+    hi: float,
+    alpha: float = 0.001,
+) -> DriftResult:
+    """One-sample KS over a shared binning of [lo, hi)."""
+    probs = np.asarray(expected_bin_probs, dtype=float)
+    counts = binned_histogram(df, column, lo, hi, len(probs))
+    n = int(counts.sum())
+    stat, p = _stats.ks_test_from_binned(counts, probs)
+    exp_counts = probs / probs.sum() * n
+    buckets = [
+        ("[{:g},{:g})".format(lo + i * (hi - lo) / len(probs), lo + (i + 1) * (hi - lo) / len(probs)),
+         float(counts[i]), float(exp_counts[i]))
+        for i in range(len(probs))
+    ]
+    return DriftResult(column, "ks", stat, p, n, p < alpha, alpha, buckets)

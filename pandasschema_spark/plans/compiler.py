@@ -71,7 +71,12 @@ def _empty_exemption(col, spark_type: T.DataType):
 def value_repr(col, spark_type: T.DataType):
     """String rendering of the failing cell, matching str(value) in the
     reference's warning loop for the common dtypes (ints '270', floats
-    '270.0', strings verbatim, nulls 'nan')."""
+    '270.0', strings verbatim, nulls 'nan'). Binary payloads (audio bytes)
+    render as a length summary instead of megabytes of mojibake."""
+    if isinstance(spark_type, T.BinaryType):
+        return F.concat(
+            F.lit("<binary "), F.coalesce(F.length(col).cast("string"), F.lit("0")), F.lit(" bytes>")
+        )
     return F.coalesce(col.cast("string"), F.lit(NULL_VALUE_REPR))
 
 
@@ -89,7 +94,10 @@ def build_row_violations(df: DataFrame, checks: typing.List[RowCheck], row_col: 
     for ck in checks:
         col = df[ck.df_col]
         spark_type = dtypes[ck.df_col]
-        pass_pred = ck.validation.compile_predicate(col, spark_type)
+        if getattr(ck.validation, "is_multi_column", False):
+            pass_pred = ck.validation.compile_row_predicate(df)
+        else:
+            pass_pred = ck.validation.compile_predicate(col, spark_type)
         fail = ~pass_pred
         if ck.allow_empty:
             fail = fail & _empty_exemption(col, spark_type)

@@ -1,0 +1,130 @@
+"""Deterministic synthetic clips warehouse (FIXTURES.md §B).
+
+Generates the audio+transcript main table per BASELINE.json's input_hint::
+
+    clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+    transcript string
+
+fully distributed: ``spark.range(n)`` fans the ordinal space over
+partitions and a mapInPandas batch synthesizer derives every field of row
+``i`` from ``sha256(f"{seed}:{i}")`` (functions/audio.py) — no data ever
+moves to the driver, generation scales linearly with cores, and re-running
+at any partitioning yields identical rows.
+
+Violation injection (closed-form, testable): every row with
+``i % INJECT_MOD == 0 and i > 0`` carries exactly one violation, class
+``(i // INJECT_MOD) % 6``:
+
+    0: duplicate clip_id (copies row i-1's id)
+    1: invalid sr_hz 11025
+    2: dur_ms <- 0 (bytes untouched => length mismatch too)
+    3: unknown codec 'wav_unknown'
+    4: transcript NULL
+    5: transcript with illegal characters
+
+Expected violation sets are therefore computable in closed form by
+``expected_violations``.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions import audio as A
+
+INJECT_MOD = 997
+N_CLASSES = 6
+
+CLIPS_SCHEMA = T.StructType([
+    T.StructField("row_ord", T.LongType(), False),
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("sr_hz", T.IntegerType(), True),
+    T.StructField("dur_ms", T.IntegerType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("transcript", T.StringType(), True),
+])
+
+ALLOWED_SR = [8000, 16000, 44100, 48000]
+TRANSCRIPT_PATTERN = r"^[a-z0-9 ,.'?!-]+$"
+
+
+def injected_class(i: int) -> typing.Optional[int]:
+    if i > 0 and i % INJECT_MOD == 0:
+        return (i // INJECT_MOD) % N_CLASSES
+    return None
+
+
+def _synth_row(seed: int, i: int, with_audio: bool) -> dict:
+    f = A.clip_fields(seed, i)
+    row = {
+        "row_ord": i,
+        "clip_id": f["clip_id"],
+        "bytes": A.synth_bytes(seed, i) if with_audio else b"",
+        "sr_hz": f["sr_hz"],
+        "dur_ms": f["dur_ms"],
+        "codec": f["codec"],
+        "transcript": f["transcript"],
+    }
+    cls = injected_class(i)
+    if cls == 0:
+        row["clip_id"] = "clip_{:012d}".format(i - 1)
+    elif cls == 1:
+        row["sr_hz"] = 11025
+    elif cls == 2:
+        row["dur_ms"] = 0
+    elif cls == 3:
+        row["codec"] = "wav_unknown"
+    elif cls == 4:
+        row["transcript"] = None
+    elif cls == 5:
+        row["transcript"] = "ILLEGAL @ CHARS #"
+    return row
+
+
+def clips_df(spark: SparkSession, n: int, seed: int = 42, *,
+             with_audio: bool = True, partitions: int = None) -> DataFrame:
+    """Distributed deterministic clips table of n rows."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_synth_row(seed, int(i), with_audio) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, CLIPS_SCHEMA)
+
+
+def write_clips(spark: SparkSession, path: str, n: int, seed: int = 42, *,
+                with_audio: bool = True, partitions: int = None,
+                bucket_count: int = 32) -> None:
+    """Materialize the clips warehouse as Parquet with a `bucket` partition
+    column (i mod bucket_count) — the unit of checkpoint/resume lineage."""
+    df = clips_df(spark, n, seed, with_audio=with_audio, partitions=partitions)
+    (df.withColumn("bucket", F.pmod(F.col("row_ord"), F.lit(bucket_count)).cast("int"))
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def codec_dim(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §C1: the 4-row codec dimension table."""
+    return spark.createDataFrame(
+        [("pcm_s16le", "wav", False), ("flac", "flac", False),
+         ("opus", "ogg", True), ("mp3", "mp3", True)],
+        T.StructType([
+            T.StructField("codec", T.StringType(), False),
+            T.StructField("container", T.StringType(), False),
+            T.StructField("lossy", T.BooleanType(), False),
+        ]),
+    )
+
+
+def expected_violations(n: int) -> typing.Dict[int, typing.List[int]]:
+    """Closed-form oracle: {class: sorted row ordinals with that violation}."""
+    out: typing.Dict[int, typing.List[int]] = {c: [] for c in range(N_CLASSES)}
+    for i in range(INJECT_MOD, n, INJECT_MOD):
+        out[(i // INJECT_MOD) % N_CLASSES].append(i)
+    return out

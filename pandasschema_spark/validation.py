@@ -508,6 +508,61 @@ class LeadingWhitespaceValidation(_SeriesValidation):
         return None
 
 
+class NotNullValidation(_SeriesValidation):
+    """Engine extension: explicit non-null check (north star: "transcript
+    regex/non-null checks"). Needed because MatchesPatternValidation
+    inherits the reference's astype(str) quirk where null becomes 'nan' and
+    can *pass* a pattern; this check catches nulls directly. Pure native
+    predicate — codegen, no UDF."""
+
+    @property
+    def default_message(self):
+        return "is null"
+
+    def pandas_validate(self, series):
+        return series.notna()
+
+    def spark_predicate(self, col, spark_type):
+        return col.isNotNull()
+
+
+class CustomRowValidation(_SeriesValidation):
+    """Engine extension: cross-column check (north star "cross-column
+    checks"). ``fn`` receives a pd.DataFrame batch holding
+    ``input_columns`` (Arrow-transferred struct) and returns a boolean
+    Series; anchored on one column for warning attribution. Compiled as a
+    single vectorized pandas_udf over a struct — still one scan, no join.
+    """
+
+    is_multi_column = True
+
+    def __init__(self, input_columns: typing.List[str],
+                 fn: typing.Callable[[pd.DataFrame], pd.Series],
+                 message: str, **kw):
+        self.input_columns = list(input_columns)
+        self._fn = fn
+        super().__init__(message=message, **kw)
+
+    @property
+    def default_message(self):
+        return self._custom_message
+
+    def pandas_validate(self, series):
+        raise PanSchArgumentError("CustomRowValidation needs multiple columns; use compile_row_predicate")
+
+    def pandas_validate_frame(self, frame: pd.DataFrame) -> pd.Series:
+        return self._fn(frame)
+
+    def compile_row_predicate(self, df) -> SparkColumn:
+        fn = self._fn
+
+        def _wrapped(batch: pd.DataFrame) -> pd.Series:
+            return fn(batch).astype("boolean")
+
+        udf = F.pandas_udf(_wrapped, T.BooleanType())
+        return _leaf(udf(F.struct(*[df[c] for c in self.input_columns])))
+
+
 # ---------------------------------------------------------------------------
 # global (shuffle-requiring) checks
 # ---------------------------------------------------------------------------

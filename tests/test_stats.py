@@ -1,0 +1,43 @@
+"""Numpy stats parity vs published critical values (scipy absent)."""
+
+import numpy as np
+import pytest
+
+from pandasschema_spark.functions import stats as S
+
+
+def test_chi2_sf_critical_values():
+    # textbook critical values: P(X >= x) for chi-square
+    assert S.chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-4)
+    assert S.chi2_sf(5.991, 2) == pytest.approx(0.05, abs=2e-4)
+    assert S.chi2_sf(7.815, 3) == pytest.approx(0.05, abs=2e-4)
+    assert S.chi2_sf(6.635, 1) == pytest.approx(0.01, abs=2e-4)
+    assert S.chi2_sf(0.0, 5) == 1.0
+    assert S.chi2_sf(1000.0, 2) < 1e-100
+
+
+def test_chi2_stat():
+    obs = np.array([10, 20, 30])
+    exp = np.array([20, 20, 20])
+    assert S.chi2_stat(obs, exp) == pytest.approx(10.0)
+    stat, p = S.chi2_test(np.array([25, 25]), np.array([25, 25]))
+    assert stat == 0.0 and p == 1.0
+
+
+def test_kolmogorov_sf():
+    # Kolmogorov distribution: Q(1.358) ~ 0.05, Q(1.628) ~ 0.01
+    assert S.kolmogorov_sf(1.358) == pytest.approx(0.05, abs=2e-3)
+    assert S.kolmogorov_sf(1.628) == pytest.approx(0.01, abs=1e-3)
+    assert S.kolmogorov_sf(0.0) == 1.0
+    assert S.kolmogorov_sf(10.0) < 1e-20
+
+
+def test_ks_binned():
+    probs = np.full(10, 0.1)
+    counts = np.full(10, 1000)
+    d, p = S.ks_test_from_binned(counts, probs)
+    assert d == pytest.approx(0.0)
+    assert p == 1.0
+    skewed = np.array([5000] + [555] * 9)
+    d2, p2 = S.ks_test_from_binned(skewed, probs)
+    assert d2 > 0.3 and p2 < 1e-10
