@@ -1,0 +1,99 @@
+"""Checkpoint-resume semantics (SURVEY.md §5.2.4): kill after k batches,
+re-run with the same run_id, verify no bucket validated twice and the final
+violations equal an uninterrupted run. Cross-bucket duplicates must be
+caught by the dedicated global phase."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.clips_suite import PUBLIC_COLUMNS, clips_schema
+from pandasschema_spark.runner import ValidationRunner
+from pandasschema_spark.sources import datagen as G
+from pandasschema_spark.sources.warehouse import Warehouse
+
+N = 4000
+BUCKETS = 16
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def wh_root(spark):
+    root = tempfile.mkdtemp(prefix="pss_wh_")
+    G.write_clips(spark, Warehouse(root).path("clips"), N, SEED,
+                  with_audio=False, partitions=8, bucket_count=BUCKETS)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _schema(spark):
+    # audio-free variant keeps the test fast; distinct + referential + row-local
+    return clips_schema(G.codec_dim(spark), seed=SEED, with_pcm_checks=False)
+
+
+def _collect_violations(runner, spark):
+    return sorted(
+        (r["row"], r["column"], r["message"])
+        for r in runner.violations(spark).collect()
+    )
+
+
+def test_uninterrupted_run(spark, wh_root):
+    wh = Warehouse(wh_root)
+    runner = ValidationRunner(wh, "run_full", batch_buckets=6)
+    summary = runner.run(spark, _schema(spark), validate_columns=PUBLIC_COLUMNS)
+    assert summary["buckets_validated"] == BUCKETS
+    assert summary["global_phase_ran"]
+
+    v = _collect_violations(runner, spark)
+    exp = G.expected_violations(N)
+    # cross-bucket duplicate clip_ids (i vs i-1 land in different buckets)
+    # are caught by the global phase
+    dup_rows = sorted(r for (r, c, m) in v if "not unique" in m)
+    assert dup_rows == exp[0]
+    sr_rows = sorted(r for (r, c, m) in v if c == "sr_hz")
+    assert sr_rows == exp[1]
+
+    # manifest: one 'ok' entry set per bucket + the global marker
+    m = runner.manifest(spark)
+    per_bucket = {r["bucket"] for r in m.select("bucket").distinct().collect()}
+    assert per_bucket == set(range(BUCKETS)) | {ValidationRunner.GLOBAL_BUCKET}
+    # rows_seen totals the table
+    rows_seen = (
+        m.where(F.col("bucket") >= 0).select("bucket", "rows_seen").distinct()
+        .agg(F.sum("rows_seen")).collect()[0][0]
+    )
+    assert rows_seen == N
+
+
+def test_kill_and_resume_identical(spark, wh_root):
+    wh = Warehouse(wh_root)
+    schema = _schema(spark)
+
+    crashed = ValidationRunner(wh, "run_resume", batch_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashed.run(spark, schema, validate_columns=PUBLIC_COLUMNS, fail_after_batches=2)
+
+    # partial progress recorded: exactly 2 batches x 4 buckets
+    done_after_crash = crashed.completed_buckets(spark)
+    assert len(done_after_crash) == 8
+
+    resumed = ValidationRunner(wh, "run_resume", batch_buckets=4)
+    summary = resumed.run(spark, schema, validate_columns=PUBLIC_COLUMNS)
+    assert summary["buckets_skipped_resume"] == 8
+    assert summary["buckets_validated"] == 8  # no bucket validated twice
+
+    # manifest: each bucket committed exactly once
+    m = resumed.manifest(spark)
+    counts = (
+        m.where(F.col("bucket") >= 0)
+        .groupBy("bucket").agg(F.countDistinct("finished_at").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in counts)
+
+    # final violations identical to the uninterrupted run
+    full = ValidationRunner(wh, "run_full")
+    assert _collect_violations(resumed, spark) == _collect_violations(full, spark)
