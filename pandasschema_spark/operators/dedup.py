@@ -1,0 +1,347 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Engine extensions for training-data pipelines (no reference analog —
+SURVEY.md §2.4). Design targets the 100 TB documents table:
+
+- **exact_duplicate_ids** shuffles a 16-byte md5 digest, never the text;
+  the aggregation is Spark's partial+final hash-agg (map-side combine), so
+  the shuffle volume is O(distinct digests), not O(corpus bytes).
+- **n-gram / MinHash math is 100% native Catalyst expressions** (split,
+  transform, aggregate, array_min, conv(md5)) — whole-stage codegen, no
+  Python, and deterministic across engines (the md5-derived 32-bit gram
+  hash makes signatures exactly reproducible in any SQL engine, which the
+  DuckDB oracles exploit).
+- **LSH banding** turns the quadratic all-pairs problem into a group-by on
+  (band_idx, band_key): only documents agreeing on a full band ever meet.
+  Hot buckets (boilerplate docs) are handled by an optional per-bucket
+  cap rather than letting one reducer take the whole cluster down.
+- **SimHash** is a single narrow projection producing a 64-bit signature;
+  near-dup candidates = equal signature (or banded 16-bit chunks).
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import normalized_text_expr, tokens_expr
+
+# 32-bit md5-prefix gram hash, then affine universal hashing mod a prime.
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, keep_id) for every non-first duplicate: rows whose normalized
+    text equals an earlier (smaller-id) row's. keep='first' semantics match
+    IsDistinctValidation (reference validation.py:351-364) with the id as
+    the order.
+
+    Plan: project (id, digest) -> hash-agg by digest keeping (count, min id)
+    -> broadcast the (rare) duplicate digests -> join back. One shuffle of
+    16-byte digests with map-side combine.
+    """
+    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
+    base = df.select(F.col(id_col).alias("id"), digest.alias("__fp__"))
+    dupes = (
+        base.groupBy("__fp__")
+        .agg(F.count(F.lit(1)).alias("__c__"), F.min("id").alias("keep_id"))
+        .where(F.col("__c__") > 1)
+        .select("__fp__", "keep_id")
+    )
+    return (
+        base.join(F.broadcast(dupes), "__fp__")
+        .where(F.col("id") != F.col("keep_id"))
+        .select("id", "keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram machinery (shared by Jaccard / MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text as an
+    array<string>; documents shorter than n tokens yield their whole token
+    string as the single shingle so they still participate."""
+    toks = tokens_expr(normalized_text_expr(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def gram_hash_expr(gram: Column) -> Column:
+    """Deterministic 32-bit gram hash: first 8 hex chars of md5, parsed
+    base-16. Engine-portable (any SQL engine can reproduce it), uniform,
+    and cheap relative to the text scan."""
+    return F.conv(F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 8), 16, 10).cast("long")
+
+
+def doc_grams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, gram) exploded distinct n-grams — the join key space for
+    Jaccard; column-pruned scan reads only (id, text)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (exact, for candidate verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_gram_df: typing.Optional[int] = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) for pairs with Jaccard >= threshold
+    (id_a < id_b). Exact similarity join via the inverted index:
+    explode grams -> self-join on gram -> count shared grams -> Jaccard
+    from the inclusion-exclusion identity |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_gram_df`` drops grams occurring in more than that many documents
+    (boilerplate shingles): at web scale a stop-shingle cap bounds the
+    worst-case join fan-out from O(df^2) per hot gram; pairs sharing ONLY
+    boilerplate fall below any useful threshold anyway. None = exact.
+    """
+    grams = doc_grams(df, text_col, id_col, n)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_gram_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
+        grams = (
+            grams.join(gram_df.where(F.col("__df__") <= max_gram_df), "gram")
+            .select("id", "gram")
+        )
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jacc >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _affine_params(k: int) -> typing.List[typing.Tuple[int, int]]:
+    """Deterministic (a, b) per hash function: odd multipliers via the
+    Knuth multiplicative constant — fixed, engine-portable, no RNG."""
+    out = []
+    for j in range(k):
+        a = (2 * j + 1) * 2654435761 % MINHASH_PRIME
+        b = (j * 40503 + 2654435769) % MINHASH_PRIME
+        out.append((a if a % 2 == 1 else a + 1, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, k: int = 16
+) -> DataFrame:
+    """(id, sig array<long>) — narrow projections, no shuffle.
+
+    Two-step projection on purpose: the md5 gram-hash array is aliased in
+    its own project so the k per-slot min-folds reference the computed
+    array instead of inlining (and re-evaluating) the md5 transform k
+    times — Catalyst's CollapseProject keeps non-cheap aliases
+    materialized, turning O(k · grams) digests into O(grams)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_ngrams_expr(F.col(text_col), n), lambda g: gram_hash_expr(g)).alias(
+            "__gh__"
+        ),
+    )
+    parts = [
+        F.array_min(
+            F.transform(F.col("__gh__"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
+        for a, b in _affine_params(k)
+    ]
+    return hashed.select("id", F.array(*parts).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: typing.Optional[int] = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) agreeing on >=1 full LSH band
+    (r = k/bands rows per band). The shuffle key is (band_idx, band_key) —
+    a small string — so shuffle volume is O(docs * bands), independent of
+    text size. ``max_bucket`` skips pathological buckets (identical
+    boilerplate repeated millions of times) to bound the per-bucket pair
+    blow-up; candidates from such buckets are recovered by exact-dedup
+    (identical docs) upstream."""
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.concat_ws(",", F.transform(
+                    F.slice(F.col("sig"), bidx * r + 1, r), lambda v: v.cast("string"))),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("__bc__", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc__") <= max_bucket)
+            .drop("__bc__")
+        )
+    a = banded.select("band_idx", "band_key", F.col("id").alias("id_a"))
+    b = banded.select("band_idx", "band_key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_bucket: typing.Optional[int] = None,
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard: the scale path
+    (banding prunes the pair space) with the exact path's precision.
+    Returns (id_a, id_b, n_common, n_a, n_b)."""
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+    )
+    grams = doc_grams(df, text_col, id_col, n)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("id").alias("id_a"), F.col("gram").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("gram").alias("g_b"))
+    common = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(F.col("g_a") == F.col("g_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .where(jacc >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, *, n: int = 3) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over word n-grams.
+
+    Signature bit b = majority vote of gram-hash bit b. Built from two
+    independent 32-bit md5-prefix hashes (chars 1-8 and 9-16 of the
+    digest) to span 64 bits, folded natively. The md5 hash arrays are
+    materialized once in their own projection (CollapseProject keeps
+    non-cheap aliases), so the 63 per-bit integer folds reference the
+    computed arrays — one digest pass over the grams, not 63. No
+    shuffle, no Python."""
+    toks = word_ngrams_expr(F.col(text_col), n)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda g: gram_hash_expr(g)).alias("__lo__"),
+        F.transform(
+            toks,
+            lambda g: F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 9, 8), 16, 10).cast("long"),
+        ).alias("__hi__"),
+    )
+
+    def bit_vote(hashes: Column, bit: int) -> Column:
+        # sum over grams of (2*bit_b(h) - 1) > 0  -> bit set
+        return (
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.shiftright(h, bit) % 2) * 2 - 1,
+            )
+            > 0
+        )
+
+    sig = F.lit(0).cast("long")
+    for bit in range(32):
+        sig = sig + F.when(bit_vote(F.col("__lo__"), bit), F.lit(2 ** bit).cast("long")).otherwise(
+            F.lit(0)
+        )
+    for bit in range(31):  # keep the sign bit clear; 63 information bits
+        sig = sig + F.when(
+            bit_vote(F.col("__hi__"), bit), F.lit(2 ** (32 + bit)).cast("long")
+        ).otherwise(F.lit(0))
+    return hashed.select("id", sig.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, chunk_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: pairs agreeing on >=1 of the 16-bit signature
+    chunks (classic Hamming-ball banding — any pair within Hamming distance
+    3 of a 64-bit signature shares at least one of 4 chunks)."""
+    sigs = simhash64(df, text_col, id_col, n=n)
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)))
+                for i in range(n_chunks)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"))
+    b = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

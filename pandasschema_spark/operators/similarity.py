@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extensions for training-data pipelines (no reference analog —
+SURVEY.md §2.4):
+
+- **cosine_topk** — exact brute-force top-k: broadcast the (small) query
+  set, score every (query, vector) pair with a native double-precision
+  fold (zip_with + aggregate — JVM codegen, deterministic left-to-right
+  accumulation, so results are bit-reproducible across engines), then
+  per-query top-k. At 100 TB the scan is embarrassingly parallel; the
+  only shuffle is the per-query top-k reduction, whose input we pre-prune
+  with a per-partition top-k so each partition ships at most k rows per
+  query instead of its whole slice.
+
+- **ivf_topk** — the scale path: an IVF (inverted-file) index. Vectors
+  are bucketed by nearest centroid at index build; a query scores only
+  the ``n_probe`` nearest cells. Recall < 1.0 by construction; the
+  brute-force operator is the correctness oracle (tests assert recall).
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Deterministic double-precision dot product: elementwise product via
+    zip_with, left-to-right fold via aggregate. Native codegen — no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cos) with deterministic
+    (-cos, vec_id) tie order, self-matches excluded when ids collide.
+
+    Plan: broadcast-nested-loop join (queries are broadcast — they are the
+    small side by construction) -> narrow scoring projection -> two-level
+    top-k: row_number inside each input partition first (cheap, no
+    shuffle), keep <=k per (partition, query), THEN the global per-query
+    window — so the final shuffle carries O(partitions * |Q| * k) rows,
+    not the full corpus.
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv__")
+    ))
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v__"))
+    scored = (
+        base.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot_expr(F.col("__v__"), F.col("__qv__"))
+             / (norm_expr(F.col("__v__")) * norm_expr(F.col("__qv__")))).alias("cos"),
+        )
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    pruned = scored.withColumn("__pr__", F.row_number().over(part_w)).where(
+        F.col("__pr__") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pruned.withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") <= k)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """IVF build: assign each vector to its nearest centroid (max cosine).
+    Centroids broadcast; assignment is a narrow argmax projection."""
+    c = F.broadcast(centroids.select(
+        F.col(centroid_id_col).alias("cell"), F.col(centroid_vec_col).alias("__cv__")
+    ))
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v__"))
+    scored = base.crossJoin(c).select(
+        "vec_id",
+        "__v__",
+        "cell",
+        (dot_expr(F.col("__v__"), F.col("__cv__"))
+         / (norm_expr(F.col("__v__")) * norm_expr(F.col("__cv__")))).alias("__s__"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__s__").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") == 1)
+        .select("vec_id", F.col("__v__").alias("embedding"), "cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in each query's n_probe
+    nearest cells. At scale the index table is written partitioned by
+    ``cell`` so the probe is a partition-pruned scan; here the same
+    pruning happens via the (query cell) semi-join."""
+    indexed = assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    q_cells = assign_probe_cells(
+        queries, centroids, n_probe=n_probe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv__"))
+    cand = indexed.join(q_cells, "cell").join(F.broadcast(qv), "query_id")
+    scored = cand.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (dot_expr(F.col("embedding"), F.col("__qv__"))
+         / (norm_expr(F.col("embedding")) * norm_expr(F.col("__qv__")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") <= k)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+def assign_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, cell) for each query's n_probe nearest centroids."""
+    c = F.broadcast(centroids.select(F.col("cell"), F.col("cvec").alias("__cv__")))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv__"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "cell",
+        (dot_expr(F.col("__qv__"), F.col("__cv__"))
+         / (norm_expr(F.col("__qv__")) * norm_expr(F.col("__cv__")))).alias("__s__"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__s__").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") <= n_probe)
+        .select("query_id", "cell")
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine extensions (no reference analog — SURVEY.md §2.4): the reference
+validates CSV-sized frames; a 100 TB documents table additionally needs
+language-ID, quality scoring, token counting and fingerprinting as
+first-class, shuffle-free columnar operators.
+
+All operators here compile to native Catalyst expressions (split /
+regexp_replace / md5 / transform) — whole-stage codegen, zero Python in
+the hot path, no shuffle: each is a narrow projection that scales
+linearly with executors and leaves predicate pushdown / column pruning
+intact (only ``text`` + the id column are read from Parquet).
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens) — whitespace token count."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_subtokens) — BPE-ish subword proxy: count of maximal runs of
+    word characters plus isolated punctuation marks (the usual pre-tokenizer
+    regex family), entirely via a native regexp split."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), 0)
+    return df.select(F.col(id_col), F.size(pieces).cast("long").alias("n_subtokens"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality counters, all integer-valued (exactly portable
+    across engines): character length, token count, punctuation count,
+    digit count, uppercase count, stopword-token count.
+
+    Downstream quality *scores* (ratios) are trivial arithmetic over these;
+    keeping the operator integral makes it bit-reproducible for oracles.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("long").alias("n_digits"),
+        F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("long").alias("n_upper"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language marker lexicons; a hit = a whole token equal to a marker.
+LANG_MARKERS: typing.Dict[str, typing.List[str]] = {
+    "en": ["the", "and", "is", "of", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, hits_en, hits_de, hits_fr, hits_es, lang_pred).
+
+    Counts marker-token hits per language over the token array (one pass,
+    native), predicts the argmax with a deterministic tie order
+    (en > de > fr > es > unknown); zero hits everywhere -> 'und'.
+    CJK fallback: any char in the CJK block -> 'zh' regardless of hits.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols[lang] = F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).cast("long")
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    best = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in ["es", "fr", "de", "en"]:  # later wins ties -> en highest priority
+        best = F.when(hit_cols[lang] >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, hit_cols[lang])
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        hit_cols["en"].alias("hits_en"),
+        hit_cols["de"].alias("hits_de"),
+        hit_cols["fr"].alias("hits_fr"),
+        hit_cols["es"].alias("hits_es"),
+        pred.alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_text_expr(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed
+    to single spaces, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, fp) — md5 hex of the normalized text. The canonical content
+    key for exact dedup: grouping by the 32-byte digest instead of the
+    full text keeps the dedup shuffle narrow at 100 TB."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8")).alias("fp"),
+    )

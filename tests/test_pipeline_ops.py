@@ -1,0 +1,240 @@
+"""Tests for the training-pipeline operators (dedup / similarity / text).
+
+Ground truth is computed independently in pandas/numpy on the same rows —
+the operators must agree exactly (dedup, text) or meet recall bounds
+(LSH, IVF: approximate by design, verified against the exact operator).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators import dedup as D
+from pandasschema_spark.operators import similarity as S
+from pandasschema_spark.operators import text as TX
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(SF_DIR + "/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(SF_DIR + "/embeddings.parquet")
+
+
+def _norm(t: str) -> str:
+    return " ".join(t.lower().split())
+
+
+def _grams(t: str, n=3):
+    w = _norm(t).split(" ")
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_duplicate_ids(spark, docs):
+    dupes = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    # a whitespace/case variant must also collapse to the same fingerprint
+    variants = docs.where(F.col("doc_id") == 1).select(
+        F.lit(5000).alias("doc_id"), F.upper(F.concat(F.lit("  "), F.col("text"))).alias("text")
+    )
+    corpus = docs.unionByName(dupes).unionByName(variants)
+    got = {(r["id"], r["keep_id"]) for r in D.exact_duplicate_ids(corpus, "text", "doc_id").collect()}
+    expected = {(i + 1000, i) for i in range(0, 500, 5)} | {(5000, 1)}
+    assert got == expected
+
+
+def test_ngram_jaccard_pairs_matches_pandas(spark, docs, docs_pd):
+    mutated = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                          F.concat("text", F.lit(" tail words")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in D.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    # independent pandas ground truth over the planted pairs
+    for _, row in docs_pd.iterrows():
+        a = _grams(row["text"])
+        b = _grams(row["text"] + " tail words")
+        jac = len(a & b) / len(a | b)
+        key = (row["doc_id"], row["doc_id"] + 1000)
+        if jac >= 0.5:
+            assert got[key] == (len(a & b), len(a), len(b))
+        else:
+            assert key not in got
+    # every returned pair (incl. genuine near-dups inside the corpus)
+    # must carry exactly the pandas-computed gram counts and pass the bar
+    texts = dict(zip(docs_pd["doc_id"], docs_pd["text"]))
+    full = {**texts, **{i + 1000: t + " tail words" for i, t in texts.items()}}
+    for (ia, ib), (nc, na, nb) in got.items():
+        a, b = _grams(full[ia]), _grams(full[ib])
+        assert (nc, na, nb) == (len(a & b), len(a), len(b))
+        assert nc / (na + nb - nc) >= 0.5
+
+
+def test_lsh_candidates_recall_and_precision(spark, docs):
+    mutated = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                          F.concat("text", F.lit(" zz")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    cands = {(r["id_a"], r["id_b"]) for r in
+             D.lsh_candidate_pairs(corpus, "text", "doc_id", k=16, bands=4).collect()}
+    planted = {(i, i + 1000) for i in range(500)}
+    recall = len(cands & planted) / len(planted)
+    assert recall >= 0.95  # ~0.99 expected at jaccard≈0.98, r=4 b=4
+    # verified pipeline = candidates filtered by exact jaccard
+    verified = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.5).collect()}
+    assert verified <= cands
+    assert len(verified & planted) / len(planted) >= 0.95
+    # any non-planted survivors must be genuine near-dups: re-check in pandas
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for ia, ib in verified - planted:
+        a, b = _grams(texts[ia]), _grams(texts[ib])
+        assert len(a & b) / len(a | b) >= 0.5
+
+
+def test_simhash_properties(spark, docs):
+    corpus = docs.where(F.col("doc_id") < 50)
+    dup = corpus.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    sigs = {r["id"]: r["simhash"] for r in
+            D.simhash64(corpus.unionByName(dup), "text", "doc_id").collect()}
+    for i in range(50):
+        assert sigs[i] == sigs[i + 1000]  # identical text -> identical signature
+        assert sigs[i] >= 0               # sign bit kept clear
+    # distinct random docs should not all collide
+    assert len(set(sigs.values())) > 25
+
+
+def test_simhash_candidates_find_near_dups(spark, docs):
+    corpus = docs.where(F.col("doc_id") < 100)
+    near = corpus.select((F.col("doc_id") + 1000).alias("doc_id"),
+                         F.concat("text", F.lit(" x")).alias("text"))
+    both = corpus.unionByName(near)
+    cands = {(r["id_a"], r["id_b"]) for r in
+             D.simhash_candidates(both, "text", "doc_id").collect()}
+    sigs = {r["id"]: r["simhash"] for r in D.simhash64(both, "text", "doc_id").collect()}
+    planted = {(i, i + 1000) for i in range(100)}
+    # banding guarantee: Hamming distance <= 3 over 4 chunks of 16 bits
+    # MUST share a chunk (pigeonhole); beyond that it's best-effort
+    close = {p for p in planted if bin(sigs[p[0]] ^ sigs[p[1]]).count("1") <= 3}
+    assert close <= cands
+    assert len(cands & planted) / len(planted) >= 0.5  # best-effort recall
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _np_topk(emb_pd, query_ids, k=10):
+    vecs = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    out = {}
+    for q in query_ids:
+        qv = vecs[ids == q][0]
+        cos = vecs @ qv / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))
+        out[q] = [ids[i] for i in order if ids[i] != q][:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got = {}
+    for r in S.cosine_topk(emb, queries, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
+    expected = _np_topk(emb.toPandas(), [0, 1, 2], k=10)
+    for q in [0, 1, 2]:
+        ranked = [v for _, v in sorted(got[q], key=lambda t: (-t[0], t[1]))]
+        assert ranked == list(expected[q])
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    centroids = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    exact = _np_topk(emb.toPandas(), list(range(5)), k=10)
+    approx = {}
+    for r in S.ivf_topk(emb, queries, centroids, k=10, n_probe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(approx.get(q, set()) & set(exact[q])) / 10 for q in range(5)]
+    assert sum(recalls) / len(recalls) >= 0.4  # IVF with 10 cells / probe 3
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_matches_pandas(spark, docs, docs_pd):
+    got = {r["doc_id"]: r["n_tokens"] for r in TX.token_count(docs, "text", "doc_id").collect()}
+    for _, row in docs_pd.iterrows():
+        assert got[row["doc_id"]] == len(row["text"].split())
+
+
+def test_quality_metrics_match_pandas(spark, docs, docs_pd):
+    import re
+
+    got = {r["doc_id"]: r.asDict() for r in TX.quality_metrics(docs, "text", "doc_id").collect()}
+    stop = set(TX._STOPWORDS)
+    for _, row in docs_pd.head(50).iterrows():
+        t = row["text"]
+        g = got[row["doc_id"]]
+        assert g["n_chars"] == len(t)
+        assert g["n_tokens"] == len(t.split())
+        assert g["n_punct"] == len(re.sub(r"[^.!?,;:]", "", t))
+        assert g["n_digits"] == len(re.sub(r"[^0-9]", "", t))
+        assert g["n_upper"] == len(re.sub(r"[^A-Z]", "", t))
+        assert g["n_stopwords"] == sum(1 for w in t.split() if w.lower() in stop)
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog is here of course to stay"),
+        (1, "der hund und die katze ist das beste"),
+        (2, "le chat et la souris est dans les champs"),
+        (3, "el perro y la gata es los mejores"),
+        (4, "qwerty asdf zxcv"),
+        (5, "这是 中文 文本"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id(df, "text", "doc_id").collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "zh"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " HELLO\tWORLD "), (3, "other")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fp"] for r in TX.fingerprint(df, "text", "doc_id").collect()}
+    assert got[0] == got[1] == got[2] != got[3]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(0, "don't stop, it's 2024!"), (1, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_subtokens"] for r in
+           TX.bpe_ish_token_count(df, "text", "doc_id").collect()}
+    # don | ' | t | stop | , | it | ' | s | 2024 | !
+    assert got[0] == 10
+    assert got[1] == 0
