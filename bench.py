@@ -1,0 +1,277 @@
+"""Benchmark harness (driver contract + north_rule scaling evidence).
+
+Headline metric (BASELINE.json): clips/sec validated — the FULL north-star
+constraint suite including the decoded-PCM SNR>=30dB and transcript-oracle
+Arrow-UDF checks, plus violation-row emission — over a materialized
+parquet clips warehouse (the local stand-in for the Iceberg table).
+
+north_rule scaling evidence: no real cluster exists in this sandbox, so
+the two cluster sizes are proxied by running the SAME job on the SAME
+input under two hard CPU budgets. Each leg runs as a subprocess pinned
+with sched_setaffinity to 8 or 32 CPUs — pinning matters because a
+`local[8]` session with Arrow UDFs otherwise spills onto idle CPUs (8 JVM
+task threads + 8 Python workers ≈ 16 busy cores), which silently inflates
+the small leg and corrupts the efficiency ratio.
+
+efficiency = (clips_per_sec_32cpu / clips_per_sec_8cpu) / 4, target >=0.8.
+
+Results: ONE JSON line on stdout + BENCH.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_CLIPS (override clip count),
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the 8-CPU leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+# 4*10^6 clips/sf-unit: sf0.1 -> 400k clips (~2.8 GB PCM). Sized so the
+# ~3 s of genuinely serial per-run cost (Catalyst planning of the 10-check
+# union plan + broadcast-subquery materialization + job setup) stays under
+# ~25% of even the 4N leg; any smaller and Amdahl eats the scaling signal.
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", str(max(int(4_000_000 * SF), 40_000))))
+WAREHOUSE = "/tmp/spark_graft_bench/clips_{}".format(N_CLIPS)
+
+#: representative per-operator queries timed at SF_DIR (seconds)
+BENCH_QUERIES = [
+    "val_inrange",
+    "val_distinct",
+    "val_referential",
+    "val_crosscolumn",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+    "clips_validate",
+]
+
+
+def make_session(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.master("local[{}]".format(cores))
+        .appName("pandasschema-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # ~one scan task per warehouse file: the Arrow-UDF stage needs
+        # fine-grained tasks for balance (32 fat tasks = straggler city)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def warm_workers(spark: SparkSession, cores: int) -> None:
+    """Spin up the Python worker pool before timing: each task slot lazily
+    forks a worker whose first Arrow batch pays the numpy/pandas import
+    (~1-2 s); measured cold, a 32-slot pool front-loads ~30 s of imports
+    into the first job and inverts the scaling signal."""
+
+    @F.pandas_udf("long")
+    def _touch(s: pd.Series) -> pd.Series:
+        import numpy as _np  # noqa: F401
+
+        return s
+
+    spark.range(0, cores * 8, 1, cores * 8).select(_touch("id")).count()
+
+
+def ensure_warehouse(spark: SparkSession) -> None:
+    """Materialize the deterministic clips table once (generation is not
+    part of the measured validation time)."""
+    marker = os.path.join(WAREHOUSE, "_SUCCESS_CLIPS")
+    if os.path.exists(marker):
+        return
+    from pandasschema_spark.sources.datagen import write_clips
+
+    shutil.rmtree(WAREHOUSE, ignore_errors=True)
+    # 4 buckets per core -> scan tasks balance across 32 cores while each
+    # file stays a single well-sized parquet (one file per bucket)
+    write_clips(spark, WAREHOUSE, N_CLIPS, seed=42, with_audio=True,
+                partitions=max(CPUS * 4, 64), bucket_count=max(CPUS * 4, 64))
+    with open(marker, "w") as fh:
+        fh.write(str(N_CLIPS))
+
+
+def run_clips_suite(spark: SparkSession) -> tuple[float, int]:
+    """One full validation pass; returns (seconds, violation rows)."""
+    from pandasschema_spark.clips_suite import validate_clips
+    from pandasschema_spark.sources.datagen import codec_dim
+
+    df = spark.read.parquet(WAREHOUSE)
+    t0 = time.time()
+    res = validate_clips(df, codec_dim(spark), with_pcm_checks=True, row_key="row_ord")
+    n_viol = res.violations.count()
+    return time.time() - t0, n_viol
+
+
+def measure_leg(cpu_budget: int, repeats: int = 3) -> dict:
+    """Best-of-N on a warm session under a hard CPU budget.
+
+    Task slots = budget/2: every Arrow-UDF task is a JVM-thread + Python-
+    worker PAIR, so `local[budget]` would put 2x budget runnable threads
+    on the pinned CPUs — measured 3x slower from scheduler thrash
+    (local[32] 18.4s vs local[16] 6.7s on 32 CPUs). Same rule as setting
+    spark.task.cpus=2 for UDF-heavy stages on a real cluster.
+
+    Best-of-N because this sandbox VM shows episodic co-tenant slowdowns;
+    all raw samples are reported for honesty."""
+    slots = max(cpu_budget // 2, 1)
+    spark = make_session(slots)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, slots)
+    run_clips_suite(spark)  # untimed: absorbs JVM heap growth + Arrow pool warm-up
+    samples, viol = [], 0
+    for _ in range(repeats):
+        sec, viol = run_clips_suite(spark)
+        samples.append(round(sec, 3))
+    spark.stop()
+    best = min(samples)
+    return {"cpu_budget": cpu_budget, "task_slots": slots, "sec": best,
+            "samples_sec": samples,
+            "clips_per_sec": round(N_CLIPS / best, 1), "violations": viol}
+
+
+def run_leg_subprocess(cpu_budget: int) -> dict:
+    """Run one scaling leg in a child pinned to `cpu_budget` CPUs (the JVM
+    and every Python worker inherit the affinity mask)."""
+    env = dict(os.environ, SPARK_GRAFT_LEG=str(cpu_budget))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        preexec_fn=lambda: os.sched_setaffinity(0, range(cpu_budget)),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError("leg {} failed:\n{}\n{}".format(
+        cpu_budget, proc.stdout[-2000:], proc.stderr[-2000:]))
+
+
+def main() -> None:
+    leg = os.environ.get("SPARK_GRAFT_LEG")
+    if leg:  # child mode: one pinned scaling leg
+        print(json.dumps(measure_leg(int(leg))))
+        return
+
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+
+    # warehouse generation in its own full-width session: neither measured
+    # leg pays generation cost
+    if not os.path.exists(os.path.join(WAREHOUSE, "_SUCCESS_CLIPS")):
+        gen = make_session(CPUS)
+        gen.sparkContext.setLogLevel("ERROR")
+        ensure_warehouse(gen)
+        gen.stop()
+
+    r8 = None if skip_scaling else run_leg_subprocess(8)
+    r32 = run_leg_subprocess(CPUS)
+
+    # per-query timings on a fresh full-width session
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, CPUS)
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    q_times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        q_times[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "clips/sec validated (full constraint suite incl. PCM SNR + transcript oracle + violation emission)",
+        "value": r32["clips_per_sec"],
+        "unit": "clips/sec",
+        "suite_sec": r32["sec"],
+        "n_clips": N_CLIPS,
+        "queries": q_times,
+        "sf": SF,
+    }
+    if r8 is not None:
+        eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / (CPUS / 8)
+        out["scaling"] = {
+            "n_cpus": r8,
+            "four_n_cpus": r32,
+            "efficiency_n_to_4n": round(eff, 3),
+            "criterion": ">=0.8 (north_rule)",
+            "method": "same job, same input; each leg a subprocess hard-pinned via sched_setaffinity",
+        }
+        write_bench_md(out)
+    print(json.dumps(out))
+
+
+def write_bench_md(out: dict) -> None:
+    s = out["scaling"]
+    md = """# BENCH — measured throughput + scaling efficiency
+
+Headline: **{v:,.0f} clips/sec** — full north-star constraint suite
+(pattern/range/in-list/non-null/referential/salted-uniqueness checks,
+decoded-PCM SNR>=30dB + transcript equality vs the synthesis oracle via
+Arrow-batched pandas UDFs, violation-row emission) over a {n:,}-clip
+parquet warehouse (~7 KB PCM/clip).
+
+## north_rule scaling criterion (N -> 4N, sandbox proxy)
+
+No real cluster exists in this sandbox; the two cluster sizes are proxied
+by running the SAME job on the SAME input under two hard CPU budgets —
+each leg is a subprocess pinned with `sched_setaffinity` so the JVM and
+all Python workers together get exactly N CPUs (an unpinned `local[8]`
+with Arrow UDFs would silently use ~16 CPUs and fake the baseline fast).
+Best-of-3 per leg; all samples listed (this VM shows episodic co-tenant
+slowdowns).
+
+| leg | CPU budget | wall sec (best) | samples | clips/sec |
+|---|---|---|---|---|
+| N | {c8} | {t8} | {s8} | {p8:,.0f} |
+| 4N | {c32} | {t32} | {s32} | {p32:,.0f} |
+
+**Scaling efficiency (N -> 4N): {eff}** (criterion: >= 0.8)
+
+efficiency = (clips_per_sec_4N / clips_per_sec_N) / 4
+
+## Per-operator timings at sf={sf} ({dir})
+
+| query | sec |
+|---|---|
+{rows}
+""".format(
+        v=out["value"], n=out["n_clips"],
+        c8=s["n_cpus"]["cpu_budget"], t8=s["n_cpus"]["sec"],
+        s8=s["n_cpus"]["samples_sec"], p8=s["n_cpus"]["clips_per_sec"],
+        c32=s["four_n_cpus"]["cpu_budget"], t32=s["four_n_cpus"]["sec"],
+        s32=s["four_n_cpus"]["samples_sec"], p32=s["four_n_cpus"]["clips_per_sec"],
+        eff=s["efficiency_n_to_4n"], sf=out["sf"], dir=SF_DIR,
+        rows="\n".join("| {} | {} |".format(k, v) for k, v in out["queries"].items()),
+    )
+    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,13 +87,18 @@ def transcript_oracle_validation(seed: int = 42) -> CustomRowValidation:
     invariant). Vectorized apply inside the Arrow batch."""
 
     def _check(batch: pd.DataFrame) -> pd.Series:
-        def one(row):
-            ordinal = _parse_ordinal(row["clip_id"])
-            if ordinal is None or row["transcript"] is None:
-                return False
-            return A.clip_fields(seed, ordinal)["transcript"] == row["transcript"]
-
-        return batch.apply(one, axis=1)
+        # plain loop over numpy arrays: ~10x less per-row overhead than
+        # DataFrame.apply(axis=1); the sha256-derived oracle is inherently
+        # per-row, but everything around it should not be pandas machinery
+        ids = batch["clip_id"].to_numpy()
+        ts = batch["transcript"].to_numpy()
+        out = np.zeros(len(batch), dtype=bool)
+        for j in range(len(batch)):
+            ordinal = _parse_ordinal(ids[j])
+            if ordinal is None or ts[j] is None:
+                continue
+            out[j] = A.clip_fields(seed, ordinal)["transcript"] == ts[j]
+        return pd.Series(out, index=batch.index)
 
     return CustomRowValidation(
         ["clip_id", "transcript"], _check, "transcript does not equal the synthesis oracle")
