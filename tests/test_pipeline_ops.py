@@ -111,6 +111,24 @@ def test_lsh_candidates_recall_and_precision(spark, docs):
         assert len(a & b) / len(a | b) >= 0.5
 
 
+def test_minhash_arrow_native_equivalence(spark, docs):
+    sub = docs.where(F.col("doc_id") < 60)
+    arrow = {r["id"]: r["sig"] for r in
+             D.minhash_signatures(sub, "text", "doc_id", impl="arrow").collect()}
+    native = {r["id"]: r["sig"] for r in
+              D.minhash_signatures(sub, "text", "doc_id", impl="native").collect()}
+    assert arrow == native
+
+
+def test_simhash_arrow_native_equivalence(spark, docs):
+    sub = docs.where(F.col("doc_id") < 60)
+    arrow = {r["id"]: r["simhash"] for r in
+             D.simhash64(sub, "text", "doc_id", impl="arrow").collect()}
+    native = {r["id"]: r["simhash"] for r in
+              D.simhash64(sub, "text", "doc_id", impl="native").collect()}
+    assert arrow == native
+
+
 def test_simhash_properties(spark, docs):
     corpus = docs.where(F.col("doc_id") < 50)
     dup = corpus.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
