@@ -1,0 +1,253 @@
+"""Multimodal (image/video) binary-column operators.
+
+Engine extension for training-data pipelines: media payloads are opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages — the same pattern the audio layer
+(functions/audio.py) uses for PCM.
+
+This container ships no image/video codecs (no PIL/ffmpeg), so REAL
+decode is stubbed: each operator first tries the real library behind an
+import-gate and otherwise requires the deterministic in-repo FAKE format
+below (raising NotImplementedError for foreign bytes). The Spark-side
+plumbing — schemas, UDF signatures, Arrow batch shapes, partition
+behavior — is real and tested; swapping in PIL/pyav on a real cluster
+changes only the per-batch decode call.
+
+FAKE media format (deterministic, self-describing):
+    image: b"FIMG" | u16 width | u16 height | u8 channels | pixels (w*h*c bytes)
+    video: b"FVID" | u16 width | u16 height | u8 channels | u16 n_frames
+           | frames (n_frames consecutive FIMG pixel payloads)
+
+All integers little-endian. Pixel (x, y, ch) of a generated image is
+(seed + x*7 + y*13 + ch*31) % 256 — any executor can recompute the
+oracle locally, mirroring the audio table's sha256-derived PCM.
+"""
+
+from __future__ import annotations
+
+import struct
+import typing
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+try:  # real decoder, absent in this container
+    from PIL import Image as _PIL_Image  # noqa: F401
+except ImportError:
+    _PIL_Image = None
+
+IMG_MAGIC, VID_MAGIC = b"FIMG", b"FVID"
+
+
+# ---------------------------------------------------------------------------
+# fake codec (encode / decode)
+# ---------------------------------------------------------------------------
+
+
+def encode_fake_image(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return IMG_MAGIC + struct.pack("<HHB", w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """bytes -> (h, w, c) uint8. Fake format natively; real formats only
+    when PIL is installed (import-gated), else NotImplementedError."""
+    if raw[:4] == IMG_MAGIC:
+        w, h, c = struct.unpack("<HHB", raw[4:9])
+        return np.frombuffer(raw[9:9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    if _PIL_Image is not None:
+        import io
+
+        return np.asarray(_PIL_Image.open(io.BytesIO(raw)))
+    raise NotImplementedError("no image codec in this environment for non-FIMG bytes")
+
+
+def synth_image(seed: int, w: int, h: int, c: int = 3) -> np.ndarray:
+    x = np.arange(w, dtype=np.int64)[None, :, None] * 7
+    y = np.arange(h, dtype=np.int64)[:, None, None] * 13
+    ch = np.arange(c, dtype=np.int64)[None, None, :] * 31
+    return ((seed + x + y + ch) % 256).astype(np.uint8)
+
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    n, h, w, c = frames.shape
+    return (VID_MAGIC + struct.pack("<HHBH", w, h, c, n)
+            + frames.astype(np.uint8).tobytes())
+
+
+def decode_video(raw: bytes) -> np.ndarray:
+    """bytes -> (n_frames, h, w, c) uint8 (fake container only; a real
+    deployment dispatches to pyav/ffmpeg here)."""
+    if raw[:4] != VID_MAGIC:
+        raise NotImplementedError("no video codec in this environment for non-FVID bytes")
+    w, h, c, n = struct.unpack("<HHBH", raw[4:11])
+    return np.frombuffer(raw[11:11 + n * w * h * c], dtype=np.uint8).reshape(n, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (datagen)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # 'image' | 'video'
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("width", T.IntegerType(), False),     # declared metadata
+    T.StructField("height", T.IntegerType(), False),
+])
+
+
+def media_df(spark: SparkSession, n: int, seed: int = 42, *, partitions: int = None) -> DataFrame:
+    """Distributed deterministic media table: row i is an image of
+    (16 + i%17) x (16 + i%13), every 5th row a 4-frame video."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                w, h = 16 + i % 17, 16 + i % 13
+                if i % 5 == 0:
+                    frames = np.stack([synth_image(seed + i + f, w, h) for f in range(4)])
+                    rows.append((i, "video", encode_fake_video(frames), w, h))
+                else:
+                    rows.append((i, "image", encode_fake_image(synth_image(seed + i, w, h)), w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# operators (mapInPandas stages — narrow, partition-preserving)
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_intensity", T.DoubleType(), True),
+    T.StructField("ok", T.BooleanType(), False),        # decodable + metadata consistent
+])
+
+
+def image_features(df: DataFrame, *, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Decode + feature-extract: (id, actual w/h/c, mean intensity, ok).
+    One mapInPandas pass; rows whose payload fails to decode or whose
+    header disagrees with the frame shape come back ok=false instead of
+    failing the stage (poison-pill isolation — at 100 TB one corrupt blob
+    must not kill a 10^5-task job)."""
+    cols = df.columns
+
+    def run(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                try:
+                    arr = decode_image(row[payload_col])
+                    h, w, c = arr.shape
+                    out.append((row[id_col], w, h, c, float(arr.mean()), True))
+                except Exception:
+                    out.append((row[id_col], None, None, None, None, False))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    assert id_col in cols and payload_col in cols
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int, *,
+                  payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Deterministic nearest-neighbor resize, re-encoded to the fake
+    format. (A real deployment swaps the numpy index-sampling for
+    PIL.Image.resize — the Spark stage is unchanged.)"""
+
+    def run(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                try:
+                    arr = decode_image(row[payload_col])
+                    h, w, _ = arr.shape
+                    yi = (np.arange(target_h) * h // target_h)
+                    xi = (np.arange(target_w) * w // target_w)
+                    res = arr[yi[:, None], xi[None, :], :]
+                    out.append((row[id_col], encode_fake_image(res), target_w, target_h))
+                except Exception:
+                    out.append((row[id_col], None, None, None))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def sample_frames(df: DataFrame, every_k: int = 2, *, payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Video -> exploded frames (every k-th), each re-encoded as a fake
+    image row: (media_id, frame_idx, payload). Fan-out stage — still
+    narrow (no shuffle), output partitioning follows the input."""
+
+    def run(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                try:
+                    frames = decode_video(row[payload_col])
+                except Exception:
+                    continue
+                for idx in range(0, frames.shape[0], every_k):
+                    out.append((row[id_col], idx, encode_fake_image(frames[idx])))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_integrity_checks(df: DataFrame):
+    """The media table's constraint suite, reusing the validation engine:
+    declared width/height must match the decoded payload (cross-column
+    Arrow check), kind in list, id distinct."""
+    from ..column import Column
+    from ..schema import Schema
+    from ..validation import CustomRowValidation, InListValidation, IsDistinctValidation
+
+    def _consistent(batch: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(batch), dtype=bool)
+        kinds = batch["kind"].to_numpy()
+        payloads = batch["payload"].to_numpy()
+        ws = batch["width"].to_numpy()
+        hs = batch["height"].to_numpy()
+        for j in range(len(batch)):
+            try:
+                if kinds[j] == "video":
+                    arr = decode_video(payloads[j])
+                    out[j] = arr.shape[2] == ws[j] and arr.shape[1] == hs[j]
+                else:
+                    arr = decode_image(payloads[j])
+                    out[j] = arr.shape[1] == ws[j] and arr.shape[0] == hs[j]
+            except Exception:
+                out[j] = False
+        return pd.Series(out, index=batch.index)
+
+    return Schema([
+        Column("media_id", [IsDistinctValidation()]),
+        Column("kind", [InListValidation(["image", "video"])]),
+        Column("payload", [CustomRowValidation(
+            ["kind", "payload", "width", "height"], _consistent,
+            "payload does not decode to the declared dimensions")]),
+    ])
