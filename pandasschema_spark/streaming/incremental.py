@@ -1,0 +1,133 @@
+"""Incremental (Structured Streaming) validation.
+
+The reference is strictly batch (SURVEY.md §2.4: no streaming anywhere),
+and the north_rule's resumability is checkpoint-batch (runner.py). This
+module adds the streaming ingestion path a production warehouse needs:
+validate clip files AS THEY ARRIVE, with exactly-once violation output.
+
+Design:
+- source: file stream over the warehouse directory (new parquet files =
+  new data; Iceberg's streaming read slots in behind the same DataFrame).
+- row-local checks run INSIDE foreachBatch by reusing Schema.validate —
+  the whole compiled one-scan plan applies unchanged to each micro-batch.
+- exactly-once: violations are written partitioned by batch_id with
+  dynamic-partition overwrite, so a replayed micro-batch (failure between
+  sink write and checkpoint commit) overwrites its own partition instead
+  of duplicating — idempotence without a transactional sink.
+- global checks (cross-row uniqueness, referential vs a dim snapshot):
+  uniqueness is windowed WITHIN the stream's state horizon — exact global
+  keep-first over an unbounded stream needs unbounded state, so the
+  streaming layer checks within-batch duplicates and defers the global
+  pass to the batch runner (the honest scale trade-off, stated here
+  rather than hidden).
+- drift monitoring: watermarked event-time windowed histograms
+  (streaming_histogram) feed the same numpy chi-square/KS stats as batch.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import Schema
+from ..sources.warehouse import Warehouse
+
+STREAM_VIOLATIONS_TABLE = "stream_violations"
+STREAM_METRICS_TABLE = "stream_metrics"
+
+
+def stream_validate(
+    spark: SparkSession,
+    schema: Schema,
+    source_dir: str,
+    source_schema,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    *,
+    validate_columns: typing.List[str],
+    row_key: str = "row_ord",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = None,
+):
+    """Start (and with available-now trigger, run to completion) the
+    incremental validation stream. Returns the StreamingQuery."""
+    from ..runner import ValidationRunner
+
+    local_schema, _global = ValidationRunner.split_schema(schema)
+    if local_schema is None:
+        raise ValueError("no row-local checks in schema; nothing to stream")
+
+    reader = (
+        spark.readStream.schema(source_schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    cols = [c for c in validate_columns if c in {x.name for x in local_schema.columns}]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = local_schema.validate(batch_df, columns=cols, row_key=row_key)
+        violations = (
+            res.violations
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .persist()
+        )
+        try:
+            # idempotent on replay: a re-run of batch N replaces partition N
+            warehouse.overwrite_partitions(
+                violations.select("batch_id", "row", "column", "value", "message", "check_id", "seq"),
+                STREAM_VIOLATIONS_TABLE,
+                partition_by=["batch_id"],
+            )
+            rows_seen = batch_df.count()
+            fails = violations.count()
+            metrics = spark.createDataFrame(
+                [(int(batch_id), rows_seen, fails)],
+                "batch_id long, rows_seen long, fail_count long",
+            ).withColumn("finished_at", F.current_timestamp())
+            warehouse.overwrite_partitions(metrics, STREAM_METRICS_TABLE, partition_by=["batch_id"])
+        finally:
+            violations.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def within_batch_duplicates(batch_df: DataFrame, value_col: str, row_col: str) -> DataFrame:
+    """Streaming-scope uniqueness: non-first duplicates WITHIN the batch
+    (the global pass stays in the batch runner — exact keep-first over an
+    unbounded stream would need unbounded state)."""
+    from ..operators.distinct import distinct_violations
+
+    return distinct_violations(
+        batch_df, value_col, row_col,
+        warn_col=value_col, message="contains values that are not unique (within batch)",
+        check_id="stream:{}".format(value_col), seq=0,
+    )
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str,
+    *,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed category histogram — the streaming
+    leg of the drift checks. Late rows beyond the watermark are dropped
+    (bounded state); the emitted (window, value, cnt) rows feed the same
+    numpy chi-square / KS statistics as the batch histograms."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(value_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

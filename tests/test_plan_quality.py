@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises must be visible in .explain output, not just hoped for.
+
+Locked-in findings from the plan audit:
+- row-local validation = ONE parquet scan, column-pruned to the
+  validated columns + row key, codegen-friendly (no CodegenFallback
+  higher-order functions in the violations projection)
+- uniqueness = two-phase hash aggregation + BROADCAST join-back
+  (never a sort or a window at scale)
+- referential = BROADCAST left-anti join
+- upstream filters reach the parquet scan (PushedFilters)
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark import Column, Schema
+from pandasschema_spark.validation import (
+    InListValidation,
+    InRangeValidation,
+    InTableValidation,
+    IsDistinctValidation,
+    MatchesPatternValidation,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(SF_DIR + "/lineitem.parquet")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_local_single_pruned_scan(spark, li):
+    schema = Schema([
+        Column("l_quantity", [InRangeValidation(1, 25)]),
+        Column("l_returnflag", [InListValidation(["A", "N", "R"])]),
+        Column("l_linestatus", [MatchesPatternValidation("^[OF]$")]),
+    ])
+    v = schema.validate(
+        li, columns=["l_quantity", "l_returnflag", "l_linestatus"],
+        row_key=F.expr("l_orderkey*10+l_linenumber"),
+    ).violations
+    plan = plan_of(v)
+    assert plan.count("Scan parquet") == 1, "row-local checks must share ONE scan"
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in read.split(",")}
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"}, \
+        "scan must be pruned to validated columns + row-key inputs, got {}".format(read_cols)
+    # the 4x interpreted-mode regression: no higher-order array filter
+    assert "ArrayFilter" not in plan and "lambdafunction" not in plan.lower()
+
+
+def test_distinct_salted_agg_broadcast_joinback(spark, li):
+    schema = Schema([Column("l_orderkey", [IsDistinctValidation()])])
+    v = schema.validate(li, columns=["l_orderkey"], row_key=F.expr("l_orderkey*10+l_linenumber")).violations
+    plan = plan_of(v)
+    # partial+final per (value, salt), then per value -> 4 HashAggregates
+    assert plan.count("HashAggregate") == 4
+    assert "BroadcastHashJoin" in plan, "duplicate keys must broadcast to the join-back"
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    # both the agg scan and the join-back scan read only key+ordinal inputs
+    for read in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in read.split(",")) == {"l_orderkey", "l_linenumber"}
+
+
+def test_referential_broadcast_anti(spark, li):
+    part = li.sparkSession.read.parquet(SF_DIR + "/part.parquet")
+    schema = Schema([Column("l_partkey", [InTableValidation(part, "p_partkey")])])
+    v = schema.validate(li, columns=["l_partkey"], row_key="l_orderkey").violations
+    plan = plan_of(v)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, li):
+    schema = Schema([Column("l_quantity", [InRangeValidation(1, 25)])])
+    flt = li.where(F.col("l_shipdate") >= "1995-01-01")
+    v = schema.validate(flt, columns=["l_quantity"], row_key="l_orderkey").violations
+    m = re.search(r"PushedFilters: (\[[^\]]*\])", plan_of(v))
+    assert m and "l_shipdate" in m.group(1), "upstream filter must push into the parquet scan"
+
+
+def test_binary_column_read_only_when_checked(spark):
+    """Column pruning on the clips table: a suite without PCM checks must
+    not read the (dominant) bytes column from parquet."""
+    from pandasschema_spark.clips_suite import clips_schema
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, 100, with_audio=False, partitions=2)
+    # over a parquet roundtrip so ReadSchema is observable
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/t")
+        t = spark.read.parquet(d + "/t")
+        schema = clips_schema(None, with_pcm_checks=False)
+        v = schema.validate(
+            t, columns=["clip_id", "sr_hz", "dur_ms", "codec", "transcript"], row_key="row_ord"
+        ).violations
+        reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan_of(v))
+        assert reads
+        for read in reads:
+            assert "bytes" not in read, "bytes column must be pruned when no PCM check is present"

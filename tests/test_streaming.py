@@ -1,0 +1,83 @@
+"""Incremental (Structured Streaming) validation: exactly-once violation
+output, resume across restarts, and the watermarked drift histogram."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.clips_suite import PUBLIC_COLUMNS, clips_schema
+from pandasschema_spark.sources.datagen import CLIPS_SCHEMA, clips_df, expected_violations
+from pandasschema_spark.sources.warehouse import Warehouse
+from pandasschema_spark.streaming import incremental as S
+
+
+def _write_slice(spark, path, lo, hi):
+    df = clips_df(spark, hi, with_audio=False, partitions=2).where(
+        (F.col("row_ord") >= lo) & (F.col("row_ord") < hi)
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, wh, ckpt):
+    schema = clips_schema(None, with_pcm_checks=False)
+    q = S.stream_validate(
+        spark, schema, src, CLIPS_SCHEMA, wh, ckpt,
+        validate_columns=PUBLIC_COLUMNS, row_key="row_ord",
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_validate_and_resume(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    src, whp, ckpt = base + "/src", base + "/wh", base + "/ckpt"
+    wh = Warehouse(whp)
+    n1, n2 = 3000, 6000
+
+    # batch 1: first 3000 rows
+    _write_slice(spark, src, 0, n1)
+    _run_stream(spark, src, wh, ckpt)
+    v1 = wh.read(spark, S.STREAM_VIOLATIONS_TABLE)
+    got1 = {(r["row"], r["column"]) for r in v1.collect()}
+    # injected rows < 3000: 997 (sr_hz), 1994 (dur_ms), 2991 (codec, but no
+    # dim table here -> inlist violation only)
+    assert got1 == {(997, "sr_hz"), (1994, "dur_ms"), (2991, "codec")}
+
+    # batch 2: rows 3000..6000 arrive later; resume from checkpoint must
+    # process ONLY the new file
+    _write_slice(spark, src, n1, n2)
+    _run_stream(spark, src, wh, ckpt)
+    v2 = wh.read(spark, S.STREAM_VIOLATIONS_TABLE)
+    got2 = {(r["row"], r["column"]) for r in v2.collect()}
+    # new injections: 3988 = class 4 (null transcript), 4985 = class 5
+    # (illegal transcript). 5982 = class 0 (duplicate clip_id) must NOT
+    # appear: the copied id is pattern-valid and global keep-first
+    # uniqueness is deferred to the batch runner by design.
+    assert got2 == got1 | {(3988, "transcript"), (4985, "transcript")}
+    # batch 1's rows were not re-validated (their violations unchanged,
+    # exactly one batch partition per micro-batch)
+    batches = {r["batch_id"] for r in v2.collect()}
+    assert len(batches) == 2
+
+
+def test_streaming_histogram(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("hist"))
+    src = base + "/src"
+    rows = [(i, "2026-01-01 00:{:02d}:00".format(i % 3), ["a", "b"][i % 2]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, ts string, cat string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long, ts timestamp, cat string").parquet(src)
+    hist = S.streaming_histogram(stream, "cat", "ts", window="1 minute", watermark="2 minutes")
+    q = (
+        hist.writeStream.format("memory").queryName("hist_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT win.start AS s, bucket, cnt FROM hist_out").collect()
+    got = {(str(r["s"]), r["bucket"]): r["cnt"] for r in out}
+    # 60 rows over 3 one-minute windows, alternating categories -> 10 each
+    assert len(got) == 6
+    assert all(v == 10 for v in got.values())
