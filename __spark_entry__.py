@@ -199,6 +199,85 @@ def q_agg_event_hist(spark, sf_dir):
     )
 
 
+def q_drift_chi2_events(spark, sf_dir):
+    """Chi-square drift statistic (operators/drift.py math) as exact
+    integer arithmetic: against a uniform expectation over k categories,
+    stat = num/den with num = sum((k*c - n)^2), den = k*n — rational form
+    sidesteps float summation-order differences across engines."""
+    hist = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = hist.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    joined = hist.crossJoin(tot)
+    term = (F.col("k") * F.col("c") - F.col("n"))
+    return joined.groupBy().agg(
+        F.sum(term * term).cast("long").alias("chi2_num"),
+        F.first(F.col("k") * F.col("n")).cast("long").alias("chi2_den"),
+    )
+
+
+def q_drift_ks_price(spark, sf_dir):
+    """One-sample KS statistic over the binned o_totalprice distribution
+    vs uniform expected bins, in exact integers:
+    ks = max_i |B*cum_i - n*(i+1)| / (B*n)."""
+    from pyspark.sql import Window
+
+    width = (PRICE_HI - PRICE_LO) / PRICE_BINS
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - F.lit(PRICE_LO)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(PRICE_BINS - 1),
+    )
+    hist = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .groupBy(bin_expr.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        hist.agg(F.sum("c").alias("n"))
+    )
+    dev = F.abs(F.lit(PRICE_BINS) * F.col("cum") - F.col("n") * (F.col("bucket") + 1))
+    return cum.groupBy().agg(
+        F.max(dev).cast("long").alias("ks_num"),
+        F.first(F.lit(PRICE_BINS) * F.col("n")).cast("long").alias("ks_den"),
+    )
+
+
+CLIPS_BUCKETS = 32
+
+
+def q_clips_partition_metrics(spark, sf_dir):
+    """Per-partition pass/fail roll-up (the manifest's metrics shape):
+    (bucket, rows_seen, fail_count) for the 20k-clip suite — closed-form
+    oracle regenerates it from the injection rule."""
+    from pandasschema_spark.clips_suite import validate_clips
+    from pandasschema_spark.sources.datagen import clips_df, codec_dim
+
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32).withColumn(
+        "bucket", F.pmod(F.col("row_ord"), F.lit(CLIPS_BUCKETS)).cast("int")
+    )
+    res = validate_clips(df.drop("bucket"), codec_dim(spark), with_pcm_checks=False)
+    fails = (
+        res.violations
+        .groupBy(F.pmod(F.col("row"), F.lit(CLIPS_BUCKETS)).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("fail_count"))
+    )
+    seen = df.groupBy("bucket").agg(F.count(F.lit(1)).alias("rows_seen"))
+    return (
+        seen.join(fails, "bucket", "left")
+        .select(
+            "bucket",
+            "rows_seen",
+            F.coalesce("fail_count", F.lit(0)).cast("long").alias("fail_count"),
+        )
+    )
+
+
 PRICE_LO, PRICE_HI, PRICE_BINS = 0.0, 600000.0, 24
 
 
@@ -379,6 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_notnull": q_val_notnull,
         "agg_event_hist": q_agg_event_hist,
         "agg_price_hist": q_agg_price_hist,
+        "drift_chi2_events": q_drift_chi2_events,
+        "drift_ks_price": q_drift_ks_price,
+        "clips_partition_metrics": q_clips_partition_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -587,6 +669,38 @@ SELECT event_type AS bucket, count(*) AS cnt FROM events GROUP BY event_type
 SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS INT), 0), 23) AS bucket,
        count(*) AS cnt
 FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+""",
+        "drift_chi2_events": """
+WITH hist AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+tot AS (SELECT sum(c) AS n, count(*) AS k FROM hist)
+SELECT CAST(sum((k*c - n)*(k*c - n)) AS BIGINT) AS chi2_num,
+       CAST(any_value(k*n) AS BIGINT) AS chi2_den
+FROM hist, tot
+""",
+        "drift_ks_price": """
+WITH hist AS (
+    SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS INT), 0), 23) AS bucket,
+           count(*) AS c
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum, (SELECT sum(c) FROM hist) AS n
+    FROM hist
+)
+SELECT CAST(max(abs(24*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
+       CAST(any_value(24*n) AS BIGINT) AS ks_den
+FROM cum
+""",
+        "clips_partition_metrics": """
+WITH inj AS (SELECT i, (i // 997) % 6 AS cls FROM range(997, 20000, 997) t(i)),
+viol AS (
+    SELECT i, CASE WHEN cls = 3 THEN 2 ELSE 1 END AS n_viol FROM inj
+),
+fails AS (SELECT CAST(i % 32 AS INT) AS bucket, CAST(sum(n_viol) AS BIGINT) AS fail_count
+          FROM viol GROUP BY 1)
+SELECT CAST(b.b AS INT) AS bucket, CAST(20000 // 32 AS BIGINT) AS rows_seen,
+       coalesce(f.fail_count, 0) AS fail_count
+FROM range(0, 32) b(b) LEFT JOIN fails f ON f.bucket = b.b
 """,
         "dedup_exact": """
 SELECT doc_id + 10000 AS id, doc_id AS keep_id FROM documents WHERE doc_id % 3 = 0
