@@ -350,6 +350,45 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_stats_profile(spark, sf_dir):
+    """north_rule 'column stats': one-scan profile of three lineitem
+    columns (counts / nulls / exact distinct / min / max / sum / mean).
+    Sums stay exactly representable (integral doubles, < 2^53) so the
+    cross-engine comparison is deterministic."""
+    from pandasschema_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_returnflag", "l_orderkey"],
+        exact_distinct=True,
+    )
+
+
+ANN_DUP_SUBSET, ANN_DUP_THRESHOLD = 100, 0.9
+
+
+def q_ann_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a planted corpus: each vector
+    paired with a copy whose first component is REPLACED by 0.5 (pure
+    element replacement — no float arithmetic — so both engines score
+    bitwise-identical cosines)."""
+    from pandasschema_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < ANN_DUP_SUBSET)
+    mutated = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, F.lit(0.5).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(mutated)
+    out = embedding_near_dup_pairs(corpus, threshold=ANN_DUP_THRESHOLD)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
 N_ANN_QUERIES, ANN_K = 5, 10
 
 
@@ -471,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_near_dup": q_ann_near_dup,
+        "stats_profile": q_stats_profile,
         "clips_validate": q_clips_validate,
         "clips_pcm_validate": q_clips_pcm_validate,
     }
@@ -826,6 +867,41 @@ FROM ranked WHERE r <= 10
             cos_qc=_cos_sql("q.qv", "c.cvec"),
             cos_aq=_cos_sql("a.embedding", "q.qv"),
         ),
+        "ann_near_dup": """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+corpus AS (
+    SELECT vec_id, embedding FROM sub
+    UNION ALL
+    SELECT vec_id + 10000,
+           list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(0.5 AS FLOAT) ELSE x END)
+    FROM sub
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+    FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+FROM pairs WHERE cos >= 0.9
+""".format(cos=_cos_sql("a.embedding", "b.embedding")),
+        "stats_profile": """
+SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+       count(*) - count(l_quantity) AS nulls,
+       count(DISTINCT l_quantity) AS "distinct",
+       CAST(min(l_quantity) AS VARCHAR) AS min, CAST(max(l_quantity) AS VARCHAR) AS max,
+       sum(l_quantity) AS sum, sum(l_quantity) / count(l_quantity) AS mean
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(l_returnflag), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag),
+       NULL, NULL
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(l_orderkey), count(*) - count(l_orderkey),
+       count(DISTINCT l_orderkey), CAST(min(l_orderkey) AS VARCHAR),
+       CAST(max(l_orderkey) AS VARCHAR),
+       CAST(sum(l_orderkey) AS DOUBLE), CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey)
+FROM lineitem
+""",
         "clips_validate": _clips_oracle_sql(),
         # clips_pcm_validate intentionally has no oracle: the decoded-PCM
         # SNR and transcript-oracle checks run numpy inside Arrow batches

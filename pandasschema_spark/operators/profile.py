@@ -1,0 +1,65 @@
+"""Column statistics profiling (north_rule: "column stats").
+
+One-scan, shuffle-light profile of a set of columns: non-null count,
+null count, distinct count, min/max, and sum/mean for numerics. All
+statistics for ALL columns compute in a SINGLE aggregation pass over one
+scan (Catalyst partial+final agg, map-side combined), not one job per
+column like a naive profiler.
+
+Distinct counts: ``exact=False`` (default) uses approx_count_distinct
+(HyperLogLog++, mergeable sketch — the only sane choice at 10^12 rows);
+``exact=True`` uses COUNT(DISTINCT ...), which Spark expands into one
+Expand + re-aggregation per distinct column — fine at test scale, used
+by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..validation import is_numeric_spark_type
+
+
+def column_profile(
+    df: DataFrame,
+    columns: typing.Sequence[str],
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Long-format profile: one output row per column with
+    (column, n, nulls, distinct, min, max, sum, mean). min/max rendered
+    as strings so heterogeneous column types share one schema; sum/mean
+    are null for non-numeric columns."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.count(col).alias("{}__n".format(c)))
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias("{}__nulls".format(c)))
+        if exact_distinct:
+            aggs.append(F.countDistinct(col).alias("{}__distinct".format(c)))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias("{}__distinct".format(c)))
+        aggs.append(F.min(col).cast("string").alias("{}__min".format(c)))
+        aggs.append(F.max(col).cast("string").alias("{}__max".format(c)))
+        if is_numeric_spark_type(dtypes[c]):
+            aggs.append(F.sum(col.cast("double")).alias("{}__sum".format(c)))
+        else:
+            aggs.append(F.lit(None).cast("double").alias("{}__sum".format(c)))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("{}__n".format(c)).cast("long").alias("n"),
+            F.col("{}__nulls".format(c)).cast("long").alias("nulls"),
+            F.col("{}__distinct".format(c)).cast("long").alias("distinct"),
+            F.col("{}__min".format(c)).alias("min"),
+            F.col("{}__max".format(c)).alias("max"),
+            F.col("{}__sum".format(c)).alias("sum"),
+            (F.col("{}__sum".format(c)) / F.col("{}__n".format(c))).alias("mean"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -93,6 +93,39 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: DataFrame = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos >= threshold and id_a < id_b.
+
+    Without centroids: exact all-pairs — a self range-join on the scored
+    cross product (O(n^2) scoring, embarrassingly parallel; viable for
+    dim tables / sampled audits). With centroids: IVF-bucketed — pairs
+    are only scored within a cell (vectors co-partitioned by
+    assign_cells), the standard blocking trick that keeps the join
+    fan-out bounded at corpus scale; recall depends on the cell
+    granularity exactly as in ivf_topk."""
+    if centroids is not None:
+        indexed = assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+        a = indexed.select(F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va__"))
+        b = indexed.select(F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb__"))
+        pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = (dot_expr(F.col("__va__"), F.col("__vb__"))
+           / (norm_expr(F.col("__va__")) * norm_expr(F.col("__vb__"))))
+    return pairs.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,

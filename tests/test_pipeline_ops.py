@@ -199,6 +199,43 @@ def test_ivf_topk_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.4  # IVF with 10 cells / probe 3
 
 
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant exact duplicates: cosine(v, v) == 1 >= any threshold
+    dup = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding").unionByName(dup)
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           S.embedding_near_dup_pairs(corpus, threshold=0.99).collect()}
+    assert set(got) == {(i, i + 1000) for i in range(20)}
+    assert all(abs(c - 1.0) < 1e-9 for c in got.values())
+    # IVF-bucketed variant finds same-cell duplicates (identical vectors
+    # always land in the same cell)
+    cents = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                S.embedding_near_dup_pairs(corpus, threshold=0.99, centroids=cents).collect()}
+    assert bucketed == set(got)
+
+
+def test_column_profile(spark, docs):
+    from pandasschema_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (2, None, 4.0), (3, "a", 6.0)],
+        "k long, s string, x double",
+    )
+    prof = {r["column"]: r for r in column_profile(df, ["k", "s", "x"], exact_distinct=True).collect()}
+    assert (prof["k"]["n"], prof["k"]["nulls"], prof["k"]["distinct"]) == (4, 0, 3)
+    assert (prof["k"]["min"], prof["k"]["max"], prof["k"]["sum"], prof["k"]["mean"]) == ("1", "3", 8.0, 2.0)
+    assert (prof["s"]["n"], prof["s"]["nulls"], prof["s"]["distinct"]) == (3, 1, 2)
+    assert prof["s"]["sum"] is None and prof["s"]["mean"] is None
+    assert (prof["x"]["n"], prof["x"]["nulls"], prof["x"]["sum"], prof["x"]["mean"]) == (3, 1, 12.0, 4.0)
+    # approx (HLL) distinct is close on real data
+    approx = {r["column"]: r["distinct"] for r in
+              column_profile(docs, ["doc_id", "lang"] if "lang" in docs.columns else ["doc_id"]).collect()}
+    assert abs(approx["doc_id"] - 500) / 500 < 0.1
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
