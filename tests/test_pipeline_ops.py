@@ -186,6 +186,20 @@ def test_cosine_topk_matches_numpy(spark, emb):
         assert ranked == list(expected[q])
 
 
+def test_cosine_topk_arrow_matches_expr(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    def ranked(impl):
+        out = {}
+        for r in S.cosine_topk(emb, queries, k=10, impl=impl).collect():
+            out.setdefault(r["query_id"], []).append((round(r["cos"], 9), r["vec_id"]))
+        return {q: sorted(v, key=lambda t: (-t[0], t[1])) for q, v in out.items()}
+    a, e = ranked("arrow"), ranked("expr")
+    for q in (0, 1, 2):
+        assert [v for _, v in a[q]] == [v for _, v in e[q]]
+        assert all(abs(x - y) < 1e-9 for (x, _), (y, _) in zip(a[q], e[q]))
+
+
 def test_ivf_topk_recall(spark, emb):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))

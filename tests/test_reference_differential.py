@@ -21,6 +21,13 @@ from pyspark.sql import types as T
 sys.path.insert(0, "/root/reference")
 
 ref = pytest.importorskip("pandas_schema")
+
+# the reference's ordered=True path calls df.iteritems(), removed in
+# pandas 2.x — restore it as the alias it always was so the reference's
+# own code runs unmodified under the modern pandas in this container
+if not hasattr(pd.DataFrame, "iteritems"):
+    pd.DataFrame.iteritems = pd.DataFrame.items
+
 from pandas_schema import Column as RefColumn  # noqa: E402
 from pandas_schema import Schema as RefSchema  # noqa: E402
 from pandas_schema import validation as RV  # noqa: E402
@@ -103,6 +110,46 @@ def _our_warnings(spark, pdf, our_cols, numeric):
     for w in res.collect_warnings():
         got.append((w.row, w.column, str(w.value), w.message))
     return sorted(got)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_differential_schema_pairing(spark, trial):
+    """Schema-level dispatch parity: ordered pairing, subset validation,
+    missing columns, column-count precheck — random frames through BOTH
+    engines' full Schema.validate, warning strings compared."""
+    rng = random.Random(7000 + trial)
+    n_rows = rng.randint(1, 8)
+    pdf = _string_frame(rng, n_rows, 3)
+    ordered = rng.random() < 0.4
+    # schema over 3 names, sometimes mismatched vs frame columns
+    schema_names = ["c0", "c1", "c2"]
+    if not ordered and rng.random() < 0.3:
+        schema_names[rng.randrange(3)] = "ghost"  # missing-column warning path
+    ref_cols, our_cols = [], []
+    for name in schema_names:
+        rcs, ocs = _mk_checks(rng)
+        ref_cols.append(RefColumn(name, rcs))
+        our_cols.append(Column(name, ocs))
+    subset = None
+    if not ordered and rng.random() < 0.4:
+        subset = sorted(rng.sample(schema_names, rng.randint(1, 3)))
+
+    ref_schema = RefSchema(ref_cols, ordered=ordered)
+    expected = sorted(str(w) for w in ref_schema.validate(pdf, columns=subset))
+
+    from pyspark.sql import types as T
+    fields = [T.StructField(c, T.StringType()) for c in pdf.columns]
+    rows = []
+    for _, r in pdf.iterrows():
+        rows.append(tuple(None if (isinstance(v, float) and np.isnan(v)) else v for v in r))
+    df = spark.createDataFrame(rows, T.StructType(fields))
+    ours = Schema(our_cols, ordered=ordered)
+    # row_key=None -> engine materializes the read-order ordinal, matching
+    # pandas' integer index; the frame must carry EXACTLY the reference's
+    # columns so the column-count precheck semantics agree
+    res = ours.validate(df, columns=subset, row_key=None)
+    got = sorted(str(w) for w in res.collect_warnings())
+    assert got == expected, "trial={} ordered={} subset={}\n{}".format(trial, ordered, subset, pdf)
 
 
 @pytest.mark.parametrize("trial", range(30))
