@@ -350,6 +350,42 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_schema_dispatch(spark, sf_dir):
+    """Frame-level dispatch semantics (reference schema.py:32-88 +
+    IsDtypeValidation) surfaced as rows so the driver's oracle gate
+    covers them: column-count precheck early-return, missing-column
+    warning + continue, dtype mismatch warning. Deterministic driver-side
+    behavior -> constant-table oracle."""
+    import numpy as np
+
+    from pandasschema_spark.validation import IsDtypeValidation
+
+    orders = _t(spark, sf_dir, "orders")
+    out = []
+
+    # scenario 1: column-count precheck (schema has 2 cols, frame has 3)
+    s1 = Schema([Column("o_orderkey", [InRangeValidation(min=0)]),
+                 Column("o_custkey", [InRangeValidation(min=0)])])
+    r1 = s1.validate(orders.select("o_orderkey", "o_custkey", "o_orderstatus"))
+    assert r1.is_early_return()
+    out += [("count_precheck", w.row, str(w.column), w.message) for w in r1.frame_warnings]
+
+    # scenario 2: missing column warns and validation continues
+    s2 = Schema([Column("o_orderkey", [InRangeValidation(min=0)]),
+                 Column("ghost", [InRangeValidation(min=0)])])
+    r2 = s2.validate(orders.select("o_orderkey", "o_orderstatus"),
+                     columns=["o_orderkey", "ghost"], row_key="o_orderkey")
+    out += [("missing_column", w.row, str(w.column), w.message) for w in r2.frame_warnings]
+    out.append(("missing_column_viol_rows", -1, "None", str(r2.violations.count())))
+
+    # scenario 3: frame-level dtype check (int64 column vs required float)
+    s3 = Schema([Column("o_orderkey", [IsDtypeValidation(np.float64)])])
+    r3 = s3.validate(orders.select("o_orderkey"), columns=["o_orderkey"], row_key="o_orderkey")
+    out += [("dtype", w.row, str(w.column), w.message) for w in r3.frame_warnings]
+
+    return spark.createDataFrame(out, "scenario string, row long, col string, message string")
+
+
 def q_stats_profile(spark, sf_dir):
     """north_rule 'column stats': one-scan profile of three lineitem
     columns (counts / nulls / exact distinct / min / max / sum / mean).
@@ -512,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup": q_ann_near_dup,
         "stats_profile": q_stats_profile,
+        "schema_dispatch": q_schema_dispatch,
         "clips_validate": q_clips_validate,
         "clips_pcm_validate": q_clips_pcm_validate,
     }
@@ -883,6 +920,18 @@ pairs AS (
 SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
 FROM pairs WHERE cos >= 0.9
 """.format(cos=_cos_sql("a.embedding", "b.embedding")),
+        "schema_dispatch": """
+SELECT 'count_precheck' AS scenario, CAST(-1 AS BIGINT) AS row, 'None' AS col,
+       'Invalid number of columns. The schema specifies 2, but the data frame has 3' AS message
+UNION ALL
+SELECT 'missing_column', -1, 'ghost',
+       'The column ghost exists in the schema but not in the data frame'
+UNION ALL
+SELECT 'missing_column_viol_rows', -1, 'None', '0'
+UNION ALL
+SELECT 'dtype', -1, 'None',
+       'The column o_orderkey has a dtype of int64 which is not a subclass of the required type <class ''numpy.float64''>'
+""",
         "stats_profile": """
 SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
        count(*) - count(l_quantity) AS nulls,
