@@ -61,6 +61,42 @@ def test_stream_validate_and_resume(spark, tmp_path_factory):
     assert len(batches) == 2
 
 
+def test_stateful_duplicates_across_batches(spark, tmp_path_factory):
+    """Cross-batch keep-first uniqueness: a clip_id seen in batch 1 and
+    repeated in batch 2 is flagged in batch 2 — the case foreachBatch
+    within-batch checking cannot catch."""
+    from pandasschema_spark.streaming.stateful import streaming_duplicate_violations
+
+    base = str(tmp_path_factory.mktemp("stateful"))
+    src, ckpt = base + "/src", base + "/ckpt"
+
+    def run():
+        stream = spark.readStream.schema("row_ord long, clip_id string").parquet(src)
+        dups = streaming_duplicate_violations(stream, "clip_id", "row_ord")
+        q = (
+            dups.writeStream.format("parquet")
+            .option("path", base + "/out").option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: ids a,b,c (+ an in-batch duplicate of a)
+    spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "a")], "row_ord long, clip_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    out1 = {(r["row"], r["value"]) for r in spark.read.parquet(base + "/out").collect()}
+    assert out1 == {(3, "a")}  # in-batch duplicate caught
+
+    # batch 2: b repeats (cross-batch), d is new
+    spark.createDataFrame(
+        [(10, "b"), (11, "d")], "row_ord long, clip_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    out2 = {(r["row"], r["value"]) for r in spark.read.parquet(base + "/out").collect()}
+    assert out2 == {(3, "a"), (10, "b")}  # cross-batch duplicate caught, d clean
+
+
 def test_streaming_histogram(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("hist"))
     src = base + "/src"
