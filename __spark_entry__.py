@@ -175,6 +175,27 @@ def q_val_trailing_ws(spark, sf_dir):
     return _violations(schema, df, ["t"], "doc_id")
 
 
+def q_val_leading_ws(spark, sf_dir):
+    from pandasschema_spark.validation import LeadingWhitespaceValidation
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.concat(F.lit("  "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    schema = Schema([Column("t", [LeadingWhitespaceValidation()])])
+    return _violations(schema, df, ["t"], "doc_id")
+
+
+def q_val_inlist_ci(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer")
+    schema = Schema([Column("c_mktsegment", [
+        InListValidation(["building", "machinery", "automobile"], case_sensitive=False)
+    ])])
+    return _violations(schema, df, ["c_mktsegment"], "c_custkey")
+
+
 def q_val_notnull(spark, sf_dir):
     df = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -530,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_customelement": q_val_customelement,
         "val_crosscolumn": q_val_crosscolumn,
         "val_trailing_ws": q_val_trailing_ws,
+        "val_leading_ws": q_val_leading_ws,
+        "val_inlist_ci": q_val_inlist_ci,
         "val_notnull": q_val_notnull,
         "agg_event_hist": q_agg_event_hist,
         "agg_price_hist": q_agg_price_hist,
@@ -735,6 +758,16 @@ FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 900.0)
 SELECT doc_id AS row, 't' AS "column", text || ' ' AS value,
        'contains trailing whitespace' AS message
 FROM documents WHERE doc_id % 7 = 0
+""",
+        "val_leading_ws": """
+SELECT doc_id AS row, 't' AS "column", '  ' || text AS value,
+       'contains leading whitespace' AS message
+FROM documents WHERE doc_id % 9 = 0
+""",
+        "val_inlist_ci": """
+SELECT c_custkey AS row, 'c_mktsegment' AS "column", c_mktsegment AS value,
+       'is not in the list of legal options (building, machinery, automobile)' AS message
+FROM customer WHERE lower(c_mktsegment) NOT IN ('building', 'machinery', 'automobile')
 """,
         "val_notnull": """
 SELECT event_id AS row, 'p' AS "column", 'nan' AS value, 'is null' AS message
