@@ -31,7 +31,9 @@ def with_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
     """
     mid = F.monotonically_increasing_id()
     tagged = df.withColumn("__mid__", mid)
-    pid = (F.col("__mid__") / F.lit(_PART_SHIFT)).cast("long")
+    # bit shift, not division: double division rounds above 2^53, which a
+    # partition id beyond ~2^20 would reach (mid = pid << 33 | counter)
+    pid = F.shiftright(F.col("__mid__"), 33)
     counts = (
         tagged.groupBy(pid.alias("__pid__"))
         .agg(F.count(F.lit(1)).alias("__cnt__"))
