@@ -198,6 +198,8 @@ def main() -> None:
 
     qs = E.queries()
     q_times = {}
+    for name in BENCH_QUERIES:  # warm pass: parquet footers, codegen, plans
+        qs[name](spark, SF_DIR).count()
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()

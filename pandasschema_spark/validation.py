@@ -65,14 +65,23 @@ def _leaf(pred: SparkColumn) -> SparkColumn:
     return F.coalesce(pred, F.lit(False))
 
 
-_JAVA_UNSAFE_RE = re.compile(r"\(\?P|\(\?#|\(\?\(|\\A|\\Z|\\G")
+_JAVA_UNSAFE_RE = re.compile(
+    r"\(\?P|\(\?#|\(\?\(|\\A|\\Z|\\G"   # named groups / comments / conditionals / divergent anchors
+    r"|\\[wWbB]"                         # \w,\b: Python=unicode-alnum, Java even with (?U) includes
+                                         # combining marks Python excludes — fuzz-caught divergence
+    r"|\[\[:"                            # POSIX classes: Java syntax, Python parses as nested literals
+)
+
+#: Java flag making \d \s \p classes unicode-aware like Python's re
+JAVA_UNICODE_FLAG = "(?U)"
 
 
 def _java_regex_safe(pattern: str) -> bool:
     """Conservative gate: True only for patterns whose Python-re and
-    Java-regex semantics coincide (no named groups, comments, conditionals,
-    or anchors with divergent semantics). Anything else takes the pandas
-    fallback path."""
+    (?U)-flagged Java-regex semantics coincide (no named groups, comments,
+    conditionals, divergent anchors, word-boundary/word-class shorthands,
+    or POSIX classes). Anything else takes the pandas fallback path.
+    Equivalence is stress-tested in tests/test_regex_equivalence.py."""
     return not _JAVA_UNSAFE_RE.search(pattern)
 
 
@@ -472,7 +481,9 @@ class MatchesPatternValidation(_SeriesValidation):
     def spark_predicate(self, col, spark_type):
         if (isinstance(spark_type, T.StringType) and isinstance(self.pattern, str)
                 and not self.options and _java_regex_safe(self.pattern)):
-            return F.coalesce(col, F.lit("nan")).rlike(self.pattern)
+            # (?U): Java's \d \s are ASCII-only by default; Python's are
+            # unicode-aware. UNICODE_CHARACTER_CLASS aligns them.
+            return F.coalesce(col, F.lit("nan")).rlike(JAVA_UNICODE_FLAG + self.pattern)
         return None
 
 
@@ -488,7 +499,7 @@ class TrailingWhitespaceValidation(_SeriesValidation):
 
     def spark_predicate(self, col, spark_type):
         if isinstance(spark_type, T.StringType):
-            return ~F.coalesce(col, F.lit("nan")).rlike(r"\s+$")
+            return ~F.coalesce(col, F.lit("nan")).rlike(r"(?U)\s+$")
         return None
 
 
@@ -504,7 +515,7 @@ class LeadingWhitespaceValidation(_SeriesValidation):
 
     def spark_predicate(self, col, spark_type):
         if isinstance(spark_type, T.StringType):
-            return ~F.coalesce(col, F.lit("nan")).rlike(r"^\s+")
+            return ~F.coalesce(col, F.lit("nan")).rlike(r"(?U)^\s+")
         return None
 
 
