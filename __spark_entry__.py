@@ -985,8 +985,29 @@ SELECT 'l_orderkey', count(l_orderkey), count(*) - count(l_orderkey),
 FROM lineitem
 """,
         "clips_validate": _clips_oracle_sql(),
-        # clips_pcm_validate intentionally has no oracle: the decoded-PCM
-        # SNR and transcript-oracle checks run numpy inside Arrow batches
-        # (non-SQL-expressible) -> driver records the rows-only check.
+        # clips_pcm_validate: the SNR math itself is numpy-only, but the
+        # VIOLATION SET is closed-form — DuckDB's sha256 equals hashlib
+        # byte-for-byte, so the oracle re-derives each injected row's
+        # true (sr, dur) from the same digest the synthesizer used
+        # (functions/audio.py clip_fields) and computes the stored-PCM
+        # byte length the integrity check reports.
+        "clips_pcm_validate": """
+WITH inj AS (SELECT i FROM (VALUES (997), (1994)) t(i)),
+fields AS (
+    SELECT i,
+           ([8000, 16000, 44100, 48000])[CAST(concat('0x', substr(sha256('42:' || i), 1, 2)) AS INT) % 4 + 1] AS sr,
+           40 + ((CAST(concat('0x', substr(sha256('42:' || i), 3, 2)) AS INT)
+                  + 256 * CAST(concat('0x', substr(sha256('42:' || i), 5, 2)) AS INT)) % 161) AS dur
+    FROM inj
+)
+SELECT 997 AS row, 'sr_hz' AS "column", '11025' AS value,
+       'is not in the list of legal options (8000, 16000, 44100, 48000)' AS message
+UNION ALL
+SELECT 1994, 'dur_ms', '0', 'was not in the range [1, inf)'
+UNION ALL
+SELECT i, 'bytes', '<binary ' || CAST(2 * ((sr * dur) // 1000) AS VARCHAR) || ' bytes>',
+       'decoded PCM does not match the synthesis oracle (length/SNR>=30dB/field mismatch)'
+FROM fields
+""",
     }
     return oracles
