@@ -153,10 +153,13 @@ def measure_leg(cpu_budget: int, repeats: int = 3) -> dict:
             "clips_per_sec": round(N_CLIPS / best, 1), "violations": viol}
 
 
-def run_leg_subprocess(cpu_budget: int) -> dict:
+def run_leg_subprocess(cpu_budget: int, repeats: int = 3) -> dict:
     """Run one scaling leg in a child pinned to `cpu_budget` CPUs (the JVM
-    and every Python worker inherit the affinity mask)."""
-    env = dict(os.environ, SPARK_GRAFT_LEG=str(cpu_budget))
+    and every Python worker inherit the affinity mask). The wide leg gets
+    extra repeats: episodic co-tenant slowdowns are more likely to hit a
+    run that spans every CPU, and best-of-N is the noise filter."""
+    env = dict(os.environ, SPARK_GRAFT_LEG=str(cpu_budget),
+               SPARK_GRAFT_LEG_REPEATS=str(repeats))
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -174,7 +177,8 @@ def run_leg_subprocess(cpu_budget: int) -> dict:
 def main() -> None:
     leg = os.environ.get("SPARK_GRAFT_LEG")
     if leg:  # child mode: one pinned scaling leg
-        print(json.dumps(measure_leg(int(leg))))
+        reps = int(os.environ.get("SPARK_GRAFT_LEG_REPEATS", "3"))
+        print(json.dumps(measure_leg(int(leg), repeats=reps)))
         return
 
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
@@ -188,7 +192,7 @@ def main() -> None:
         gen.stop()
 
     r8 = None if skip_scaling else run_leg_subprocess(8)
-    r32 = run_leg_subprocess(CPUS)
+    r32 = run_leg_subprocess(CPUS, repeats=5)
 
     # per-query timings on a fresh full-width session
     spark = make_session(CPUS)
