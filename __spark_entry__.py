@@ -970,18 +970,20 @@ SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
        count(*) - count(l_quantity) AS nulls,
        count(DISTINCT l_quantity) AS "distinct",
        CAST(min(l_quantity) AS VARCHAR) AS min, CAST(max(l_quantity) AS VARCHAR) AS max,
-       sum(l_quantity) AS sum, sum(l_quantity) / count(l_quantity) AS mean
+       sum(l_quantity) AS sum, sum(l_quantity) / count(l_quantity) AS mean,
+       quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.95) AS p95
 FROM lineitem
 UNION ALL
 SELECT 'l_returnflag', count(l_returnflag), count(*) - count(l_returnflag),
        count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag),
-       NULL, NULL
+       NULL, NULL, NULL, NULL
 FROM lineitem
 UNION ALL
 SELECT 'l_orderkey', count(l_orderkey), count(*) - count(l_orderkey),
        count(DISTINCT l_orderkey), CAST(min(l_orderkey) AS VARCHAR),
        CAST(max(l_orderkey) AS VARCHAR),
-       CAST(sum(l_orderkey) AS DOUBLE), CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey)
+       CAST(sum(l_orderkey) AS DOUBLE), CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey),
+       quantile_cont(l_orderkey, 0.5), quantile_cont(l_orderkey, 0.95)
 FROM lineitem
 """,
         "clips_validate": _clips_oracle_sql(),

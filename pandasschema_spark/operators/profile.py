@@ -46,8 +46,17 @@ def column_profile(
         aggs.append(F.max(col).cast("string").alias("{}__max".format(c)))
         if is_numeric_spark_type(dtypes[c]):
             aggs.append(F.sum(col.cast("double")).alias("{}__sum".format(c)))
+            # exact percentile buffers a value->count map per column —
+            # fine at oracle/test scale; the default is the mergeable
+            # KLL/GK sketch, the only sane choice at 10^12 rows
+            pc = F.percentile if exact_distinct else (
+                lambda c_, q: F.approx_percentile(c_, F.lit(q), F.lit(10000)).cast("double"))
+            aggs.append(pc(col, 0.5).alias("{}__p50".format(c)))
+            aggs.append(pc(col, 0.95).alias("{}__p95".format(c)))
         else:
             aggs.append(F.lit(None).cast("double").alias("{}__sum".format(c)))
+            aggs.append(F.lit(None).cast("double").alias("{}__p50".format(c)))
+            aggs.append(F.lit(None).cast("double").alias("{}__p95".format(c)))
     wide = df.agg(*aggs)
     structs = [
         F.struct(
@@ -59,6 +68,8 @@ def column_profile(
             F.col("{}__max".format(c)).alias("max"),
             F.col("{}__sum".format(c)).alias("sum"),
             (F.col("{}__sum".format(c)) / F.col("{}__n".format(c))).alias("mean"),
+            F.col("{}__p50".format(c)).alias("p50"),
+            F.col("{}__p95".format(c)).alias("p95"),
         )
         for c in columns
     ]
