@@ -158,14 +158,15 @@ def run_leg_subprocess(cpu_budget: int, repeats: int = 3) -> dict:
     and every Python worker inherit the affinity mask). The wide leg gets
     extra repeats: episodic co-tenant slowdowns are more likely to hit a
     run that spans every CPU, and best-of-N is the noise filter."""
-    env = dict(os.environ, SPARK_GRAFT_LEG=str(cpu_budget),
+    budget = min(cpu_budget, os.cpu_count() or cpu_budget)
+    env = dict(os.environ, SPARK_GRAFT_LEG=str(budget),
                SPARK_GRAFT_LEG_REPEATS=str(repeats))
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
         capture_output=True,
         text=True,
-        preexec_fn=lambda: os.sched_setaffinity(0, range(cpu_budget)),
+        preexec_fn=lambda: os.sched_setaffinity(0, range(budget)),
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
