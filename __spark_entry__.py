@@ -196,6 +196,56 @@ def q_val_inlist_ci(spark, sf_dir):
     return _violations(schema, df, ["c_mktsegment"], "c_custkey")
 
 
+def q_val_allow_empty(spark, sf_dir):
+    """The allow_empty exemption matrix (reference validation.py:86-95,
+    tested at reference test/test_validation.py:488-543): a non-numeric
+    column exempts nulls AND zero-length strings from a failing check; a
+    numeric column exempts nulls only."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("t"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("doc_id").cast("double"))
+        .alias("x"),
+    )
+    schema = Schema([
+        Column("t", [MatchesPatternValidation("table")], allow_empty=True),
+        Column("x", [InRangeValidation(0, 100)], allow_empty=True),
+    ])
+    return _violations(schema, df, ["t", "x"], "doc_id")
+
+
+def q_val_combined_and(spark, sf_dir):
+    """`v1 & v2` combinator (reference validation.py:73-77): passes iff
+    BOTH pass; one warning per failing row with the reference's
+    `<built-in function and_>` message quirk."""
+    df = _t(spark, sf_dir, "lineitem")
+    check = InRangeValidation(1, 30) & InRangeValidation(5, 50)
+    schema = Schema([Column("l_quantity", [check])])
+    return _violations(schema, df, ["l_quantity"], F.expr(LINEITEM_ROW))
+
+
+def q_val_ordered(spark, sf_dir):
+    """ordered=True positional pairing (reference schema.py:66-68): schema
+    columns pair with data-frame columns BY POSITION, warnings carry the
+    data frame's header name — the schema names never appear."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("status_pos")
+    )
+    schema = Schema(
+        [
+            Column("schema_name_a", [InRangeValidation(min=1)]),
+            Column("schema_name_b", [InListValidation(["F", "O"])]),
+        ],
+        ordered=True,
+    )
+    res = schema.validate(df, row_key="o_orderkey")
+    return res.violations.select(*VIOLATION_COLS)
+
+
 def q_val_notnull(spark, sf_dir):
     df = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -446,6 +496,36 @@ def q_ann_near_dup(spark, sf_dir):
     )
 
 
+def q_ann_near_dup_bucketed(spark, sf_dir):
+    """The 100 TB near-dup path: IVF multi-probe blocking (each vector in
+    its 2 nearest cells, pairs scored only within shared cells) over the
+    same planted corpus as q_ann_near_dup. The all-pairs variant stays
+    registered as the small-scale recall verifier; this one proves the
+    bucketed plan end-to-end against an oracle that reproduces the exact
+    cell assignment (same deterministic left-fold cosine, same tie
+    order)."""
+    from pandasschema_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < ANN_DUP_SUBSET)
+    mutated = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, F.lit(0.5).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(mutated)
+    centroids = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 64 == 7).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    out = embedding_near_dup_pairs(
+        corpus, threshold=ANN_DUP_THRESHOLD, centroids=centroids, n_probe=2
+    )
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
 N_ANN_QUERIES, ANN_K = 5, 10
 
 
@@ -554,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_leading_ws": q_val_leading_ws,
         "val_inlist_ci": q_val_inlist_ci,
         "val_notnull": q_val_notnull,
+        "val_allow_empty": q_val_allow_empty,
+        "val_combined_and": q_val_combined_and,
+        "val_ordered": q_val_ordered,
         "agg_event_hist": q_agg_event_hist,
         "agg_price_hist": q_agg_price_hist,
         "drift_chi2_events": q_drift_chi2_events,
@@ -570,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup": q_ann_near_dup,
+        "ann_near_dup_bucketed": q_ann_near_dup_bucketed,
         "stats_profile": q_stats_profile,
         "schema_dispatch": q_schema_dispatch,
         "clips_validate": q_clips_validate,
@@ -592,10 +676,14 @@ toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),
 gramsets AS (
     SELECT id,
            list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+                         i -> array_to_string(w[i:i+2], ' '))) AS gs
     FROM toks
 )
 """
+# gram expr above: the slice w[i:i+2] clamps at the list end, so documents
+# shorter than n tokens yield their whole token string as the single
+# shingle — mirroring word_ngrams_expr's greatest(size-2, 1) fallback
+# (the w[i]||' '||w[i+1]||... form would produce NULL grams on short docs)
 
 
 def _minhash_sig_sql() -> str:
@@ -634,7 +722,7 @@ def _simhash_sql() -> str:
         "WITH norm AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),\n"
         "toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),\n"
         "gramsets AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),\n"
-        "             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs FROM toks),\n"
+        "             i -> array_to_string(w[i:i+2], ' '))) AS gs FROM toks),\n"
         "h2 AS (SELECT id, {lo} AS lo, {hi} AS hi FROM gramsets)\n"
         "SELECT id, ({terms}) AS simhash FROM h2".format(lo=lo, hi=hi, terms=" + ".join(terms))
     )
@@ -772,6 +860,37 @@ FROM customer WHERE lower(c_mktsegment) NOT IN ('building', 'machinery', 'automo
         "val_notnull": """
 SELECT event_id AS row, 'p' AS "column", 'nan' AS value, 'is null' AS message
 FROM events WHERE event_id % 11 = 0
+""",
+        # allow_empty: string column exempts NULL and '' (doc_id%5 in 0,1);
+        # numeric column exempts NULL only (doc_id%4=0)
+        "val_allow_empty": """
+SELECT doc_id AS row, 't' AS "column", text AS value,
+       'does not match the pattern "table"' AS message
+FROM documents
+WHERE doc_id % 5 NOT IN (0, 1) AND NOT regexp_matches(text, 'table')
+UNION ALL
+SELECT doc_id, 'x', CAST(CAST(doc_id AS DOUBLE) AS VARCHAR),
+       'was not in the range [0, 100)'
+FROM documents
+WHERE doc_id % 4 != 0 AND NOT (doc_id >= 0 AND doc_id < 100)
+""",
+        "val_combined_and": """
+SELECT l_orderkey*10 + l_linenumber AS row, 'l_quantity' AS "column",
+       CAST(l_quantity AS VARCHAR) AS value,
+       '(was not in the range [1, 30)) <built-in function and_> (was not in the range [5, 50))' AS message
+FROM lineitem
+WHERE NOT ((l_quantity >= 1 AND l_quantity < 30) AND (l_quantity >= 5 AND l_quantity < 50))
+""",
+        # ordered=True: warnings carry the DATA FRAME's positional header
+        # names (o_orderkey, status_pos), never the schema names
+        "val_ordered": """
+SELECT o_orderkey AS row, 'o_orderkey' AS "column",
+       CAST(o_orderkey AS VARCHAR) AS value, 'was not in the range [1, inf)' AS message
+FROM orders WHERE o_orderkey < 1
+UNION ALL
+SELECT o_orderkey, 'status_pos', o_orderstatus,
+       'is not in the list of legal options (F, O)'
+FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
 """,
         "agg_event_hist": """
 SELECT event_type AS bucket, count(*) AS cnt FROM events GROUP BY event_type
@@ -953,6 +1072,43 @@ pairs AS (
 SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
 FROM pairs WHERE cos >= 0.9
 """.format(cos=_cos_sql("a.embedding", "b.embedding")),
+        # mirrors embedding_near_dup_pairs(centroids, n_probe=2): every
+        # corpus vector assigned to its 2 nearest cells (same left-fold
+        # cosine, ties by cell), pairs sharing >=1 cell scored once
+        "ann_near_dup_bucketed": """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+corpus AS (
+    SELECT vec_id, embedding FROM sub
+    UNION ALL
+    SELECT vec_id + 10000,
+           list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(0.5 AS FLOAT) ELSE x END)
+    FROM sub
+),
+cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id % 64 = 7),
+memb AS (
+    SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cell) AS r
+        FROM corpus v, cent c
+    ) WHERE r <= 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM memb a JOIN memb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT id_a, id_b, {cos_ab} AS cos
+    FROM cand
+    JOIN corpus va ON va.vec_id = id_a
+    JOIN corpus vb ON vb.vec_id = id_b
+)
+SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+FROM pairs WHERE cos >= 0.9
+""".format(
+            cos_vc=_cos_sql("v.embedding", "c.cvec"),
+            cos_ab=_cos_sql("va.embedding", "vb.embedding"),
+        ),
         "schema_dispatch": """
 SELECT 'count_precheck' AS scenario, CAST(-1 AS BIGINT) AS row, 'None' AS col,
        'Invalid number of columns. The schema specifies 2, but the data frame has 3' AS message

@@ -13,8 +13,10 @@ SURVEY.md §2.4). Design targets the 100 TB documents table:
   DuckDB oracles exploit).
 - **LSH banding** turns the quadratic all-pairs problem into a group-by on
   (band_idx, band_key): only documents agreeing on a full band ever meet.
-  Hot buckets (boilerplate docs) are handled by an optional per-bucket
-  cap rather than letting one reducer take the whole cluster down.
+  Hot buckets (boilerplate docs) are dropped by a default-on per-bucket
+  cap (DEFAULT_MAX_BUCKET, broadcast anti-join of the over-cap keys)
+  rather than letting one reducer take the whole cluster down; ``None``
+  restores exactness.
 - **SimHash** is a single narrow projection producing a 64-bit signature;
   near-dup candidates = equal signature (or banded 16-bit chunks).
 """
@@ -26,13 +28,35 @@ import typing
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .text import normalized_text_expr, tokens_expr
 
 # 32-bit md5-prefix gram hash, then affine universal hashing mod a prime.
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+#: production hot-key caps (the melting configuration at web scale is an
+#: UNCAPPED boilerplate gram / LSH bucket: one hot key fans out O(df^2)
+#: candidate pairs). Pairs sharing only >10k-document shingles are below
+#: any useful Jaccard threshold, and >10k-document LSH buckets are
+#: identical-boilerplate clusters that exact dedup already collapses.
+#: Pass ``None`` explicitly for exactness (small corpora / audits).
+DEFAULT_MAX_GRAM_DF = 10_000
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediate DataFrames an operator cached for its own
+    multi-consumer plan (attached as ``df._psf_cached``). Call after the
+    downstream action completes; a no-op for un-annotated frames."""
+    for cached in getattr(df, "_psf_cached", []) or []:
+        cached.unpersist()
+
+
+def _attach_cached(out: DataFrame, deps: typing.List[DataFrame]) -> DataFrame:
+    out._psf_cached = deps
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +134,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.6,
-    max_gram_df: typing.Optional[int] = None,
+    max_gram_df: typing.Optional[int] = DEFAULT_MAX_GRAM_DF,
 ) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b) for pairs with Jaccard >= threshold
     (id_a < id_b). Exact similarity join via the inverted index:
@@ -120,12 +144,19 @@ def ngram_jaccard_pairs(
     ``max_gram_df`` drops grams occurring in more than that many documents
     (boilerplate shingles): at web scale a stop-shingle cap bounds the
     worst-case join fan-out from O(df^2) per hot gram; pairs sharing ONLY
-    boilerplate fall below any useful threshold anyway. None = exact.
+    boilerplate fall below any useful threshold anyway. The default caps
+    at 10k docs/gram (results identical whenever no gram exceeds it —
+    cross-checked by the DuckDB oracle gate at test scale); pass ``None``
+    for exactness regardless of fan-out. NOTE: a dropped hot gram still
+    counts in n_a/n_b, so with the cap the reported ratio is a lower bound
+    of true Jaccard — the conservative direction for dedup.
     """
     # persist: the gram inverted index feeds BOTH self-join sides plus the
     # size aggregation — without it the text->ngram->md5 pipeline runs 3x
     # (column renames on the join sides defeat Spark's exchange reuse).
     # At warehouse scale the equivalent is staging grams to a temp table.
+    # The handle is attached to the result (df._psf_cached) — call
+    # release_cached(result) after the downstream action to free executors.
     grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_gram_df is not None:
@@ -145,12 +176,13 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
     jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .where(jacc >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
+    return _attach_cached(out, [grams])
 
 
 # ---------------------------------------------------------------------------
@@ -240,20 +272,26 @@ def lsh_candidate_pairs(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
-    max_bucket: typing.Optional[int] = None,
+    max_bucket: typing.Optional[int] = DEFAULT_MAX_BUCKET,
     impl: str = "arrow",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) agreeing on >=1 full LSH band
     (r = k/bands rows per band). The shuffle key is (band_idx, band_key) —
     a small string — so shuffle volume is O(docs * bands), independent of
-    text size. ``max_bucket`` skips pathological buckets (identical
-    boilerplate repeated millions of times) to bound the per-bucket pair
-    blow-up; candidates from such buckets are recovered by exact-dedup
-    (identical docs) upstream."""
+    text size. ``max_bucket`` (default 10k) skips pathological buckets
+    (identical boilerplate repeated millions of times) to bound the
+    per-bucket pair blow-up; candidates from such buckets are recovered by
+    exact-dedup (identical docs) upstream. ``None`` = no cap (exact LSH).
+
+    The cap is applied via groupBy-count + broadcast ANTI-join of the
+    (rare) over-cap bucket keys — NOT a count-over-window, which would
+    funnel every member of the hot bucket through one window task, the
+    exact skew the cap exists to avoid."""
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
     # persist: both self-join sides would otherwise recompute the whole
-    # ngram->md5->k-fold signature pipeline (the expensive part)
+    # ngram->md5->k-fold signature pipeline (the expensive part); handle
+    # attached to the result — release_cached(result) when done.
     sigs = minhash_signatures(df, text_col, id_col, n=n, k=k, impl=impl).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -268,20 +306,24 @@ def lsh_candidate_pairs(
         ).alias("band_idx", "band_key"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("__bc__", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc__") <= max_bucket)
-            .drop("__bc__")
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bc__"))
+            .where(F.col("__bc__") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )
     a = banded.select("band_idx", "band_key", F.col("id").alias("id_a"))
     b = banded.select("band_idx", "band_key", F.col("id").alias("id_b"))
-    return (
+    out = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return _attach_cached(out, [sigs])
 
 
 def minhash_dedup_pairs(
@@ -293,7 +335,7 @@ def minhash_dedup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
-    max_bucket: typing.Optional[int] = None,
+    max_bucket: typing.Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard: the scale path
     (banding prunes the pair space) with the exact path's precision.
@@ -302,6 +344,7 @@ def minhash_dedup_pairs(
         df, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
     grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cached = list(getattr(cands, "_psf_cached", [])) + [grams]
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("id").alias("id_a"), F.col("gram").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("gram").alias("g_b"))
@@ -315,11 +358,12 @@ def minhash_dedup_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
     jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(sa, "id_a").join(sb, "id_b")
         .where(jacc >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
+    return _attach_cached(out, cached)
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +447,7 @@ def simhash_candidates(
     chunks (classic Hamming-ball banding — any pair within Hamming distance
     3 of a 64-bit signature shares at least one of 4 chunks)."""
     sigs = simhash64(df, text_col, id_col, n=n, impl=impl).persist(StorageLevel.MEMORY_AND_DISK)
+    # handle attached to the result — release_cached(result) when done
     n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1
     chunked = sigs.select(
@@ -416,9 +461,10 @@ def simhash_candidates(
     )
     a = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"))
     b = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"))
-    return (
+    out = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return _attach_cached(out, [sigs])

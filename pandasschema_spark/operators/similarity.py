@@ -54,7 +54,7 @@ def cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cos) with deterministic
     (-cos, vec_id) tie order, self-matches excluded when ids collide.
@@ -65,13 +65,15 @@ def cosine_topk(
     per-query window — so the final shuffle carries
     O(partitions * |Q| * k) rows, not the full corpus.
 
-    impl='expr' (default): zip_with/aggregate double fold — left-to-right
-    accumulation, bit-reproducible in any engine (the DuckDB oracles rely
-    on it), but interpreted per element by Catalyst (~0.4 ms per 64-dim
-    pair). impl='arrow': one numpy (batch, dim) @ (dim, |Q|) matmul per
-    Arrow batch — orders of magnitude faster, the 100 TB path; matmul
-    reassociates the sum, so scores can differ from 'expr' by ~1 ulp
-    (ranking is tested to agree)."""
+    impl='arrow' (default, the 100 TB path): one numpy
+    (batch, dim) @ (dim, |Q|) matmul per Arrow batch — orders of
+    magnitude faster than per-element expression folds. impl='expr':
+    zip_with/aggregate double fold — left-to-right accumulation,
+    bit-reproducible in any engine (kept as the oracle/determinism mode),
+    but interpreted per element by Catalyst (~0.4 ms per 64-dim pair).
+    The matmul reassociates the sum, so scores can differ from 'expr' by
+    ~1 ulp (ranking is tested to agree; floor(cos*1e6) comparisons absorb
+    the reassociation)."""
     if impl == "arrow":
         return _cosine_topk_arrow(df, queries, id_col=id_col, vec_col=vec_col,
                                   query_id_col=query_id_col, query_vec_col=query_vec_col, k=k)
@@ -115,18 +117,35 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
 
+    With centroids (the scale path): IVF multi-probe blocking — every
+    vector is assigned to its ``n_probe`` nearest cells
+    (assign_probe_cells), candidate pairs are vectors sharing >=1 cell
+    (deduplicated BEFORE scoring, so a pair sharing two cells is scored
+    once), and only candidates are scored. Multi-probe recovers the
+    near-dups that straddle a cell boundary — the single-cell blocking
+    miss mode — at the cost of ~n_probe x the membership rows; join
+    fan-out stays bounded per cell exactly as in ivf_topk.
+
     Without centroids: exact all-pairs — a self range-join on the scored
-    cross product (O(n^2) scoring, embarrassingly parallel; viable for
-    dim tables / sampled audits). With centroids: IVF-bucketed — pairs
-    are only scored within a cell (vectors co-partitioned by
-    assign_cells), the standard blocking trick that keeps the join
-    fan-out bounded at corpus scale; recall depends on the cell
-    granularity exactly as in ivf_topk."""
+    cross product. O(n^2) scoring, embarrassingly parallel but a
+    cartesian product: viable for dim tables / sampled audits (<=~10^5
+    rows), NOT for a web corpus — pass centroids there. Kept as the
+    small-scale recall oracle for the bucketed path."""
     if centroids is not None:
-        indexed = assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
-        a = indexed.select(F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va__"))
-        b = indexed.select(F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb__"))
-        pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+        memb = assign_probe_cells(
+            df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")),
+            centroids, n_probe=n_probe,
+        ).select(F.col("query_id").alias("id"), "cell")
+        cand = (
+            memb.select("cell", F.col("id").alias("id_a"))
+            .join(memb.select("cell", F.col("id").alias("id_b")), "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))

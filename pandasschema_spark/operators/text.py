@@ -6,10 +6,13 @@ language-ID, quality scoring, token counting and fingerprinting as
 first-class, shuffle-free columnar operators.
 
 All operators here compile to native Catalyst expressions (split /
-regexp_replace / md5 / transform) — whole-stage codegen, zero Python in
-the hot path, no shuffle: each is a narrow projection that scales
+regexp_replace / regexp_count / md5) — whole-stage codegen, zero Python
+in the hot path, no shuffle: each is a narrow projection that scales
 linearly with executors and leaves predicate pushdown / column pruning
-intact (only ``text`` + the id column are read from Parquet).
+intact (only ``text`` + the id column are read from Parquet). No
+higher-order array functions (F.filter/F.transform lambdas): those are
+CodegenFallback and drop the whole projection to interpreted mode —
+tests/test_plan_quality.py asserts the property for these operators.
 """
 
 from __future__ import annotations
@@ -54,6 +57,24 @@ def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
 
 
+def token_marker_count_expr(text: Column, markers: typing.List[str]) -> Column:
+    """Count of whitespace tokens of ``lower(text)`` that exactly equal one
+    of ``markers``, as a single native regexp_count — NO higher-order array
+    functions (F.filter/F.transform lambdas are CodegenFallback and force
+    the whole projection interpreted, the 4x regression documented in
+    plans/compiler.py; tests/test_plan_quality.py guards this module too).
+
+    Equivalence to "count tokens t with lower(t) in markers": the text is
+    lowercased, whitespace-collapsed and space-padded, so every token is
+    delimited by single spaces; the zero-width lookarounds make adjacent
+    marker tokens both match (nothing is consumed around the token body)."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
+    )
+    pattern = "(?<= )(?:{})(?= )".format("|".join(sorted(markers, key=len, reverse=True)))
+    return F.regexp_count(padded, F.lit(pattern)).cast("long")
+
+
 def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality counters, all integer-valued (exactly portable
     across engines): character length, token count, punctuation count,
@@ -64,7 +85,6 @@ def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     text = F.col(text_col)
     toks = tokens_expr(text)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     return df.select(
         F.col(id_col),
         F.length(text).cast("long").alias("n_chars"),
@@ -72,9 +92,7 @@ def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
         F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("long").alias("n_digits"),
         F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("long").alias("n_upper"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
-        .cast("long")
-        .alias("n_stopwords"),
+        token_marker_count_expr(text, _STOPWORDS).alias("n_stopwords"),
     )
 
 
@@ -99,11 +117,9 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (en > de > fr > es > unknown); zero hits everywhere -> 'und'.
     CJK fallback: any char in the CJK block -> 'zh' regardless of hits.
     """
-    toks = tokens_expr(F.lower(F.col(text_col)))
     hit_cols = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hit_cols[lang] = F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).cast("long")
+        hit_cols[lang] = token_marker_count_expr(F.col(text_col), markers)
     has_cjk = F.col(text_col).rlike(r"[一-鿿]")
     best = F.lit("und")
     best_hits = F.lit(0).cast("long")

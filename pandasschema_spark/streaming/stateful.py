@@ -3,9 +3,14 @@
 Closes the gap stated in streaming/incremental.py: foreachBatch can only
 flag duplicates WITHIN a micro-batch; keep='first' across batches needs
 state. This operator keys the stream by the checked column and keeps one
-long of state per distinct key (the first row ordinal seen) — a
+long of state per distinct key (the smallest row ordinal seen) — a
 duplicate arriving in any later micro-batch is emitted as a violation,
-with the same keep-first semantics as operators/distinct.py.
+with the same keep-first-by-ordinal semantics as operators/distinct.py
+even under out-of-order ingest: when a later micro-batch delivers a row
+with a SMALLER ordinal than the current keeper, the state is lowered to
+the new ordinal and the displaced keeper is emitted as the violation
+(each non-minimal row is emitted exactly once, so the append-mode output
+converges to the batch operator's violation set).
 
 State size is O(distinct keys) x ~8 bytes, sharded by Spark's state
 store across executors — viable for key spaces that fit the cluster's
@@ -55,7 +60,13 @@ def streaming_duplicate_violations(
         out_rows = []
         for i in order:
             if first_row is None:
-                first_row = rows[i]  # the batch-local first claims the key
+                first_row = rows[i]  # the batch-local minimum claims the key
+            elif rows[i] < first_row:
+                # out-of-order ingest: a smaller ordinal arrives after the
+                # key was claimed — re-key and flag the displaced keeper
+                # (keep-first is by ordinal, not arrival order)
+                out_rows.append((first_row, value_col, str(values[i]), message))
+                first_row = rows[i]
             elif rows[i] != first_row:
                 out_rows.append((rows[i], value_col, str(values[i]), message))
         state.update((first_row,))

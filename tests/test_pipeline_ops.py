@@ -111,6 +111,53 @@ def test_lsh_candidates_recall_and_precision(spark, docs):
         assert len(a & b) / len(a | b) >= 0.5
 
 
+def test_lsh_hot_bucket_cap_drops_boilerplate(spark, docs):
+    """max_bucket semantics: a bucket larger than the cap contributes NO
+    candidate pairs (identical boilerplate is exact-dedup's job), while
+    normal-size buckets are unaffected — results equal the uncapped run
+    minus the hot cluster."""
+    boiler = spark.range(30).select(
+        (F.col("id") + 9000).alias("doc_id"),
+        F.lit("same boilerplate text repeated everywhere forever and ever").alias("text"),
+    )
+    mutated = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                          F.concat("text", F.lit(" zz")).alias("text"))
+    corpus = docs.unionByName(mutated).unionByName(boiler)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              D.lsh_candidate_pairs(corpus, "text", "doc_id", max_bucket=10).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                D.lsh_candidate_pairs(corpus, "text", "doc_id", max_bucket=None).collect()}
+    boiler_pairs = {(a, b) for a in range(9000, 9030) for b in range(9000, 9030) if a < b}
+    assert boiler_pairs <= uncapped
+    assert capped == uncapped - boiler_pairs
+
+
+def test_near_dup_multi_probe_beats_single_probe(spark, emb):
+    """n_probe must actually take effect (r1 advice: it was silently
+    unused): multi-probe candidate pairs are a superset of single-probe,
+    and both recover all identical-vector pairs."""
+    dup = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding").unionByName(dup)
+    cents = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    p1 = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(
+        corpus, threshold=0.9, centroids=cents, n_probe=1).collect()}
+    p3 = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(
+        corpus, threshold=0.9, centroids=cents, n_probe=3).collect()}
+    assert p1 <= p3
+    assert {(i, i + 1000) for i in range(20)} <= p1  # identical -> same cells
+
+
+def test_release_cached_unpersists(spark, docs):
+    out = D.lsh_candidate_pairs(docs.limit(40), "text", "doc_id")
+    out.count()
+    cached = list(getattr(out, "_psf_cached", []))
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    D.release_cached(out)
+    assert all(not c.storageLevel.useMemory for c in cached)
+
+
 def test_minhash_arrow_native_equivalence(spark, docs):
     sub = docs.where(F.col("doc_id") < 60)
     arrow = {r["id"]: r["sig"] for r in

@@ -87,6 +87,35 @@ def test_filter_pushdown_reaches_scan(spark, li):
     assert m and "l_shipdate" in m.group(1), "upstream filter must push into the parquet scan"
 
 
+def test_text_operators_codegen_clean(spark):
+    """text.py's counters must stay off higher-order array functions
+    (F.filter/F.transform lambdas are CodegenFallback — the 4x interpreted
+    regression documented in plans/compiler.py applies to these narrow
+    projections just as much as to the violations projection)."""
+    from pandasschema_spark.operators import text as TX
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    for op in (TX.quality_metrics, TX.lang_id, TX.token_count, TX.fingerprint):
+        plan = plan_of(op(docs, "text", "doc_id"))
+        assert "ArrayFilter" not in plan and "lambdafunction" not in plan.lower(), \
+            "{} plan fell off the codegen path:\n{}".format(op.__name__, plan[:2000])
+        assert plan.count("Scan parquet") == 1
+
+
+def test_lsh_bucket_cap_no_window(spark):
+    """The hot-bucket cap must be a groupBy-count + broadcast anti-join —
+    a count-over-Window would funnel the whole hot bucket through ONE
+    task, the exact skew the cap exists to avoid."""
+    from pandasschema_spark.operators import dedup as D
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").limit(50)
+    cands = D.lsh_candidate_pairs(docs, "text", "doc_id", max_bucket=10)
+    plan = plan_of(cands)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    D.release_cached(cands)
+
+
 def test_binary_column_read_only_when_checked(spark):
     """Column pruning on the clips table: a suite without PCM checks must
     not read the (dominant) bytes column from parquet."""

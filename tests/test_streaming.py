@@ -96,6 +96,24 @@ def test_stateful_duplicates_across_batches(spark, tmp_path_factory):
     out2 = {(r["row"], r["value"]) for r in spark.read.parquet(base + "/out").collect()}
     assert out2 == {(3, "a"), (10, "b")}  # cross-batch duplicate caught, d clean
 
+    # batch 3: OUT-OF-ORDER ingest — an ordinal SMALLER than c's keeper
+    # arrives late. keep-first is by ordinal, not arrival: the old keeper
+    # (row 2) is emitted as the violation and the state re-keys to row 1.
+    spark.createDataFrame(
+        [(1, "c")], "row_ord long, clip_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    out3 = {(r["row"], r["value"]) for r in spark.read.parquet(base + "/out").collect()}
+    assert out3 == {(3, "a"), (10, "b"), (2, "c")}
+    # convergence check: matches the batch operator's violation set over
+    # the union of all batches (every row except each key's global min)
+    spark.createDataFrame(
+        [(100, "c")], "row_ord long, clip_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    out4 = {(r["row"], r["value"]) for r in spark.read.parquet(base + "/out").collect()}
+    assert out4 == {(3, "a"), (10, "b"), (2, "c"), (100, "c")}
+
 
 def test_streaming_histogram(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("hist"))
