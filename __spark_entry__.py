@@ -409,6 +409,10 @@ def q_text_tokens(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_text_subtokens(spark, sf_dir):
+    return TX.bpe_ish_token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     return TX.quality_metrics(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -575,6 +579,48 @@ def q_clips_validate(spark, sf_dir):
     return res.violations.select(*VIOLATION_COLS)
 
 
+def q_streaming_validate(spark, sf_dir):
+    """Structured-Streaming incremental validation, oracle-gated: the same
+    20k-clip table arrives as a file stream in several micro-batches
+    (maxFilesPerTrigger); stream_validate runs the row-local suite inside
+    foreachBatch with exactly-once per-batch_id dynamic-partition
+    overwrite. The union of all batches' violations is batching-invariant
+    and equals the closed-form injection oracle restricted to row-local
+    checks (global uniqueness/referential stay in the batch runner by
+    design — streaming/incremental.py states the trade-off)."""
+    import tempfile
+
+    from pandasschema_spark.clips_suite import PUBLIC_COLUMNS, clips_schema
+    from pandasschema_spark.sources.datagen import clips_df
+    from pandasschema_spark.sources.warehouse import Warehouse
+    from pandasschema_spark.streaming.incremental import (
+        STREAM_VIOLATIONS_TABLE,
+        stream_validate,
+    )
+
+    base = tempfile.mkdtemp(prefix="psf_stream_oracle_")
+    src = os.path.join(base, "src")
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=8)
+    for chunk in range(4):  # 4 arrival chunks x 2 files each
+        df.where(F.pmod(F.col("row_ord"), F.lit(4)) == chunk).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    wh = Warehouse(os.path.join(base, "wh"))
+    q = stream_validate(
+        spark,
+        clips_schema(None, with_pcm_checks=False),
+        src,
+        df.schema,
+        wh,
+        os.path.join(base, "ckpt"),
+        validate_columns=[c for c in PUBLIC_COLUMNS if c != "bytes"],
+        row_key="row_ord",
+        max_files_per_trigger=3,
+    )
+    q.awaitTermination()
+    return wh.read(spark, STREAM_VIOLATIONS_TABLE).select(*VIOLATION_COLS)
+
+
 def q_clips_pcm_validate(spark, sf_dir):
     """The complete suite including decoded-PCM SNR + transcript-oracle
     Arrow-UDF checks (non-SQL-expressible -> rows-only driver check)."""
@@ -647,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
+        "text_subtokens": q_text_subtokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -658,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_dispatch": q_schema_dispatch,
         "clips_validate": q_clips_validate,
         "clips_pcm_validate": q_clips_pcm_validate,
+        "streaming_validate": q_streaming_validate,
     }
 
 
@@ -968,6 +1016,11 @@ FROM banded a JOIN banded b
         "text_tokens": """
 SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
 """.format(toks=_TOKS),
+        "text_subtokens": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) AS n_subtokens
+FROM documents
+""",
         "text_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -1143,6 +1196,26 @@ SELECT 'l_orderkey', count(l_orderkey), count(*) - count(l_orderkey),
 FROM lineitem
 """,
         "clips_validate": _clips_oracle_sql(),
+        # streaming_validate: same closed-form injection oracle, restricted
+        # to the row-local checks the stream runs (no global uniqueness row
+        # for cls=0 — the duplicated clip_id is pattern-valid — and no
+        # referential row for cls=3: the stream's schema has no dim table)
+        "streaming_validate": """
+WITH inj AS (SELECT i, (i // 997) % 6 AS cls FROM range(997, 20000, 997) t(i))
+SELECT i AS row, 'sr_hz' AS "column", '11025' AS value,
+       'is not in the list of legal options (8000, 16000, 44100, 48000)' AS message
+FROM inj WHERE cls = 1
+UNION ALL
+SELECT i, 'dur_ms', '0', 'was not in the range [1, inf)' FROM inj WHERE cls = 2
+UNION ALL
+SELECT i, 'codec', 'wav_unknown',
+       'is not in the list of legal options (pcm_s16le, flac, opus, mp3)' FROM inj WHERE cls = 3
+UNION ALL
+SELECT i, 'transcript', 'nan', 'is null' FROM inj WHERE cls = 4
+UNION ALL
+SELECT i, 'transcript', 'ILLEGAL @ CHARS #',
+       'does not match the pattern "^[a-z0-9 ,.''?!-]+$"' FROM inj WHERE cls = 5
+""",
         # clips_pcm_validate: the SNR math itself is numpy-only, but the
         # VIOLATION SET is closed-form — DuckDB's sha256 equals hashlib
         # byte-for-byte, so the oracle re-derives each injected row's
