@@ -26,6 +26,7 @@ from pandasschema_spark.operators import text as TX  # noqa: E402
 from pandasschema_spark.validation import (  # noqa: E402
     CanCallValidation,
     CanConvertValidation,
+    CrossColumnExprValidation,
     CustomElementValidation,
     CustomRowValidation,
     CustomSeriesValidation,
@@ -633,6 +634,94 @@ def q_clips_pcm_validate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# audio-payload operators (operators/audio.py): PCM stats, frame-level
+# silence, native cross-column length check, acoustic near-dup pairs.
+# Oracles are closed-form: DuckDB's sha256 equals hashlib byte-for-byte, so
+# the oracle re-derives each clip's true (sr, dur) from the same digest the
+# synthesizer used and applies the audio-injection rule
+# (sources/datagen.py AUDIO_INJECT_MOD / NEAR_DUP_MOD).
+# ---------------------------------------------------------------------------
+
+AUDIO_N = 20000
+NEAR_DUP_N = 10000
+
+
+def q_val_crosscolumn_native(spark, sf_dir):
+    """CrossColumnExprValidation: the codegen-native cross-column path —
+    same invariant family as val_crosscolumn (Arrow) but zero Python."""
+    df = _t(spark, sf_dir, "lineitem")
+    check = CrossColumnExprValidation(
+        ["l_extendedprice", "l_quantity"],
+        lambda d: d["l_extendedprice"] >= d["l_quantity"] * 920.0,
+        "extendedprice below 920 per unit",
+        pandas_fn=lambda b: b["l_extendedprice"] >= b["l_quantity"] * 920.0,
+    )
+    schema = Schema([Column("l_extendedprice", [check])])
+    return _violations(schema, df, ["l_extendedprice"], F.expr(LINEITEM_ROW))
+
+
+def q_audio_stats(spark, sf_dir):
+    """Per-clip PCM statistics over the audio-defect injection table; the
+    oracle-facing projection keeps the closed-form columns (sample/byte
+    counts from the sha256-derived fields; silence/clipping flags from the
+    injection rule)."""
+    from pandasschema_spark.operators.audio import audio_stats
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    st = audio_stats(df)
+    return st.select(
+        "clip_id",
+        "n_samples",
+        "len_bytes",
+        (F.col("peak_abs") == 0).alias("is_silent"),
+        (F.col("n_clipped") > 0).alias("is_clipped"),
+    )
+
+
+def q_audio_frame_silence(spark, sf_dir):
+    """Frame-level (10 ms) silence analysis; silent-frame counts are exact
+    integers reproducible from the injection rule (full-silence -> all
+    frames, half-silence -> the frames fully inside the zeroed prefix)."""
+    from pandasschema_spark.operators.audio import frame_silence
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return frame_silence(df).select(
+        "clip_id", "n_frames", "n_silent_frames", "silence_ppm")
+
+
+def q_audio_len_check(spark, sf_dir):
+    """PCM byte-length consistency as a NATIVE cross-column validation:
+    length(bytes) == 2 * (sr_hz * dur_ms div 1000), fused into the same
+    codegen projection as any other row-local check — flags exactly the
+    truncation-injected rows."""
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    check = CrossColumnExprValidation(
+        ["bytes", "sr_hz", "dur_ms"],
+        lambda d: F.length(d["bytes"]).cast("long")
+        == F.expr("2 * ((CAST(sr_hz AS BIGINT) * dur_ms) DIV 1000)"),
+        "stored PCM length does not match sr_hz * dur_ms",
+    )
+    schema = Schema([Column("bytes", [check])])
+    return _violations(schema, df, ["bytes"], "row_ord")
+
+
+def q_audio_fingerprint_dup(spark, sf_dir):
+    """Acoustic near-duplicate pairs: spectral-fingerprint blocking +
+    scale-normalized SNR verify recovers exactly the injected re-encodes
+    (amplitude-scaled re-quantizations). snr_centi_db is float-derived so
+    the oracle projection keeps the pair ids only."""
+    from pandasschema_spark.operators.audio import acoustic_dup_pairs
+    from pandasschema_spark.sources.datagen import near_dup_clips_df
+
+    df = near_dup_clips_df(spark, NEAR_DUP_N, seed=42, partitions=32)
+    return acoustic_dup_pairs(df).select("clip_a", "clip_b")
+
+
+# ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
 
@@ -706,6 +795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validate": q_clips_validate,
         "clips_pcm_validate": q_clips_pcm_validate,
         "streaming_validate": q_streaming_validate,
+        "val_crosscolumn_native": q_val_crosscolumn_native,
+        "audio_stats": q_audio_stats,
+        "audio_frame_silence": q_audio_frame_silence,
+        "audio_len_check": q_audio_len_check,
+        "audio_fingerprint_dup": q_audio_fingerprint_dup,
     }
 
 
@@ -817,6 +911,26 @@ SELECT i, 'transcript', 'ILLEGAL @ CHARS #',
 
 _STOP_LIST = "['the','a','and','of','to','in','is','it','that','for']"
 _TOKS = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+
+def _audio_fields_sql(n: int) -> str:
+    """Closed-form per-clip fields CTE for the audio-injection oracles:
+    re-derives (sr, dur) from the same sha256 digest the synthesizer used
+    (functions/audio.py clip_fields — DuckDB's sha256 equals hashlib
+    byte-for-byte), plus sample count n = sr*dur//1000, 10 ms frame length
+    fl = sr//100, and the audio-defect class of sources/datagen.py's
+    AUDIO_INJECT_MOD rule (-1 = clean row)."""
+    return """
+WITH f AS (
+    SELECT i,
+           ([8000, 16000, 44100, 48000])[CAST(concat('0x', substr(sha256('42:' || i), 1, 2)) AS INT) % 4 + 1] AS sr,
+           40 + ((CAST(concat('0x', substr(sha256('42:' || i), 3, 2)) AS INT)
+                  + 256 * CAST(concat('0x', substr(sha256('42:' || i), 5, 2)) AS INT)) % 161) AS dur,
+           CASE WHEN i > 0 AND i % 211 = 0 THEN (i // 211) % 4 ELSE -1 END AS cls
+    FROM range(0, {n}) t(i)
+),
+g AS (SELECT i, cls, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
+""".format(n=n)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1195,6 +1309,50 @@ SELECT 'l_orderkey', count(l_orderkey), count(*) - count(l_orderkey),
        quantile_cont(l_orderkey, 0.5), quantile_cont(l_orderkey, 0.95)
 FROM lineitem
 """,
+        "val_crosscolumn_native": """
+SELECT l_orderkey*10 + l_linenumber AS row, 'l_extendedprice' AS "column",
+       CAST(l_extendedprice AS VARCHAR) AS value, 'extendedprice below 920 per unit' AS message
+FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 920.0)
+""",
+        "audio_stats": """
+{fields}
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(CASE WHEN cls = 3 THEN n // 2 ELSE n END AS BIGINT) AS n_samples,
+       CAST(2 * (CASE WHEN cls = 3 THEN n // 2 ELSE n END) AS BIGINT) AS len_bytes,
+       (cls = 0) AS is_silent,
+       (cls = 1) AS is_clipped
+FROM g
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_frame_silence": """
+{fields},
+k AS (
+    SELECT i,
+           (CASE WHEN cls = 3 THEN n // 2 ELSE n END) // fl AS n_frames,
+           CASE WHEN cls = 0 THEN n // fl
+                WHEN cls = 2 THEN (n // 2) // fl
+                ELSE 0 END AS n_silent
+    FROM g
+)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_silent AS BIGINT) AS n_silent_frames,
+       CAST(CASE WHEN n_frames > 0
+                 THEN CAST(n_silent AS BIGINT) * 1000000 // n_frames
+                 ELSE 0 END AS BIGINT) AS silence_ppm
+FROM k
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_len_check": """
+{fields}
+SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
+       '<binary ' || CAST(2 * (n // 2) AS VARCHAR) || ' bytes>' AS value,
+       'stored PCM length does not match sr_hz * dur_ms' AS message
+FROM g WHERE cls = 3
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_fingerprint_dup": """
+SELECT 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') AS clip_a,
+       'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_b
+FROM range({off}, {n}, {mod}) t(i)
+""".format(off=5, n=NEAR_DUP_N, mod=163),
         "clips_validate": _clips_oracle_sql(),
         # streaming_validate: same closed-form injection oracle, restricted
         # to the row-local checks the stream runs (no global uniqueness row

@@ -1,0 +1,343 @@
+"""Audio-payload operators: per-clip PCM statistics, frame-level silence
+analysis, spectral fingerprinting and acoustic near-duplicate detection.
+
+These extend the validation engine with the audio side of the graft cell
+(BASELINE.json: payload=audio): the reference has no audio notion at all
+(it validates pandas Series — /root/reference/pandas_schema/validation.py),
+so everything here is engine extension, designed Spark-first:
+
+- every operator is ``mapInPandas`` over an Arrow batch iterator; inside a
+  batch the per-clip kernel is numpy (clips have different lengths so the
+  per-clip loop is irreducible, but each iteration is a vectorized
+  numpy kernel over thousands of samples — never per-row Python at the
+  Spark layer);
+- all emitted metrics are INTEGERS (exact across engines): sums of int16
+  squares are exact int64, "rms" is ``isqrt(sum_sq // n)``, ratios are
+  parts-per-million via integer division — so results hash identically in
+  any engine and never depend on float formatting;
+- near-duplicate detection is the classic two-stage shape that survives
+  10^12 rows: a cheap per-clip BLOCKING key (spectral fingerprint — only
+  same-fingerprint clips ever meet), then an expensive VERIFY stage
+  (scale-normalized SNR) on the candidate pairs only. The self-join
+  shuffles fingerprints + bytes of *candidate buckets only*; hot buckets
+  are capped exactly like operators/dedup.py's LSH (groupBy-count +
+  broadcast anti-join, never a count-over-window).
+
+Scale notes per operator are in SCALE.md §audio.
+"""
+
+from __future__ import annotations
+
+import math
+import typing
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("n_samples", T.LongType(), False),
+    T.StructField("len_bytes", T.LongType(), False),
+    T.StructField("peak_abs", T.IntegerType(), False),
+    T.StructField("n_clipped", T.LongType(), False),
+    T.StructField("rms", T.IntegerType(), False),
+    T.StructField("dc_offset_milli", T.LongType(), False),
+    T.StructField("zero_crossings", T.LongType(), False),
+])
+
+#: int16 full-scale magnitude; a sample at +/-32767 (or the asymmetric
+#: -32768) counts as clipped
+CLIP_MAG = 32767
+
+
+def _decode(raw) -> np.ndarray:
+    if raw is None or len(raw) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def audio_stats(df: DataFrame, *, id_col: str = "clip_id",
+                bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip PCM statistics, one narrow mapInPandas pass (no shuffle).
+
+    Integer-exact by construction: peak/counts are integers, ``rms`` is
+    ``isqrt(sum(s^2) // n)`` (sum of int16 squares is exact in int64 up to
+    ~10^9 samples per clip), ``dc_offset_milli`` is ``1000*sum // n``
+    truncated toward zero the way both Python and SQL integer division do
+    for the values involved (sum may be negative -> use floor-div of the
+    absolute value with sign restored, which matches SQL ``CAST(... )``
+    semantics only if mirrored — the oracle-facing queries only use the
+    closed-form columns, see __spark_entry__).
+    """
+    cols = [id_col, bytes_col]
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            out = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
+            for j in range(len(b)):
+                s = _decode(raws[j])
+                n = int(s.size)
+                ln = 0 if raws[j] is None else len(raws[j])
+                if n:
+                    a = np.abs(s)
+                    peak = int(a.max())
+                    n_clip = int((a >= CLIP_MAG).sum())
+                    ssq = int(np.dot(s, s))
+                    rms = math.isqrt(ssq // n)
+                    total = int(s.sum())
+                    dc = (1000 * abs(total) // n) * (1 if total >= 0 else -1)
+                    zc = int((np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
+                else:
+                    peak = n_clip = rms = dc = zc = 0
+                out["clip_id"].append(ids[j])
+                out["n_samples"].append(n)
+                out["len_bytes"].append(ln)
+                out["peak_abs"].append(peak)
+                out["n_clipped"].append(n_clip)
+                out["rms"].append(rms)
+                out["dc_offset_milli"].append(dc)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(gen, AUDIO_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("n_silent_frames", T.LongType(), False),
+    T.StructField("silence_ppm", T.LongType(), False),
+])
+
+
+def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
+                  bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                  frame_ms: int = 10, silent_peak_below: int = 1) -> DataFrame:
+    """Frame-level silence analysis: split each clip into ``frame_ms``
+    windows (frame length = sr * frame_ms / 1000 samples, full frames
+    only), mark a frame silent when its peak magnitude is below
+    ``silent_peak_below`` (default: strictly all-zero — the only
+    definition that is closed-form reproducible for the synthetic
+    warehouse), and report the silent fraction in parts-per-million
+    (integer: ``1_000_000 * silent // frames``).
+
+    One narrow pass; the frame reshape is a zero-copy numpy view.
+    """
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            rows = {k: [] for k in FRAME_STATS_SCHEMA.fieldNames()}
+            for j in range(len(b)):
+                s = _decode(raws[j])
+                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                nf = int(s.size) // fl
+                if nf:
+                    fr = np.abs(s[: nf * fl].reshape(nf, fl)).max(axis=1)
+                    silent = int((fr < silent_peak_below).sum())
+                else:
+                    silent = 0
+                rows["clip_id"].append(ids[j])
+                rows["n_frames"].append(nf)
+                rows["n_silent_frames"].append(silent)
+                rows["silence_ppm"].append(1_000_000 * silent // nf if nf else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# spectral fingerprint + acoustic near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("fingerprint", T.StringType(), False),
+])
+
+#: spectral band layout: N_BANDS linear bands over [0, BAND_TOP_HZ)
+N_BANDS = 64
+BAND_TOP_HZ = 2500.0
+#: a second spectral peak below this fraction of the first is treated as
+#: absent (single-tone clip) — keeps the key stable under re-encoding
+SECOND_PEAK_MIN_FRAC = 0.01
+
+
+def _fingerprint_one(s: np.ndarray, sr: int) -> str:
+    """Blocking key of one clip: sample rate, sample count, and the
+    (unordered) band indices of the two dominant spectral peaks.
+
+    Robust to uniform amplitude scaling (band argmax is scale-invariant)
+    and to int16 re-quantization (a pure tone's bin towers over the
+    quantization noise floor), which is exactly the invariance an acoustic
+    near-duplicate key needs; NOT robust to time-shifts or resampling —
+    those are verify-stage concerns in a production fingerprint (e.g.
+    chromaprint-style), out of scope for the synthetic warehouse.
+    """
+    n = int(s.size)
+    if n == 0:
+        return "0:0:-1:-1"
+    spec = np.abs(np.fft.rfft(s.astype(np.float64))) ** 2
+    spec[0] = 0.0  # ignore DC
+    k1 = int(np.argmax(spec))
+    e1 = spec[k1]
+    if e1 <= 0.0:
+        return "{}:{}:-1:-1".format(sr, n)
+    # null out +/-3 bins around the first peak, find the runner-up
+    lo, hi = max(k1 - 3, 0), min(k1 + 4, spec.size)
+    spec2 = spec.copy()
+    spec2[lo:hi] = 0.0
+    k2 = int(np.argmax(spec2))
+    hz_per_bin = sr / n
+    band_w = BAND_TOP_HZ / N_BANDS
+    b1 = min(int(k1 * hz_per_bin / band_w), N_BANDS - 1)
+    if spec2[k2] >= SECOND_PEAK_MIN_FRAC * e1:
+        b2 = min(int(k2 * hz_per_bin / band_w), N_BANDS - 1)
+    else:
+        b2 = b1
+    if b2 < b1:
+        b1, b2 = b2, b1
+    return "{}:{}:{}:{}".format(sr, n, b1, b2)
+
+
+def _fingerprint_pass(df: DataFrame, id_col: str, bytes_col: str, sr_col: str,
+                      carry_bytes: bool) -> DataFrame:
+    """One narrow mapInPandas pass computing the fingerprint, optionally
+    carrying the raw bytes through (so downstream joins need no second
+    scan / join-back of the fact table)."""
+    fields = [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("fingerprint", T.StringType(), False),
+    ]
+    if carry_bytes:
+        fields.append(T.StructField("bytes", T.BinaryType(), True))
+    schema = T.StructType(fields)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            fps = [
+                _fingerprint_one(_decode(raws[j]), int(srs[j]))
+                for j in range(len(b))
+            ]
+            out = {"clip_id": ids, "fingerprint": fps}
+            if carry_bytes:
+                out["bytes"] = raws
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, schema)
+
+
+def spectral_fingerprint(df: DataFrame, *, id_col: str = "clip_id",
+                         bytes_col: str = "bytes",
+                         sr_col: str = "sr_hz") -> DataFrame:
+    """Per-clip spectral blocking key (see _fingerprint_one); one narrow
+    mapInPandas pass, rFFT per clip inside the Arrow batch."""
+    return _fingerprint_pass(df, id_col, bytes_col, sr_col, carry_bytes=False)
+
+
+DUP_PAIRS_SCHEMA = T.StructType([
+    T.StructField("clip_a", T.StringType(), False),
+    T.StructField("clip_b", T.StringType(), False),
+    T.StructField("snr_centi_db", T.LongType(), False),
+])
+
+
+def _normalized_snr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """SNR of b against a after optimally scaling b to a (least-squares
+    gain), i.e. how well b is an amplitude-scaled copy of a. Exact-integer
+    accumulators; only the final ratio is float."""
+    if a.size != b.size or a.size == 0:
+        return float("-inf")
+    p_a = float(np.dot(a, a))
+    p_b = float(np.dot(b, b))
+    ab = float(np.dot(a, b))
+    if p_a == 0.0 or p_b == 0.0:
+        return float("-inf")
+    # residual power of a - g*b with optimal g = <a,b>/<b,b>
+    p_res = p_a - ab * ab / p_b
+    if p_res <= 0.0:
+        return float("inf")
+    return 10.0 * math.log10(p_a / p_res)
+
+
+def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
+                       bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                       snr_threshold_db: float = 25.0,
+                       max_bucket: typing.Optional[int] = 10_000,
+                       broadcast_dup_fp: bool = True) -> DataFrame:
+    """Acoustic near-duplicate pairs: block on the spectral fingerprint,
+    verify candidates with scale-normalized SNR >= ``snr_threshold_db``.
+
+    Plan shape (the one that survives 10^12 clips — full-corpus PCM bytes
+    never enter a shuffle, only candidate-bucket rows do):
+
+    1. one narrow pass computes fingerprints, bytes riding along in place
+       (no shuffle);
+    2. duplicate-bucket detection: groupBy(fingerprint).count() keeps
+       buckets with 2..max_bucket members — only the ~40-byte fingerprint
+       column shuffles into this agg (map-side partial combine). The upper
+       cap kills degenerate hot keys (same rationale as
+       operators/dedup.py's LSH cap; ``max_bucket=None`` = exact). A dedup
+       workload's duplicate-bucket set is small, so it broadcasts;
+    3. a BROADCAST join filters the corpus to candidate rows; only those
+       rows' bytes enter the pair-forming fingerprint self-join shuffle
+       (the rare side of a dedup workload);
+    4. verify stage: Arrow-batched pairwise scale-normalized SNR, emitted
+       in centi-dB (integer) for cross-engine hashing.
+
+    Returns (clip_a < clip_b, snr_centi_db), one row per verified pair.
+    """
+    fps = _fingerprint_pass(df, id_col, bytes_col, sr_col, carry_bytes=True)
+
+    counts = fps.groupBy("fingerprint").count()
+    dup_fp = counts.where(F.col("count") >= 2)
+    if max_bucket is not None:
+        dup_fp = dup_fp.where(F.col("count") <= max_bucket)
+    dup_keys = dup_fp.select("fingerprint")
+    if broadcast_dup_fp:
+        # a dedup workload's duplicate-bucket key set is small; pass
+        # broadcast_dup_fp=False when it is not (corpora that are mostly
+        # duplicates) and Spark plans a shuffle join instead
+        dup_keys = F.broadcast(dup_keys)
+    cand = fps.join(dup_keys, "fingerprint")
+
+    a = cand.select(
+        F.col("fingerprint"),
+        F.col("clip_id").alias("clip_a"),
+        F.col("bytes").alias("bytes_a"),
+    )
+    b = cand.select(
+        F.col("fingerprint"),
+        F.col("clip_id").alias("clip_b"),
+        F.col("bytes").alias("bytes_b"),
+    )
+    cand = a.join(b, "fingerprint").where(F.col("clip_a") < F.col("clip_b"))
+
+    thr = float(snr_threshold_db)
+
+    def verify(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for batch in batches:
+            ca = batch["clip_a"].to_numpy()
+            cb = batch["clip_b"].to_numpy()
+            ra = batch["bytes_a"].to_numpy()
+            rb = batch["bytes_b"].to_numpy()
+            keep_a, keep_b, keep_snr = [], [], []
+            for j in range(len(batch)):
+                snr = _normalized_snr_db(_decode(ra[j]), _decode(rb[j]))
+                if snr >= thr:
+                    keep_a.append(ca[j])
+                    keep_b.append(cb[j])
+                    keep_snr.append(10 ** 9 if math.isinf(snr) else int(snr * 100))
+            yield pd.DataFrame({"clip_a": keep_a, "clip_b": keep_b,
+                                "snr_centi_db": keep_snr})
+
+    return cand.select("clip_a", "clip_b", "bytes_a", "bytes_b").mapInPandas(
+        verify, DUP_PAIRS_SCHEMA)

@@ -138,3 +138,139 @@ def expected_violations(n: int) -> typing.Dict[int, typing.List[int]]:
     for i in range(INJECT_MOD, n, INJECT_MOD):
         out[(i // INJECT_MOD) % N_CLASSES].append(i)
     return out
+
+
+# ---------------------------------------------------------------------------
+# audio-payload injection tables (operators/audio.py oracles)
+# ---------------------------------------------------------------------------
+
+#: PCM-defect injection: every row with i % AUDIO_INJECT_MOD == 0 and i > 0
+#: carries one audio defect, class (i // AUDIO_INJECT_MOD) % 4:
+#:   0 full silence (all-zero samples, original length)
+#:   1 full-scale clipping (alternating +/-32767 square, original length)
+#:   2 half silence (first n//2 samples zeroed)
+#:   3 truncation (only the first n//2 samples stored -> length mismatch)
+#: Coprime with INJECT_MOD (997) by construction, but these tables skip the
+#: base metadata injection entirely — all non-bytes columns stay valid so
+#: audio-feature oracles are pure functions of the audio rule.
+AUDIO_INJECT_MOD = 211
+AUDIO_N_CLASSES = 4
+
+
+def audio_injected_class(i: int) -> typing.Optional[int]:
+    if i > 0 and i % AUDIO_INJECT_MOD == 0:
+        return (i // AUDIO_INJECT_MOD) % AUDIO_N_CLASSES
+    return None
+
+
+def _audio_quality_row(seed: int, i: int) -> dict:
+    f = A.clip_fields(seed, i)
+    pcm = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+    cls = audio_injected_class(i)
+    if cls == 0:
+        pcm = np.zeros_like(pcm)
+    elif cls == 1:
+        sq = np.full(pcm.shape, 32767, dtype=np.int16)
+        sq[1::2] = -32767
+        pcm = sq
+    elif cls == 2:
+        pcm = pcm.copy()
+        pcm[: pcm.size // 2] = 0
+    elif cls == 3:
+        pcm = pcm[: pcm.size // 2]
+    return {
+        "row_ord": i,
+        "clip_id": f["clip_id"],
+        "bytes": pcm.astype("<i2").tobytes(),
+        "sr_hz": f["sr_hz"],
+        "dur_ms": f["dur_ms"],
+        "codec": f["codec"],
+        "transcript": f["transcript"],
+    }
+
+
+def audio_quality_clips_df(spark: SparkSession, n: int, seed: int = 42, *,
+                           partitions: int = None) -> DataFrame:
+    """Clips table with deterministic PCM defects injected per
+    ``audio_injected_class`` — drives the audio_stats / frame_silence /
+    length-consistency oracles. Metadata columns carry NO injected
+    violations (unlike clips_df)."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_audio_quality_row(seed, int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, CLIPS_SCHEMA)
+
+
+#: acoustic near-duplicate injection: every row with
+#: i % NEAR_DUP_MOD == NEAR_DUP_OFFSET is a re-encode of source row
+#: s = i - NEAR_DUP_OFFSET (same tones/phases/sr/dur/transcript, amplitude
+#: scaled by NEAR_DUP_AMP_SCALE then re-quantized to int16 — byte-distinct
+#: but acoustically identical). Sources sit at s % NEAR_DUP_MOD == 0 so a
+#: duplicate is never itself a source (no chains), and every duplicate has
+#: a distinct source.
+NEAR_DUP_MOD = 163
+NEAR_DUP_OFFSET = 5
+NEAR_DUP_AMP_SCALE = 0.97
+
+
+def near_dup_source(i: int) -> typing.Optional[int]:
+    if i % NEAR_DUP_MOD == NEAR_DUP_OFFSET and i >= NEAR_DUP_OFFSET:
+        return i - NEAR_DUP_OFFSET
+    return None
+
+
+def _near_dup_row(seed: int, i: int) -> dict:
+    src = near_dup_source(i)
+    if src is None:
+        f = A.clip_fields(seed, i)
+        return {
+            "row_ord": i,
+            "clip_id": f["clip_id"],
+            "bytes": A.synth_bytes(seed, i),
+            "sr_hz": f["sr_hz"],
+            "dur_ms": f["dur_ms"],
+            "codec": f["codec"],
+            "transcript": f["transcript"],
+        }
+    f = A.clip_fields(seed, src)
+    pcm = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"],
+                      f["amp"] * NEAR_DUP_AMP_SCALE)
+    return {
+        "row_ord": i,
+        "clip_id": "clip_{:012d}".format(i),
+        "bytes": pcm.tobytes(),
+        "sr_hz": f["sr_hz"],
+        "dur_ms": f["dur_ms"],
+        "codec": f["codec"],
+        "transcript": f["transcript"],
+    }
+
+
+def near_dup_clips_df(spark: SparkSession, n: int, seed: int = 42, *,
+                      partitions: int = None) -> DataFrame:
+    """Clips table with injected acoustic near-duplicates (see
+    near_dup_source) — drives the acoustic_dup_pairs oracle. Base metadata
+    injection is suppressed (clip_id is always the row's own ordinal) so
+    the expected pair set is exactly the closed-form injection rule."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_near_dup_row(seed, int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, CLIPS_SCHEMA)
+
+
+def expected_near_dup_pairs(n: int) -> typing.List[typing.Tuple[str, str]]:
+    """Closed-form oracle for acoustic_dup_pairs over near_dup_clips_df."""
+    out = []
+    i = NEAR_DUP_OFFSET
+    while i < n:
+        out.append(("clip_{:012d}".format(i - NEAR_DUP_OFFSET), "clip_{:012d}".format(i)))
+        i += NEAR_DUP_MOD
+    return out

@@ -537,6 +537,54 @@ class NotNullValidation(_SeriesValidation):
         return col.isNotNull()
 
 
+class CrossColumnExprValidation(_SeriesValidation):
+    """Engine extension: cross-column check expressed as a NATIVE Catalyst
+    boolean expression — the codegen fast path for multi-column invariants
+    that need no Python at all (e.g. ``length(bytes) == 2*(sr_hz*dur_ms
+    div 1000)`` for PCM byte-length consistency, or ``ship <= receipt``
+    date ordering). Unlike CustomRowValidation there is no Arrow transfer:
+    the predicate fuses into the same whole-stage-codegen'd projection as
+    every other row-local check, so adding one costs ~nothing at 10^12
+    rows.
+
+    ``expr_fn(df) -> Column`` builds the pass predicate from the live
+    DataFrame (so implementations can reference several columns);
+    ``pandas_fn`` (optional) is the same invariant as a pandas
+    frame -> bool Series formula, used by parity tests as the local
+    oracle.
+    """
+
+    is_multi_column = True
+
+    def __init__(self, input_columns: typing.List[str],
+                 expr_fn: typing.Callable[[typing.Any], SparkColumn],
+                 message: str,
+                 pandas_fn: typing.Optional[
+                     typing.Callable[[pd.DataFrame], pd.Series]] = None,
+                 **kw):
+        self.input_columns = list(input_columns)
+        self._expr_fn = expr_fn
+        self._pandas_fn = pandas_fn
+        super().__init__(message=message, **kw)
+
+    @property
+    def default_message(self):
+        return self._custom_message
+
+    def pandas_validate(self, series):
+        raise PanSchArgumentError(
+            "CrossColumnExprValidation needs multiple columns; use compile_row_predicate")
+
+    def pandas_validate_frame(self, frame: pd.DataFrame) -> pd.Series:
+        if self._pandas_fn is None:
+            raise PanSchArgumentError(
+                "no pandas_fn supplied for CrossColumnExprValidation")
+        return self._pandas_fn(frame)
+
+    def compile_row_predicate(self, df) -> SparkColumn:
+        return _leaf(self._expr_fn(df))
+
+
 class CustomRowValidation(_SeriesValidation):
     """Engine extension: cross-column check (north star "cross-column
     checks"). ``fn`` receives a pd.DataFrame batch holding

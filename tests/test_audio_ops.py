@@ -1,0 +1,177 @@
+"""operators/audio.py: PCM stats, frame silence, spectral fingerprint,
+acoustic near-dup pairs, and the native cross-column validation.
+
+Local numpy recomputation is the oracle for the float-free integer stats;
+the injection rules of sources/datagen.py are the oracle for the defect
+flags and the near-dup pair set (the same closed forms the DuckDB gate
+re-derives via sha256)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark import Column, Schema
+from pandasschema_spark.functions import audio as A
+from pandasschema_spark.operators.audio import (
+    _fingerprint_one,
+    _normalized_snr_db,
+    acoustic_dup_pairs,
+    audio_stats,
+    frame_silence,
+    spectral_fingerprint,
+)
+from pandasschema_spark.sources.datagen import (
+    audio_injected_class,
+    audio_quality_clips_df,
+    expected_near_dup_pairs,
+    near_dup_clips_df,
+)
+from pandasschema_spark.validation import CrossColumnExprValidation
+
+N = 1500  # covers several of each audio-defect class (211-spaced)
+
+
+@pytest.fixture(scope="module")
+def quality_df(spark):
+    return audio_quality_clips_df(spark, N, seed=42, partitions=4).cache()
+
+
+def _local_pcm(i):
+    """Recompute row i's stored samples per the injection rule."""
+    f = A.clip_fields(42, i)
+    s = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+    cls = audio_injected_class(i)
+    s = s.astype(np.int64)
+    if cls == 0:
+        s = np.zeros_like(s)
+    elif cls == 1:
+        sq = np.full(s.shape, 32767, dtype=np.int64)
+        sq[1::2] = -32767
+        s = sq
+    elif cls == 2:
+        s = s.copy()
+        s[: s.size // 2] = 0
+    elif cls == 3:
+        s = s[: s.size // 2]
+    return s, f
+
+
+def test_audio_stats_integer_exact(spark, quality_df):
+    rows = {r["clip_id"]: r for r in audio_stats(quality_df).collect()}
+    assert len(rows) == N
+    for i in range(0, N, 97):  # sample the ordinal space incl. defects
+        s, f = _local_pcm(i)
+        r = rows["clip_{:012d}".format(i)]
+        assert r["n_samples"] == s.size
+        assert r["len_bytes"] == 2 * s.size
+        a = np.abs(s)
+        assert r["peak_abs"] == int(a.max())
+        assert r["n_clipped"] == int((a >= 32767).sum())
+        assert r["rms"] == math.isqrt(int(np.dot(s, s)) // s.size)
+        total = int(s.sum())
+        assert r["dc_offset_milli"] == (1000 * abs(total) // s.size) * (1 if total >= 0 else -1)
+        assert r["zero_crossings"] == int((np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
+
+
+def test_audio_stats_defect_flags(spark, quality_df):
+    rows = {r["clip_id"]: r for r in audio_stats(quality_df).collect()}
+    for i in range(N):
+        r = rows["clip_{:012d}".format(i)]
+        cls = audio_injected_class(i)
+        assert (r["peak_abs"] == 0) == (cls == 0)
+        assert (r["n_clipped"] > 0) == (cls == 1)
+
+
+def test_frame_silence_closed_form(spark, quality_df):
+    rows = {r["clip_id"]: r for r in frame_silence(quality_df).collect()}
+    for i in range(N):
+        f = A.clip_fields(42, i)
+        n = f["sr_hz"] * f["dur_ms"] // 1000
+        fl = f["sr_hz"] // 100
+        cls = audio_injected_class(i)
+        eff = n // 2 if cls == 3 else n
+        exp_frames = eff // fl
+        exp_silent = exp_frames if cls == 0 else ((n // 2) // fl if cls == 2 else 0)
+        r = rows["clip_{:012d}".format(i)]
+        assert r["n_frames"] == exp_frames
+        assert r["n_silent_frames"] == exp_silent
+        assert r["silence_ppm"] == 1_000_000 * exp_silent // exp_frames
+
+
+def test_fingerprint_scale_invariant():
+    f = A.clip_fields(42, 11)
+    s = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+    fp1 = _fingerprint_one(s.astype(np.int64), f["sr_hz"])
+    half = np.rint(s.astype(np.float64) * 0.5).astype(np.int64)
+    assert _fingerprint_one(half, f["sr_hz"]) == fp1
+    other = A.clip_fields(42, 12)
+    s2 = A.synth_pcm(other["sr_hz"], other["dur_ms"], other["f1"], other["f2"],
+                     other["p1"], other["p2"], other["amp"])
+    assert _fingerprint_one(s2.astype(np.int64), other["sr_hz"]) != fp1
+
+
+def test_normalized_snr_margins():
+    f = A.clip_fields(42, 3)
+    s = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+    scaled = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"],
+                         f["amp"] * 0.97)
+    a = s.astype(np.int64)
+    assert _normalized_snr_db(a, scaled.astype(np.int64)) > 60.0
+    g = A.clip_fields(42, 4)
+    other = A.synth_pcm(f["sr_hz"], f["dur_ms"], g["f1"], g["f2"], g["p1"], g["p2"], f["amp"])
+    assert _normalized_snr_db(a, other.astype(np.int64)) < 10.0
+
+
+def test_acoustic_dup_pairs_exact(spark):
+    n = 2000
+    df = near_dup_clips_df(spark, n, seed=42, partitions=4)
+    got = {(r["clip_a"], r["clip_b"]) for r in acoustic_dup_pairs(df).collect()}
+    assert got == set(expected_near_dup_pairs(n))
+
+
+def test_spectral_fingerprint_slim_schema(spark, quality_df):
+    fps = spectral_fingerprint(quality_df.limit(50))
+    assert fps.columns == ["clip_id", "fingerprint"]
+    assert fps.count() == 50
+
+
+def test_acoustic_dup_plan_shape(spark):
+    """Bytes must not ride into the bucket-count aggregate, and candidate
+    filtering must be a broadcast join (dedup buckets are the rare side)."""
+    df = near_dup_clips_df(spark, 200, seed=42, partitions=2)
+    plan = acoustic_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_cross_column_expr_native_plan(spark, quality_df):
+    """CrossColumnExprValidation must stay codegen-native: no Arrow/Python
+    eval node may appear in the violations plan."""
+    check = CrossColumnExprValidation(
+        ["bytes", "sr_hz", "dur_ms"],
+        lambda d: F.length(d["bytes"]).cast("long")
+        == F.expr("2 * ((CAST(sr_hz AS BIGINT) * dur_ms) DIV 1000)"),
+        "stored PCM length does not match sr_hz * dur_ms",
+    )
+    schema = Schema([Column("bytes", [check])])
+    v = schema.validate(quality_df, columns=["bytes"], row_key="row_ord").violations
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = sorted(r["row"] for r in v.collect())
+    expected = [i for i in range(N) if audio_injected_class(i) == 3]
+    assert got == expected
+
+
+def test_cross_column_expr_pandas_oracle():
+    import pandas as pd
+
+    check = CrossColumnExprValidation(
+        ["a", "b"],
+        lambda d: d["a"] >= d["b"],
+        "a below b",
+        pandas_fn=lambda fr: fr["a"] >= fr["b"],
+    )
+    fr = pd.DataFrame({"a": [1, 5, 2], "b": [2, 4, 2]})
+    assert list(check.pandas_validate_frame(fr)) == [False, True, True]
