@@ -709,6 +709,36 @@ def q_audio_len_check(spark, sf_dir):
     return _violations(schema, df, ["bytes"], "row_ord")
 
 
+def q_val_schema_json(spark, sf_dir):
+    """Config-driven validation: the whole suite arrives as a JSON spec
+    (serialize.py — the spark-submit deployment shape, tools/submit_job.py
+    --schema-json) and compiles to the same one-scan plan as the Python
+    API, including a codegen-native cross-column SQL check."""
+    import json as _json
+
+    from pandasschema_spark.serialize import schema_from_json
+
+    spec = _json.dumps({
+        "version": 1,
+        "columns": [
+            {"name": "l_discount",
+             "checks": [{"type": "in_range", "min": 0.0, "max": 0.05}]},
+            {"name": "l_returnflag",
+             "checks": [{"type": "matches_pattern", "pattern": "^[AN]$"}]},
+            {"name": "l_extendedprice",
+             "checks": [{"type": "cross_column_sql",
+                         "columns": ["l_extendedprice", "l_quantity"],
+                         "sql": "l_extendedprice <= l_quantity * 2000.0",
+                         "message": "unit price above 2000"}]},
+        ],
+    })
+    schema = schema_from_json(spec, spark)
+    df = _t(spark, sf_dir, "lineitem")
+    return _violations(
+        schema, df, ["l_discount", "l_returnflag", "l_extendedprice"],
+        F.expr(LINEITEM_ROW))
+
+
 def q_audio_fingerprint_dup(spark, sf_dir):
     """Acoustic near-duplicate pairs: spectral-fingerprint blocking +
     scale-normalized SNR verify recovers exactly the injected re-encodes
@@ -796,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_pcm_validate": q_clips_pcm_validate,
         "streaming_validate": q_streaming_validate,
         "val_crosscolumn_native": q_val_crosscolumn_native,
+        "val_schema_json": q_val_schema_json,
         "audio_stats": q_audio_stats,
         "audio_frame_silence": q_audio_frame_silence,
         "audio_len_check": q_audio_len_check,
@@ -1313,6 +1344,20 @@ FROM lineitem
 SELECT l_orderkey*10 + l_linenumber AS row, 'l_extendedprice' AS "column",
        CAST(l_extendedprice AS VARCHAR) AS value, 'extendedprice below 920 per unit' AS message
 FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 920.0)
+""",
+        "val_schema_json": """
+SELECT l_orderkey*10 + l_linenumber AS row, 'l_discount' AS "column",
+       CAST(l_discount AS VARCHAR) AS value,
+       'was not in the range [0.0, 0.05)' AS message
+FROM lineitem WHERE NOT (l_discount >= 0.0 AND l_discount < 0.05)
+UNION ALL
+SELECT l_orderkey*10 + l_linenumber, 'l_returnflag', l_returnflag,
+       'does not match the pattern "^[AN]$"'
+FROM lineitem WHERE NOT regexp_matches(l_returnflag, '^[AN]$')
+UNION ALL
+SELECT l_orderkey*10 + l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS VARCHAR), 'unit price above 2000'
+FROM lineitem WHERE NOT (l_extendedprice <= l_quantity * 2000.0)
 """,
         "audio_stats": """
 {fields}

@@ -47,11 +47,14 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32, the headline/full-width budget; the
        scaling legs run at CPUS/8 and CPUS/2),
      SPARK_GRAFT_CLIPS (headline clip count; default 8M*sf, min 80k),
-     SPARK_GRAFT_SCALE_CLIPS (scaling-leg clip count; default 2M*sf, min
-       40k — sized so the 4N=16-CPU leg runs ~12 s: long enough that the
-       per-run serial cost (~0.7 s of plan build) stays under 6% and
-       intra-sample noise averages, short enough for 5+ interleaved
-       rounds while the N=4-CPU leg takes ~42 s/sample),
+     SPARK_GRAFT_SCALE_CLIPS (scaling-leg clip count; default 6M*sf, min
+       60k — sized so the 4N=16-CPU leg runs ~19 s: the per-sample serial
+       driver cost (~1.5 s: parquet listing + plan build + stage-tail
+       barriers, measured by decomposition at 200k where it capped raw
+       efficiency at ~0.79 = 0.91 engine-Amdahl x 0.91 host delivery)
+       drops under 8% of the wide wall, lifting the engine-attributable
+       ceiling to ~0.94, while the N=4-CPU leg stays ~70 s/sample so 5
+       interleaved rounds still fit a ~10-minute scaling phase),
      SPARK_GRAFT_ROUNDS (default 5), SPARK_GRAFT_MAX_EXTRA (default 3),
      SPARK_GRAFT_SKIP_SCALING=1 to run only the headline leg.
 """
@@ -78,7 +81,7 @@ SCALE_NARROW = max(CPUS // 8, 1)  # N leg
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", str(max(int(8_000_000 * SF), 80_000))))
 SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS",
-                                 str(max(int(2_000_000 * SF), 40_000))))
+                                 str(max(int(6_000_000 * SF), 60_000))))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "5"))
 MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA", "3"))
 
@@ -373,7 +376,7 @@ def main() -> None:
             noisy = max(ns["steal_pct"], ws["steal_pct"]) > 1.0
             if rounds >= ROUNDS and (_median(effs) >= 0.8 or not noisy):
                 break
-            if time.time() - t_scaling0 > 900:  # wall-clock cap on extras
+            if time.time() - t_scaling0 > 1500:  # wall-clock cap on extras
                 break
         narrow.stop()
         wide.stop()

@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--batch-buckets", type=int, default=8)
     ap.add_argument("--no-pcm", action="store_true", help="skip the Arrow PCM/transcript checks")
+    ap.add_argument("--schema-json", default=None,
+                    help="path to a declarative schema spec (serialize.py); "
+                         "overrides the built-in clips suite — the "
+                         "config-driven deployment shape")
+    ap.add_argument("--validate-columns", default=None,
+                    help="comma-separated column subset (with --schema-json)")
     ap.add_argument("--fail-after-batches", type=int, default=None,
                     help="test hook: crash after N batches to exercise resume")
     args = ap.parse_args()
@@ -52,10 +58,19 @@ def main() -> None:
     if args.generate:
         write_clips(spark, wh.path("clips"), args.n_clips, bucket_count=args.buckets)
 
-    schema = clips_schema(codec_dim(spark), with_pcm_checks=not args.no_pcm)
+    if args.schema_json:
+        from pandasschema_spark.serialize import schema_from_json
+
+        with open(args.schema_json) as fh:
+            schema = schema_from_json(fh.read(), spark)
+        columns = (args.validate_columns.split(",") if args.validate_columns
+                   else [c.name for c in schema.columns])
+    else:
+        schema = clips_schema(codec_dim(spark), with_pcm_checks=not args.no_pcm)
+        columns = PUBLIC_COLUMNS
     runner = ValidationRunner(wh, args.run_id, batch_buckets=args.batch_buckets)
     summary = runner.run(
-        spark, schema, validate_columns=PUBLIC_COLUMNS, row_key="row_ord",
+        spark, schema, validate_columns=columns, row_key="row_ord",
         fail_after_batches=args.fail_after_batches,
     )
     summary["violations_total"] = runner.violations(spark).count()
