@@ -709,6 +709,42 @@ def q_audio_len_check(spark, sf_dir):
     return _violations(schema, df, ["bytes"], "row_ord")
 
 
+def q_audio_resample_stats(spark, sf_dir):
+    """Linear-interpolation resample of every clip to 16 kHz, validated by
+    its integer-exact length law n_out = (n_in-1)*16000//sr + 1 and the
+    silence/clipping invariance of the defect classes (a zero clip resamples
+    to zeros; a full-scale square keeps its exact-hit +/-32767 samples)."""
+    from pandasschema_spark.operators.audio import audio_stats, resample
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    st = audio_stats(resample(df, 16000))
+    return st.select(
+        "clip_id",
+        "n_samples",
+        (F.col("peak_abs") == 0).alias("is_silent"),
+        (F.col("n_clipped") > 0).alias("is_clipped"),
+    )
+
+
+def q_audio_normalize(spark, sf_dir):
+    """Peak normalization to exactly 32000: the post-condition
+    peak_abs == 32000 holds bit-for-bit for every non-silent clip (IEEE
+    argument in operators/audio.py), clipping is repaired (32767 scales
+    down), silence passes through, lengths are untouched."""
+    from pandasschema_spark.operators.audio import audio_stats, peak_normalize
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    st = audio_stats(peak_normalize(df))
+    return st.select(
+        "clip_id",
+        "n_samples",
+        "peak_abs",
+        (F.col("n_clipped") > 0).alias("is_clipped"),
+    )
+
+
 def q_val_schema_json(spark, sf_dir):
     """Config-driven validation: the whole suite arrives as a JSON spec
     (serialize.py — the spark-submit deployment shape, tools/submit_job.py
@@ -831,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_silence": q_audio_frame_silence,
         "audio_len_check": q_audio_len_check,
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
+        "audio_resample_stats": q_audio_resample_stats,
+        "audio_normalize": q_audio_normalize,
     }
 
 
@@ -960,7 +998,7 @@ WITH f AS (
            CASE WHEN i > 0 AND i % 211 = 0 THEN (i // 211) % 4 ELSE -1 END AS cls
     FROM range(0, {n}) t(i)
 ),
-g AS (SELECT i, cls, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
+g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
 """.format(n=n)
 
 
@@ -1392,6 +1430,24 @@ SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
        '<binary ' || CAST(2 * (n // 2) AS VARCHAR) || ' bytes>' AS value,
        'stored PCM length does not match sr_hz * dur_ms' AS message
 FROM g WHERE cls = 3
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_resample_stats": """
+{fields},
+k AS (SELECT i, cls, sr, CASE WHEN cls = 3 THEN n // 2 ELSE n END AS n_in FROM g)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(CASE WHEN sr = 16000 THEN n_in
+                 ELSE (n_in - 1) * 16000 // sr + 1 END AS BIGINT) AS n_samples,
+       (cls = 0) AS is_silent,
+       (cls = 1) AS is_clipped
+FROM k
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_normalize": """
+{fields}
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(CASE WHEN cls = 3 THEN n // 2 ELSE n END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN cls = 0 THEN 0 ELSE 32000 END AS INT) AS peak_abs,
+       FALSE AS is_clipped
+FROM g
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_fingerprint_dup": """
 SELECT 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') AS clip_a,

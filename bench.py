@@ -336,11 +336,10 @@ def main() -> None:
     head = Leg(CPUS, N_CLIPS)
     head.wait_ready()
     head.sample()  # discarded: first-sample GC/worker-reap effect
-    hs = head.sample()
-    hs2 = head.sample()
-    head.stop()
-    best_wide = max(hs["clips_per_sec"], hs2["clips_per_sec"])
-    suite_sec = min(hs["sec"], hs2["sec"])
+    counted = [head.sample() for _ in range(3)]  # best-of-3: a co-tenant
+    head.stop()                                  # burst can span 2 samples
+    best_wide = max(h["clips_per_sec"] for h in counted)
+    suite_sec = min(h["sec"] for h in counted)
 
     scaling = None
     if not skip_scaling:

@@ -152,6 +152,102 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
 
 
 # ---------------------------------------------------------------------------
+# transformations: resample + peak-normalize (training-pipeline preprocessing)
+# ---------------------------------------------------------------------------
+
+CLIPS_AUDIO_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("sr_hz", T.IntegerType(), False),
+])
+
+
+def resample_linear_kernel(s: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler, INTEGER-EXACT by construction so
+    output lengths and values are partitioning/engine-invariant:
+
+    output sample k sits at input position k*sr_in/sr_out; with
+    num = k*sr_in, idx = num // sr_out, frac = num % sr_out the value is
+    ``(2*(s[idx]*(sr_out-frac) + s[idx+1]*frac) + sr_out) // (2*sr_out)``
+    — pure int64, floor-based round-half-up (consistent for negatives via
+    Python/numpy floor division). n_out = (n_in-1)*sr_out // sr_in + 1
+    (every interpolation point stays inside the input).
+
+    A production pipeline would use a windowed-sinc polyphase filter;
+    linear is the right determinism/cost point for validation plumbing
+    and is exact on the synthetic two-tone fixtures' length laws.
+    """
+    n_in = int(s.size)
+    if n_in == 0 or sr_in == sr_out:
+        return s.astype(np.int64)
+    n_out = (n_in - 1) * sr_out // sr_in + 1
+    k = np.arange(n_out, dtype=np.int64)
+    num = k * sr_in
+    idx = num // sr_out
+    frac = num - idx * sr_out
+    nxt = np.minimum(idx + 1, n_in - 1)
+    s64 = s.astype(np.int64)
+    acc = s64[idx] * (sr_out - frac) + s64[nxt] * frac
+    return (2 * acc + sr_out) // (2 * sr_out)
+
+
+def resample(df: DataFrame, target_sr: int, *, id_col: str = "clip_id",
+             bytes_col: str = "bytes", sr_col: str = "sr_hz") -> DataFrame:
+    """Resample every clip to ``target_sr`` (one narrow mapInPandas pass);
+    returns (clip_id, bytes, sr_hz=target_sr)."""
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            out = []
+            for j in range(len(b)):
+                res = resample_linear_kernel(
+                    np.frombuffer(raws[j] or b"", dtype="<i2"), int(srs[j]), target_sr)
+                out.append(np.clip(res, -32768, 32767).astype("<i2").tobytes())
+            yield pd.DataFrame({"clip_id": ids, "bytes": out,
+                                "sr_hz": np.full(len(b), target_sr, dtype=np.int32)})
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, CLIPS_AUDIO_SCHEMA)
+
+
+#: normalization target: 32000 leaves ~0.2 dB headroom below int16 full
+#: scale, so normalized audio can never read as clipped
+NORMALIZE_PEAK = 32000
+
+
+def peak_normalize(df: DataFrame, *, target_peak: int = NORMALIZE_PEAK,
+                   id_col: str = "clip_id", bytes_col: str = "bytes",
+                   sr_col: str = "sr_hz") -> DataFrame:
+    """Scale every clip so its peak magnitude is exactly ``target_peak``
+    (all-zero clips pass through). One narrow mapInPandas pass.
+
+    Exactness argument (why the post-condition ``peak_abs == target_peak``
+    holds bit-for-bit, tested + used by the audio_normalize oracle): with
+    f = target/peak in float64, IEEE guarantees peak*f = target*(1 ± 2eps),
+    which is within 1e-11 of the integer target — np.rint lands exactly on
+    it, and every |s| <= peak maps below target + 0.5, so no sample can
+    exceed the target after rounding."""
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            out = []
+            for j in range(len(b)):
+                s = np.frombuffer(raws[j] or b"", dtype="<i2").astype(np.float64)
+                peak = np.abs(s).max() if s.size else 0.0
+                if peak > 0.0:
+                    np.rint(s * (float(target_peak) / peak), out=s)
+                out.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame({"clip_id": ids, "bytes": out, "sr_hz": srs})
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, CLIPS_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # spectral fingerprint + acoustic near-duplicate pairs
 # ---------------------------------------------------------------------------
 

@@ -131,6 +131,43 @@ def test_acoustic_dup_pairs_exact(spark):
     assert got == set(expected_near_dup_pairs(n))
 
 
+def test_resample_kernel_integer_exact():
+    from pandasschema_spark.operators.audio import resample_linear_kernel
+
+    s = np.array([0, 100, -200, 300], dtype=np.int16)
+    out = resample_linear_kernel(s, 8000, 16000)
+    # odd outputs are midpoints, round-half-up via floor((2a+d)/(2d))
+    assert list(out) == [0, 50, 100, -50, -200, 50, 300]
+    # identity when rates match; stride-k decimation picks exact samples
+    assert list(resample_linear_kernel(s, 16000, 16000)) == list(s)
+    assert list(resample_linear_kernel(s, 16000, 8000)) == [0, -200]
+    assert resample_linear_kernel(np.array([], dtype=np.int16), 8000, 16000).size == 0
+
+
+def test_resample_length_law(spark, quality_df):
+    from pandasschema_spark.operators.audio import audio_stats, resample
+
+    rows = {r["clip_id"]: r for r in audio_stats(resample(quality_df, 16000)).collect()}
+    for i in range(0, N, 59):
+        s, f = _local_pcm(i)
+        sr = f["sr_hz"]
+        exp = s.size if sr == 16000 else (s.size - 1) * 16000 // sr + 1
+        assert rows["clip_{:012d}".format(i)]["n_samples"] == exp
+
+
+def test_peak_normalize_exact_target(spark, quality_df):
+    from pandasschema_spark.operators.audio import audio_stats, peak_normalize
+
+    rows = audio_stats(peak_normalize(quality_df)).collect()
+    for r in rows:
+        i = int(r["clip_id"][5:])
+        if audio_injected_class(i) == 0:
+            assert r["peak_abs"] == 0
+        else:
+            assert r["peak_abs"] == 32000, r
+        assert r["n_clipped"] == 0  # normalization repairs clipping
+
+
 def test_spectral_fingerprint_slim_schema(spark, quality_df):
     fps = spectral_fingerprint(quality_df.limit(50))
     assert fps.columns == ["clip_id", "fingerprint"]
