@@ -471,7 +471,7 @@ def write_bench_md(out: dict) -> None:
 
     md = """# BENCH — measured throughput + scaling efficiency
 
-Headline: **{v:,.0f} clips/sec** (full 32-CPU width, best of 2 counted
+Headline: **{v:,.0f} clips/sec** (full 32-CPU width, best of 3 counted
 samples) — full north-star constraint suite (pattern/range/in-list/
 non-null/referential/salted-uniqueness checks, decoded-PCM SNR>=30dB +
 transcript equality vs the synthesis oracle via Arrow-batched pandas

@@ -183,6 +183,16 @@ def test_acoustic_dup_plan_shape(spark):
     assert "Window" not in plan
 
 
+def test_transform_plans_single_scan_no_shuffle(spark, quality_df):
+    """resample/normalize/stats must stay narrow: one scan, no Exchange."""
+    from pandasschema_spark.operators.audio import audio_stats, peak_normalize, resample
+
+    for build in (lambda d: audio_stats(resample(d, 16000)),
+                  lambda d: audio_stats(peak_normalize(d))):
+        plan = build(quality_df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+
+
 def test_cross_column_expr_native_plan(spark, quality_df):
     """CrossColumnExprValidation must stay codegen-native: no Arrow/Python
     eval node may appear in the violations plan."""
