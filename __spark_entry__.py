@@ -709,6 +709,31 @@ def q_audio_len_check(spark, sf_dir):
     return _violations(schema, df, ["bytes"], "row_ord")
 
 
+AUDIO_EMBED_N = 2000
+
+
+def q_audio_embed_ann(spark, sf_dir):
+    """End-to-end audio -> embedding -> ANN integration: spectral
+    embeddings (audio_embed) of the near-dup corpus flow into the generic
+    IVF multi-probe near-dup operator (operators/similarity.py) and
+    recover exactly the injected amplitude-scaled re-encodes. Measured
+    margins at seed 42: injected pairs cosine >= 0.9999999, best
+    accidental pair <= 0.9942 against the 0.999 threshold."""
+    from pandasschema_spark.operators.audio import audio_embed
+    from pandasschema_spark.operators.similarity import embedding_near_dup_pairs
+    from pandasschema_spark.sources.datagen import near_dup_clips_df
+
+    df = near_dup_clips_df(spark, AUDIO_EMBED_N, seed=42, partitions=16)
+    emb = audio_embed(df)
+    ordinal = F.expr("CAST(substr(clip_id, 6, 12) AS BIGINT)")
+    cents = emb.where(ordinal % 64 == 7).select(
+        ordinal.alias("cell"), F.col("embedding").alias("cvec"))
+    out = embedding_near_dup_pairs(
+        emb, id_col="clip_id", vec_col="embedding",
+        threshold=0.999, centroids=cents, n_probe=2, impl="arrow")
+    return out.select(F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b"))
+
+
 def q_audio_resample_stats(spark, sf_dir):
     """Linear-interpolation resample of every clip to 16 kHz, validated by
     its integer-exact length law n_out = (n_in-1)*16000//sr + 1 and the
@@ -869,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
         "audio_resample_stats": q_audio_resample_stats,
         "audio_normalize": q_audio_normalize,
+        "audio_embed_ann": q_audio_embed_ann,
     }
 
 
@@ -1431,6 +1457,11 @@ SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
        'stored PCM length does not match sr_hz * dur_ms' AS message
 FROM g WHERE cls = 3
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_embed_ann": """
+SELECT 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') AS clip_a,
+       'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_b
+FROM range({off}, {n}, {mod}) t(i)
+""".format(off=5, n=AUDIO_EMBED_N, mod=163),
         "audio_resample_stats": """
 {fields},
 k AS (SELECT i, cls, sr, CASE WHEN cls = 3 THEN n // 2 ELSE n END AS n_in FROM g)

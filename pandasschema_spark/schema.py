@@ -59,6 +59,21 @@ class ValidationResult:
     def is_early_return(self) -> bool:
         return self.violations is None and bool(self.frame_warnings)
 
+    def summary(self) -> typing.Optional[DataFrame]:
+        """Per-check failure counts: (check_id, column, message,
+        fail_count). The scale-sane first look at a 10^12-row run — one
+        hash aggregation over the violations plan (map-side combined,
+        output rows = number of checks), no violation ever reaches the
+        driver. None on early return (column-count mismatch)."""
+        if self.violations is None:
+            return None
+        from pyspark.sql import functions as F
+
+        return (
+            self.violations.groupBy("check_id", "column", "message")
+            .agg(F.count("*").alias("fail_count"))
+        )
+
     def collect_warnings(self, limit: int = None) -> typing.List[ValidationWarning]:
         """Materialize the reference's sorted warning list.
 

@@ -183,6 +183,57 @@ def test_acoustic_dup_plan_shape(spark):
     assert "Window" not in plan
 
 
+def test_audio_embed_near_dup_integration(spark):
+    """audio -> spectral embedding -> generic IVF near-dup recovers the
+    injected re-encodes exactly, on both the arrow and expr impls."""
+    from pandasschema_spark.operators.audio import audio_embed
+    from pandasschema_spark.operators.similarity import embedding_near_dup_pairs
+
+    n = 1000
+    df = near_dup_clips_df(spark, n, seed=42, partitions=4)
+    emb = audio_embed(df).cache()
+    ordinal = F.expr("CAST(substr(clip_id, 6, 12) AS BIGINT)")
+    cents = emb.where(ordinal % 64 == 7).select(
+        ordinal.alias("cell"), F.col("embedding").alias("cvec"))
+    expected = set(expected_near_dup_pairs(n))
+    for impl in ("arrow", "expr"):
+        out = embedding_near_dup_pairs(
+            emb, id_col="clip_id", vec_col="embedding",
+            threshold=0.999, centroids=cents, n_probe=2, impl=impl)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert got == expected, impl
+    emb.unpersist()
+
+
+def test_audio_embed_scale_invariant_and_discriminative(spark):
+    from pandasschema_spark.operators.audio import _embed_one
+
+    f = A.clip_fields(42, 21)
+    s = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"])
+    e1 = _embed_one(s.astype(np.int64), f["sr_hz"], 256, 2500.0).astype(np.float64)
+    scaled = A.synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"],
+                         f["amp"] * 0.97)
+    e2 = _embed_one(scaled.astype(np.int64), f["sr_hz"], 256, 2500.0).astype(np.float64)
+    cos = np.dot(e1, e2) / (np.linalg.norm(e1) * np.linalg.norm(e2))
+    assert cos > 0.99999
+    g = A.clip_fields(42, 22)
+    s3 = A.synth_pcm(g["sr_hz"], g["dur_ms"], g["f1"], g["f2"], g["p1"], g["p2"], g["amp"])
+    e3 = _embed_one(s3.astype(np.int64), g["sr_hz"], 256, 2500.0).astype(np.float64)
+    cos3 = np.dot(e1, e3) / (np.linalg.norm(e1) * np.linalg.norm(e3))
+    assert cos3 < 0.999
+
+
+def test_validation_summary(spark):
+    from pandasschema_spark.clips_suite import validate_clips
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, 5000, seed=42, with_audio=False, partitions=4)
+    res = validate_clips(df, None, with_pcm_checks=False)
+    rows = res.summary().collect()
+    assert rows and all(r["fail_count"] > 0 for r in rows)
+    assert sum(r["fail_count"] for r in rows) == res.violations.count()
+
+
 def test_transform_plans_single_scan_no_shuffle(spark, quality_df):
     """resample/normalize/stats must stay narrow: one scan, no Exchange."""
     from pandasschema_spark.operators.audio import audio_stats, peak_normalize, resample
