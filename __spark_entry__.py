@@ -709,6 +709,18 @@ def q_audio_len_check(spark, sf_dir):
     return _violations(schema, df, ["bytes"], "row_ord")
 
 
+def q_audio_wav_validate(spark, sf_dir):
+    """WAV container validation: parse + cross-check every clip's RIFF
+    header (functions/wav.py) over a warehouse with injected header
+    corruptions (bad magic / wrong length fields / non-PCM format code /
+    truncated payload) — each corruption flips exactly its own flag."""
+    from pandasschema_spark.operators.audio import wav_header_stats
+    from pandasschema_spark.sources.datagen import wav_clips_df
+
+    df = wav_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return wav_header_stats(df)
+
+
 AUDIO_EMBED_N = 2000
 
 
@@ -895,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": q_audio_resample_stats,
         "audio_normalize": q_audio_normalize,
         "audio_embed_ann": q_audio_embed_ann,
+        "audio_wav_validate": q_audio_wav_validate,
     }
 
 
@@ -1456,6 +1469,22 @@ SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
        '<binary ' || CAST(2 * (n // 2) AS VARCHAR) || ' bytes>' AS value,
        'stored PCM length does not match sr_hz * dur_ms' AS message
 FROM g WHERE cls = 3
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        # wav classes: cls = (i // 199) % 4 on i % 199 == 0, i > 0
+        "audio_wav_validate": """
+{fields},
+w AS (SELECT i, sr, n,
+             CASE WHEN i > 0 AND i % 199 = 0 THEN (i // 199) % 4 ELSE -1 END AS wcls
+      FROM g)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       (wcls != 0) AS riff_ok,
+       (wcls != 2) AS fmt_pcm,
+       1 AS channels,
+       CAST(sr AS INT) AS sr_hdr,
+       16 AS bits,
+       CAST(2 * n + CASE WHEN wcls = 1 THEN 2 ELSE 0 END AS BIGINT) AS data_len,
+       (wcls != 1 AND wcls != 3) AS len_ok
+FROM w
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_embed_ann": """
 SELECT 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') AS clip_a,

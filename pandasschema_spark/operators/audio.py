@@ -152,6 +152,61 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
 
 
 # ---------------------------------------------------------------------------
+# WAV container: wrap raw PCM / parse + validate headers
+# ---------------------------------------------------------------------------
+
+WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("riff_ok", T.BooleanType(), False),
+    T.StructField("fmt_pcm", T.BooleanType(), False),
+    T.StructField("channels", T.IntegerType(), False),
+    T.StructField("sr_hdr", T.IntegerType(), False),
+    T.StructField("bits", T.IntegerType(), False),
+    T.StructField("data_len", T.LongType(), False),
+    T.StructField("len_ok", T.BooleanType(), False),
+])
+
+
+def to_wav(df: DataFrame, *, id_col: str = "clip_id", bytes_col: str = "bytes",
+           sr_col: str = "sr_hz") -> DataFrame:
+    """Wrap every clip's raw PCM into a canonical 44-byte-header WAV
+    container (functions/wav.py); one narrow pass, returns
+    (clip_id, bytes, sr_hz)."""
+    from ..functions.wav import wrap_wav
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            out = [wrap_wav(raws[j] or b"", int(srs[j])) for j in range(len(b))]
+            yield pd.DataFrame({"clip_id": ids, "bytes": out, "sr_hz": srs})
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, CLIPS_AUDIO_SCHEMA)
+
+
+def wav_header_stats(df: DataFrame, *, id_col: str = "clip_id",
+                     bytes_col: str = "bytes") -> DataFrame:
+    """Parse + cross-check each clip's WAV header (functions/wav.py
+    parse_wav_header); one narrow pass, all-integer/boolean output so the
+    result hashes identically across engines."""
+    from ..functions.wav import parse_wav_header
+
+    cols = ["riff_ok", "fmt_pcm", "channels", "sr_hdr", "bits", "data_len", "len_ok"]
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            parsed = [parse_wav_header(raws[j]) for j in range(len(b))]
+            out = {"clip_id": ids}
+            out.update({c: [p[c] for p in parsed] for c in cols})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # spectral embedding (bridges the audio payload into the similarity stack)
 # ---------------------------------------------------------------------------
 

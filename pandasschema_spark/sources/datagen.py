@@ -266,6 +266,67 @@ def near_dup_clips_df(spark: SparkSession, n: int, seed: int = 42, *,
     return rng.mapInPandas(gen, CLIPS_SCHEMA)
 
 
+#: WAV-container corruption injection: every row with
+#: i % WAV_INJECT_MOD == 0 and i > 0 has one header defect,
+#: class (i // WAV_INJECT_MOD) % 4:
+#:   0 bad magic ('RIFX')           -> riff_ok False
+#:   1 data_len/riff_size fields +2 -> len_ok False (fields vs file size)
+#:   2 format code 2 (ADPCM)        -> fmt_pcm False
+#:   3 payload truncated by 4 bytes -> len_ok False
+WAV_INJECT_MOD = 199
+WAV_N_CLASSES = 4
+
+
+def wav_injected_class(i: int) -> typing.Optional[int]:
+    if i > 0 and i % WAV_INJECT_MOD == 0:
+        return (i // WAV_INJECT_MOD) % WAV_N_CLASSES
+    return None
+
+
+def _wav_row(seed: int, i: int) -> dict:
+    import struct
+
+    from ..functions.wav import wrap_wav
+
+    f = A.clip_fields(seed, i)
+    wav = bytearray(wrap_wav(A.synth_bytes(seed, i), f["sr_hz"]))
+    cls = wav_injected_class(i)
+    if cls == 0:
+        wav[0:4] = b"RIFX"
+    elif cls == 1:
+        struct.pack_into("<I", wav, 4, struct.unpack_from("<I", wav, 4)[0] + 2)
+        struct.pack_into("<I", wav, 40, struct.unpack_from("<I", wav, 40)[0] + 2)
+    elif cls == 2:
+        struct.pack_into("<H", wav, 20, 2)
+    elif cls == 3:
+        wav = wav[:-4]
+    return {
+        "row_ord": i,
+        "clip_id": f["clip_id"],
+        "bytes": bytes(wav),
+        "sr_hz": f["sr_hz"],
+        "dur_ms": f["dur_ms"],
+        "codec": f["codec"],
+        "transcript": f["transcript"],
+    }
+
+
+def wav_clips_df(spark: SparkSession, n: int, seed: int = 42, *,
+                 partitions: int = None) -> DataFrame:
+    """Clips table whose bytes are WAV containers (canonical 44-byte PCM
+    header + the synthesized samples), with deterministic header
+    corruption per wav_injected_class — drives the wav_header_stats
+    oracle. Metadata columns carry no injected violations."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_wav_row(seed, int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, CLIPS_SCHEMA)
+
+
 def expected_near_dup_pairs(n: int) -> typing.List[typing.Tuple[str, str]]:
     """Closed-form oracle for acoustic_dup_pairs over near_dup_clips_df."""
     out = []

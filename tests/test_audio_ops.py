@@ -183,6 +183,45 @@ def test_acoustic_dup_plan_shape(spark):
     assert "Window" not in plan
 
 
+def test_wav_wrap_parse_roundtrip():
+    from pandasschema_spark.functions.wav import parse_wav_header, wrap_wav
+
+    pcm = b"\x01\x02" * 100
+    p = parse_wav_header(wrap_wav(pcm, 16000))
+    assert p == {"riff_ok": True, "fmt_pcm": True, "channels": 1,
+                 "sr_hdr": 16000, "bits": 16, "data_len": 200, "len_ok": True}
+    assert parse_wav_header(None)["riff_ok"] is False
+    assert parse_wav_header(b"shrt")["len_ok"] is False
+
+
+def test_to_wav_then_stats_consistent(spark, quality_df):
+    """to_wav over the defect table: every header is valid and data_len
+    reflects the stored payload (incl. the truncation class)."""
+    from pandasschema_spark.operators.audio import to_wav, wav_header_stats
+
+    rows = {r["clip_id"]: r for r in wav_header_stats(to_wav(quality_df)).collect()}
+    for i in range(N):
+        s, f = _local_pcm(i)
+        r = rows["clip_{:012d}".format(i)]
+        assert r["riff_ok"] and r["fmt_pcm"] and r["len_ok"]
+        assert r["sr_hdr"] == f["sr_hz"] and r["data_len"] == 2 * s.size
+
+
+def test_wav_corruption_flags(spark):
+    from pandasschema_spark.operators.audio import wav_header_stats
+    from pandasschema_spark.sources.datagen import wav_clips_df, wav_injected_class
+
+    n = 1200
+    rows = {r["clip_id"]: r for r in
+            wav_header_stats(wav_clips_df(spark, n, seed=42, partitions=4)).collect()}
+    for i in range(n):
+        r = rows["clip_{:012d}".format(i)]
+        cls = wav_injected_class(i)
+        assert r["riff_ok"] == (cls != 0)
+        assert r["fmt_pcm"] == (cls != 2)
+        assert r["len_ok"] == (cls not in (1, 3))
+
+
 def test_audio_embed_near_dup_integration(spark):
     """audio -> spectral embedding -> generic IVF near-dup recovers the
     injected re-encodes exactly, on both the arrow and expr impls."""
