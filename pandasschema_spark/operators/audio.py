@@ -490,23 +490,38 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
     Plan shape (the one that survives 10^12 clips — full-corpus PCM bytes
     never enter a shuffle, only candidate-bucket rows do):
 
-    1. one narrow pass computes fingerprints, bytes riding along in place
-       (no shuffle);
+    1. one narrow pass computes the slim (clip_id, fingerprint) table
+       (~40 B/row, persisted — it has three consumers; bytes stay in the
+       source files);
     2. duplicate-bucket detection: groupBy(fingerprint).count() keeps
-       buckets with 2..max_bucket members — only the ~40-byte fingerprint
-       column shuffles into this agg (map-side partial combine). The upper
-       cap kills degenerate hot keys (same rationale as
-       operators/dedup.py's LSH cap; ``max_bucket=None`` = exact). A dedup
-       workload's duplicate-bucket set is small, so it broadcasts;
-    3. a BROADCAST join filters the corpus to candidate rows; only those
-       rows' bytes enter the pair-forming fingerprint self-join shuffle
-       (the rare side of a dedup workload);
+       buckets with 2..max_bucket members — map-side partial combine over
+       the slim table. The upper cap kills degenerate hot keys (same
+       rationale as operators/dedup.py's LSH cap; ``max_bucket=None`` =
+       exact). A dedup workload's duplicate-bucket set is small, so it
+       broadcasts;
+    3. candidate ids broadcast against a second source scan — only
+       candidate rows' bytes are materialized past the scan and only they
+       enter the pair-forming fingerprint self-join shuffle;
     4. verify stage: Arrow-batched pairwise scale-normalized SNR, emitted
        in centi-dB (integer) for cross-engine hashing.
 
     Returns (clip_a < clip_b, snr_centi_db), one row per verified pair.
+    The slim fingerprint table's persist handle is attached to the result
+    (call operators.dedup.release_cached(result) in long-lived sessions).
     """
-    fps = _fingerprint_pass(df, id_col, bytes_col, sr_col, carry_bytes=True)
+    from pyspark import StorageLevel
+
+    from .dedup import _attach_cached
+
+    # slim pass (~40 B/row, no bytes) persisted because three consumers
+    # read it (bucket counts, candidate ids, and their join); persisting
+    # the corpus BYTES instead would be memory-hostile — the raw bytes are
+    # re-read from the source scan only for candidate rows below. At
+    # warehouse scale the persist's equivalent is staging the fingerprint
+    # table to a temp table. Handle attached (df._psf_cached): call
+    # operators.dedup.release_cached(result) in long-lived sessions.
+    fps = _fingerprint_pass(df, id_col, bytes_col, sr_col,
+                            carry_bytes=False).persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = fps.groupBy("fingerprint").count()
     dup_fp = counts.where(F.col("count") >= 2)
@@ -518,7 +533,13 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
         # broadcast_dup_fp=False when it is not (corpora that are mostly
         # duplicates) and Spark plans a shuffle join instead
         dup_keys = F.broadcast(dup_keys)
-    cand = fps.join(dup_keys, "fingerprint")
+    cand_ids = fps.join(dup_keys, "fingerprint")  # slim (clip_id, fingerprint)
+
+    # fetch bytes for candidate rows only: broadcast the (rare) candidate
+    # id set against the source scan — corpus bytes never shuffle
+    fetch_keys = cand_ids if not broadcast_dup_fp else F.broadcast(cand_ids)
+    cand = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col).alias("bytes")) \
+             .join(fetch_keys, "clip_id")
 
     a = cand.select(
         F.col("fingerprint"),
@@ -550,5 +571,6 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
             yield pd.DataFrame({"clip_a": keep_a, "clip_b": keep_b,
                                 "snr_centi_db": keep_snr})
 
-    return cand.select("clip_a", "clip_b", "bytes_a", "bytes_b").mapInPandas(
+    out = cand.select("clip_a", "clip_b", "bytes_a", "bytes_b").mapInPandas(
         verify, DUP_PAIRS_SCHEMA)
+    return _attach_cached(out, [fps])
