@@ -709,6 +709,20 @@ def q_audio_len_check(spark, sf_dir):
     return _violations(schema, df, ["bytes"], "row_ord")
 
 
+def q_audio_segment(spark, sf_dir):
+    """Fixed-window segmentation (25 ms training windows): row-local
+    fan-out to (clip_id, seg_idx) with the closed-form count law
+    n_segments = n_samples // (sr * 25 // 1000); full windows only."""
+    from pandasschema_spark.operators.audio import segment
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    segs = segment(df, 25)
+    return segs.select(
+        "clip_id", "seg_idx",
+        F.length("bytes").cast("long").alias("len_bytes"), "sr_hz")
+
+
 def q_audio_wav_validate(spark, sf_dir):
     """WAV container validation: parse + cross-check every clip's RIFF
     header (functions/wav.py) over a warehouse with injected header
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize": q_audio_normalize,
         "audio_embed_ann": q_audio_embed_ann,
         "audio_wav_validate": q_audio_wav_validate,
+        "audio_segment": q_audio_segment,
     }
 
 
@@ -1469,6 +1484,15 @@ SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
        '<binary ' || CAST(2 * (n // 2) AS VARCHAR) || ' bytes>' AS value,
        'stored PCM length does not match sr_hz * dur_ms' AS message
 FROM g WHERE cls = 3
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        "audio_segment": """
+{fields},
+k AS (SELECT i, sr, CASE WHEN cls = 3 THEN n // 2 ELSE n END AS ns, sr // 40 AS sl FROM g)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(unnest(range(ns // sl)) AS INT) AS seg_idx,
+       CAST(2 * sl AS BIGINT) AS len_bytes,
+       CAST(sr AS INT) AS sr_hz
+FROM k
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         # wav classes: cls = (i // 199) % 4 on i % 199 == 0, i > 0
         "audio_wav_validate": """

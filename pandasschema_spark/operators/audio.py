@@ -152,6 +152,63 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
 
 
 # ---------------------------------------------------------------------------
+# segmentation: fixed-duration training windows
+# ---------------------------------------------------------------------------
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("seg_idx", T.IntegerType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("sr_hz", T.IntegerType(), False),
+])
+
+
+def segment(df: DataFrame, seg_ms: int, *, id_col: str = "clip_id",
+            bytes_col: str = "bytes", sr_col: str = "sr_hz",
+            drop_tail: bool = True) -> DataFrame:
+    """Split every clip into fixed-duration windows of ``seg_ms``
+    (segment length = sr * seg_ms // 1000 samples) — the standard
+    training-window op. One narrow mapInPandas pass fanning each input
+    row out to its segments; with ``drop_tail`` (default) only full
+    windows are emitted (n_segments = n_samples // seg_len, the
+    closed-form law the oracle checks), else the ragged tail becomes a
+    final short segment.
+
+    Fan-out is row-local, so at 10^12 clips this stays a narrow map; the
+    segment id is (clip_id, seg_idx), and downstream repartitioning (for
+    shard-sized output files) is the caller's write-side concern."""
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            out_id, out_idx, out_b, out_sr = [], [], [], []
+            for j in range(len(b)):
+                raw = raws[j] or b""
+                sr = int(srs[j])
+                seg_bytes = 2 * max(sr * seg_ms // 1000, 1)
+                n_full = len(raw) // seg_bytes
+                for k in range(n_full):
+                    out_id.append(ids[j])
+                    out_idx.append(k)
+                    out_b.append(raw[k * seg_bytes:(k + 1) * seg_bytes])
+                    out_sr.append(sr)
+                tail = len(raw) - n_full * seg_bytes
+                if tail and not drop_tail:
+                    out_id.append(ids[j])
+                    out_idx.append(n_full)
+                    out_b.append(raw[n_full * seg_bytes:])
+                    out_sr.append(sr)
+            yield pd.DataFrame({"clip_id": out_id,
+                                "seg_idx": np.array(out_idx, dtype=np.int32),
+                                "bytes": out_b,
+                                "sr_hz": np.array(out_sr, dtype=np.int32)})
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # WAV container: wrap raw PCM / parse + validate headers
 # ---------------------------------------------------------------------------
 

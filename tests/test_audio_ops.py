@@ -187,6 +187,31 @@ def test_acoustic_dup_plan_shape(spark):
     assert "Window" not in plan
 
 
+def test_segment_windows_and_tail(spark, quality_df):
+    from pandasschema_spark.operators.audio import segment
+
+    segs = segment(quality_df, 25).collect()
+    by_clip = {}
+    for r in segs:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for i in range(0, N, 101):
+        s, f = _local_pcm(i)
+        sl = 2 * (f["sr_hz"] * 25 // 1000)
+        got = sorted(by_clip.get("clip_{:012d}".format(i), []),
+                     key=lambda r: r["seg_idx"])
+        assert len(got) == (2 * s.size) // sl
+        assert [r["seg_idx"] for r in got] == list(range(len(got)))
+        if got:  # segment bytes are exact slices of the source
+            k = len(got) // 2
+            expect = s.astype("<i2").tobytes()[k * sl:(k + 1) * sl]
+            assert bytes(got[k]["bytes"]) == expect
+    # keep_tail variant emits the ragged remainder as a final short window
+    tails = segment(quality_df.limit(50), 25, drop_tail=False).collect()
+    full = segment(quality_df.limit(50), 25).collect()
+    assert len(tails) >= len(full)
+    assert all(len(r["bytes"]) > 0 for r in tails)
+
+
 def test_wav_wrap_parse_roundtrip():
     from pandasschema_spark.functions.wav import parse_wav_header, wrap_wav
 
