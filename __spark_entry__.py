@@ -540,8 +540,11 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = S.cosine_topk(emb, queries, k=ANN_K)
-    # floor(cos*1e6) -> exact integer compare across engines (the double
-    # itself is bitwise-reproducible; the int sidesteps float hashing)
+    # floor(cos*1e6) -> exact integer compare across engines. The arrow
+    # matmul reassociates float sums vs the DuckDB fold (<=1-ulp apart);
+    # the 1e-6 quantization absorbs it and ranking equality between the
+    # two impls is asserted in tests — deterministic for this corpus,
+    # not a bitwise guarantee (impl='expr' is the bitwise mode)
     return out.select(
         "query_id", "vec_id", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")
     )

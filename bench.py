@@ -180,7 +180,8 @@ def run_clips_suite(spark: SparkSession, warehouse: str = WAREHOUSE) -> tuple[fl
 
 
 def leg_server(budget: int, n_clips: int) -> None:
-    os.sched_setaffinity(0, range(budget))  # defensive; preexec_fn set it too
+    first = int(os.environ.get("SPARK_GRAFT_LEG_FIRST_CPU", "0"))
+    os.sched_setaffinity(0, range(first, first + budget))  # defensive; preexec_fn set it too
     # Task slots = budget/2: every Arrow-UDF task is a JVM-thread +
     # Python-worker PAIR, so `local[budget]` would put 2x budget runnable
     # threads on the pinned CPUs — measured 3x slower from scheduler
@@ -204,14 +205,24 @@ def leg_server(budget: int, n_clips: int) -> None:
 
 
 class Leg:
-    """Parent-side handle on a pinned leg server."""
+    """Parent-side handle on a pinned leg server.
 
-    def __init__(self, budget: int, n_clips: int):
-        self.budget = min(budget, os.cpu_count() or budget)
+    ``first_cpu`` places the leg on an explicit cpuset so two live legs
+    never overlap: with overlapping sets (narrow 0-3 inside wide 0-15)
+    the idle leg's resident JVM background threads (GC, heartbeats,
+    python worker daemons) run inside the sampling leg's cpuset and
+    systematically deflate its samples."""
+
+    def __init__(self, budget: int, n_clips: int, first_cpu: int = 0):
+        total = os.cpu_count() or budget
+        self.budget = min(budget, total)
+        if first_cpu + self.budget > total:
+            first_cpu = 0  # not enough cores for disjoint sets: overlap
         self.n_clips = n_clips
         env = dict(os.environ, SPARK_GRAFT_LEG_SERVER=str(self.budget),
-                   SPARK_GRAFT_LEG_CLIPS=str(n_clips))
-        cpuset = range(self.budget)
+                   SPARK_GRAFT_LEG_CLIPS=str(n_clips),
+                   SPARK_GRAFT_LEG_FIRST_CPU=str(first_cpu))
+        cpuset = range(first_cpu, first_cpu + self.budget)
         self.cpus = list(cpuset)
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
@@ -256,8 +267,8 @@ class Leg:
             self.proc.kill()
 
 
-def _calib_worker(ncpu: int, dur: float, out, idx: int) -> None:
-    os.sched_setaffinity(0, range(ncpu))
+def _calib_worker(ncpu: int, dur: float, out, idx: int, first_cpu: int = 0) -> None:
+    os.sched_setaffinity(0, range(first_cpu, first_cpu + ncpu))
     t_end = time.time() + dur
     n = 0
     x = 1.0
@@ -268,17 +279,17 @@ def _calib_worker(ncpu: int, dur: float, out, idx: int) -> None:
     out[idx] = n
 
 
-def calibrate(ncpu: int, dur: float = 3.0) -> float:
+def calibrate(ncpu: int, dur: float = 3.0, first_cpu: int = 0) -> float:
     """Ideal-scaling probe: total arithmetic loop iterations achieved by
     ``ncpu`` pinned burn processes in ``dur`` seconds. A perfectly
     parallel workload — any shortfall from linear N->4N scaling measured
     THROUGH THIS PROBE is hypervisor overcommit / steal, not the engine.
-    Run per round so the calibration is contemporaneous with the samples
-    it normalizes."""
+    Run per round (on the same cpuset as the leg it normalizes) so the
+    calibration is contemporaneous with the samples."""
     import multiprocessing as mp
 
     out = mp.Array("d", ncpu)
-    procs = [mp.Process(target=_calib_worker, args=(ncpu, dur, out, i))
+    procs = [mp.Process(target=_calib_worker, args=(ncpu, dur, out, i, first_cpu))
              for i in range(ncpu)]
     for p in procs:
         p.start()
@@ -343,13 +354,21 @@ def main() -> None:
 
     scaling = None
     if not skip_scaling:
-        narrow, wide = Leg(SCALE_NARROW, SCALE_CLIPS), Leg(SCALE_WIDE, SCALE_CLIPS)
+        # disjoint cpusets: wide on [0, W), narrow on [W, W+N) — the idle
+        # leg's resident JVM must not run inside the sampling leg's set
+        wide = Leg(SCALE_WIDE, SCALE_CLIPS, first_cpu=0)
+        narrow = Leg(SCALE_NARROW, SCALE_CLIPS, first_cpu=wide.budget)
         narrow.wait_ready()
         wide.wait_ready()
         if wide.budget <= narrow.budget:
             print("WARNING: CPU budgets collapsed ({} vs {}); scaling "
-                  "criterion not measurable on this host".format(
+                  "criterion not measurable on this host — omitting it "
+                  "rather than reporting a fake ratio".format(
                       narrow.budget, wide.budget), file=sys.stderr)
+            narrow.stop()
+            wide.stop()
+            skip_scaling = True
+    if not skip_scaling:
         ratio = wide.budget / narrow.budget
         # one discarded warm ROUND: the first timed sample after the warm-up
         # +idle gap runs 20-400% slow in BOTH children (post-warm-up GC /
@@ -368,11 +387,18 @@ def main() -> None:
             effs.append(round(eff, 3))
             # contemporaneous ideal-scaling calibration: how much of a 4x
             # CPU grant does the hypervisor actually deliver right now?
-            c_n, c_w = calibrate(narrow.budget), calibrate(wide.budget)
+            # (each probe runs on the SAME cpuset as the leg it normalizes)
+            c_n = calibrate(narrow.budget, first_cpu=narrow.cpus[0])
+            c_w = calibrate(wide.budget, first_cpu=wide.cpus[0])
             calib_effs.append(round((c_w / c_n) / ratio, 3))
             norm_effs.append(round(min(eff / calib_effs[-1], 1.0), 3))
             rounds += 1
-            noisy = max(ns["steal_pct"], ws["steal_pct"]) > 1.0
+            # a burst ANYWHERE in the counted samples justifies extras,
+            # not just one in the final round
+            noisy = any(
+                s["steal_pct"] > 1.0
+                for s in narrow.samples + wide.samples
+            )
             if rounds >= ROUNDS and (_median(effs) >= 0.8 or not noisy):
                 break
             if time.time() - t_scaling0 > 1500:  # wall-clock cap on extras

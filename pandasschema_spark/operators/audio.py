@@ -52,8 +52,14 @@ CLIP_MAG = 32767
 
 
 def _decode(raw) -> np.ndarray:
-    if raw is None or len(raw) == 0:
+    """int16 samples from a binary payload. Odd-length payloads (a corrupt
+    row in the wild) decode their even prefix instead of raising — one bad
+    row must become a flagged value, never a dead Spark stage (the whole
+    point of a validation engine)."""
+    if raw is None or len(raw) < 2:
         return np.empty(0, dtype=np.int64)
+    if len(raw) % 2:
+        raw = raw[: len(raw) - 1]
     return np.frombuffer(raw, dtype="<i2").astype(np.int64)
 
 
@@ -377,7 +383,7 @@ def resample(df: DataFrame, target_sr: int, *, id_col: str = "clip_id",
             out = []
             for j in range(len(b)):
                 res = resample_linear_kernel(
-                    np.frombuffer(raws[j] or b"", dtype="<i2"), int(srs[j]), target_sr)
+                    _decode(raws[j]), int(srs[j]), target_sr)
                 out.append(np.clip(res, -32768, 32767).astype("<i2").tobytes())
             yield pd.DataFrame({"clip_id": ids, "bytes": out,
                                 "sr_hz": np.full(len(b), target_sr, dtype=np.int32)})
@@ -410,7 +416,7 @@ def peak_normalize(df: DataFrame, *, target_peak: int = NORMALIZE_PEAK,
             srs = b[sr_col].to_numpy()
             out = []
             for j in range(len(b)):
-                s = np.frombuffer(raws[j] or b"", dtype="<i2").astype(np.float64)
+                s = _decode(raws[j]).astype(np.float64)
                 peak = np.abs(s).max() if s.size else 0.0
                 if peak > 0.0:
                     np.rint(s * (float(target_peak) / peak), out=s)

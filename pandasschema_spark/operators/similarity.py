@@ -213,13 +213,16 @@ def _cosine_topk_arrow(
     from pyspark.sql import types as T
 
     q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[query_id_col] for r in q_rows])  # any id type
     q_mat = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
+    # id columns keep their input Spark types (string clip ids work too)
+    q_id_type = dict((f.name, f.dataType) for f in queries.schema.fields)[query_id_col]
+    v_id_type = dict((f.name, f.dataType) for f in df.schema.fields)[id_col]
     out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("vec_id", T.LongType()),
+        T.StructField("query_id", q_id_type),
+        T.StructField("vec_id", v_id_type),
         T.StructField("cos", T.DoubleType()),
     ])
 
@@ -364,7 +367,7 @@ def _assign_probe_cells_arrow(queries, centroids, n_probe, query_id_col,
 
     c_rows = sorted(centroids.select("cell", "cvec").collect(),
                     key=lambda r: r["cell"])  # cell-ascending: stable
-    cells = np.array([r["cell"] for r in c_rows], dtype=np.int64)
+    cells = np.array([r["cell"] for r in c_rows])  # any orderable cell type
     cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in c_rows])
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cnorm[cnorm == 0.0] = 1.0
@@ -372,9 +375,10 @@ def _assign_probe_cells_arrow(queries, centroids, n_probe, query_id_col,
     take = min(n_probe, len(cells))
 
     id_type = dict((f.name, f.dataType) for f in queries.schema.fields)[query_id_col]
+    cell_type = dict((f.name, f.dataType) for f in centroids.schema.fields)["cell"]
     schema = T.StructType([
         T.StructField("query_id", id_type),
-        T.StructField("cell", T.LongType()),
+        T.StructField("cell", cell_type),
     ])
 
     def gen(batches):

@@ -71,7 +71,10 @@ def token_marker_count_expr(text: Column, markers: typing.List[str]) -> Column:
     padded = F.concat(
         F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
     )
-    pattern = "(?<= )(?:{})(?= )".format("|".join(sorted(markers, key=len, reverse=True)))
+    # \Q..\E-quote each marker: tokens are compared LITERALLY ('c++',
+    # 'u.s.' must not be parsed as regex syntax / wildcards)
+    quoted = ["\\Q{}\\E".format(m) for m in sorted(markers, key=len, reverse=True)]
+    pattern = "(?<= )(?:{})(?= )".format("|".join(quoted))
     return F.regexp_count(padded, F.lit(pattern)).cast("long")
 
 

@@ -86,10 +86,10 @@ def check_to_spec(v) -> dict:
     """One validation object -> JSON-able spec dict."""
     s = _base_spec(v)
     if isinstance(v, _InverseValidation):
-        return {"type": "not", "of": check_to_spec(v.negated)}
+        return {**s, "type": "not", "of": check_to_spec(v.negated)}
     if isinstance(v, _CombinedValidation):
         op = "or" if v.operator is operator.or_ else "and"
-        return {"type": op, "a": check_to_spec(v.v_a), "b": check_to_spec(v.v_b)}
+        return {**s, "type": op, "a": check_to_spec(v.v_a), "b": check_to_spec(v.v_b)}
     if isinstance(v, InRangeValidation):
         s["type"] = "in_range"
         if v.min != -math.inf:
@@ -190,12 +190,23 @@ def spec_to_check(spec: dict, spark=None):
     specs that resolve external tables (in_table)."""
     t = spec.get("type")
     kw = _base_kw(spec)
+
+    def _combined(check):
+        # ~/|/& construct wrapper objects without a message slot; a
+        # combinator spec's custom message overrides the default quirky
+        # repr-interpolated one ('(a) <built-in function or_> (b)')
+        if "message" in kw:
+            check._custom_message = kw["message"]
+        return check
+
     if t == "not":
-        return ~spec_to_check(spec["of"], spark)
+        return _combined(~spec_to_check(spec["of"], spark))
     if t == "or":
-        return spec_to_check(spec["a"], spark) | spec_to_check(spec["b"], spark)
+        return _combined(
+            spec_to_check(spec["a"], spark) | spec_to_check(spec["b"], spark))
     if t == "and":
-        return spec_to_check(spec["a"], spark) & spec_to_check(spec["b"], spark)
+        return _combined(
+            spec_to_check(spec["a"], spark) & spec_to_check(spec["b"], spark))
     if t == "in_range":
         return InRangeValidation(spec.get("min", -math.inf), spec.get("max", math.inf), **kw)
     if t == "in_list":

@@ -341,3 +341,36 @@ def test_cross_column_expr_pandas_oracle():
     )
     fr = pd.DataFrame({"a": [1, 5, 2], "b": [2, 4, 2]})
     assert list(check.pandas_validate_frame(fr)) == [False, True, True]
+
+
+def test_odd_length_payload_does_not_crash(spark):
+    """A corrupt odd-length payload must flag, not kill the stage."""
+    from pandasschema_spark.operators.audio import audio_stats, peak_normalize, resample
+
+    df = spark.createDataFrame(
+        [("c0", b"\x01\x02\x03", 8000), ("c1", b"\x05", 8000), ("c2", None, 8000)],
+        ["clip_id", "bytes", "sr_hz"],
+    )
+    rows = {r["clip_id"]: r for r in audio_stats(df).collect()}
+    assert rows["c0"]["n_samples"] == 1 and rows["c0"]["len_bytes"] == 3
+    assert rows["c1"]["n_samples"] == 0
+    assert rows["c2"]["n_samples"] == 0 and rows["c2"]["len_bytes"] == 0
+    assert resample(df, 16000).count() == 3
+    assert peak_normalize(df).count() == 3
+
+
+def test_cosine_topk_arrow_string_ids(spark):
+    """The arrow default must accept non-integer id columns."""
+    from pandasschema_spark.operators.audio import audio_embed
+    from pandasschema_spark.operators.similarity import cosine_topk
+
+    df = near_dup_clips_df(spark, 60, seed=42, partitions=2)
+    emb = audio_embed(df).cache()
+    queries = emb.limit(2).select(
+        F.col("clip_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = cosine_topk(emb, queries, k=3,
+                      id_col="clip_id", vec_col="embedding")
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(isinstance(r["vec_id"], str) for r in rows)
+    emb.unpersist()

@@ -354,3 +354,18 @@ def test_bpe_ish_token_count(spark):
     # don | ' | t | stop | , | it | ' | s | 2024 | !
     assert got[0] == 10
     assert got[1] == 0
+
+
+def test_token_marker_literal_matching(spark):
+    """Markers with regex metacharacters must match literally."""
+    from pandasschema_spark.operators.text import token_marker_count_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("i code c++ and cpp daily uXsY u.s. ok",)], ["t"])
+    out = df.select(
+        token_marker_count_expr(F.col("t"), ["c++"]).alias("cpp"),
+        token_marker_count_expr(F.col("t"), ["u.s."]).alias("us"),
+    ).collect()[0]
+    assert out["cpp"] == 1   # no PatternSyntaxException, literal match
+    assert out["us"] == 1    # 'uXsY' must NOT match 'u.s.'

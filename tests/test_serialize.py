@@ -145,3 +145,19 @@ def test_non_default_range_bounds_omitted():
     assert spec == {"type": "in_range", "min": 1}
     s2 = schema_from_dict(d)
     assert s2.columns[0].validations[0].max == math.inf
+
+
+def test_combinator_custom_message_round_trip():
+    from pandasschema_spark.serialize import schema_from_dict, schema_to_dict
+
+    d = {"version": 1, "ordered": False, "columns": [{"name": "a", "checks": [
+        {"type": "or", "message": "neither range nor list",
+         "a": {"type": "in_range", "min": 0, "max": 5},
+         "b": {"type": "in_list", "options": ["x"]}},
+        {"type": "not", "message": "must not be blank-padded",
+         "of": {"type": "trailing_whitespace"}},
+    ]}]}
+    s = schema_from_dict(d)
+    assert s.columns[0].validations[0].message == "neither range nor list"
+    assert s.columns[0].validations[1].message == "must not be blank-padded"
+    assert schema_to_dict(s) == d
