@@ -509,9 +509,11 @@ UDFs, violation-row emission) over a {n:,}-clip parquet warehouse
 No real cluster exists in this sandbox; the two cluster sizes are proxied
 by running the SAME job on the SAME input (a {sc:,}-clip warehouse) under
 two hard CPU budgets — each leg a persistent subprocess pinned with
-`sched_setaffinity` so the JVM and all Python workers together get
-exactly N CPUs (an unpinned `local[4]` with Arrow UDFs would silently use
-~8 CPUs and fake the baseline fast).
+`sched_setaffinity` to a DISJOINT cpuset (narrow leg placed above the
+wide leg's range) so the JVM and all Python workers together get exactly
+N CPUs and the idle leg's resident JVM never runs inside the sampling
+leg's set (an unpinned `local[4]` with Arrow UDFs would silently use ~8
+CPUs and fake the baseline fast).
 
 **Why N=4 -> 4N=16 rather than 8 -> 32:** an ideal-scaling pure-CPU probe
 (pinned burn processes, perfectly parallel, no I/O) scales at ~1.0 going
