@@ -495,7 +495,9 @@ def q_ann_near_dup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(mutated)
-    out = embedding_near_dup_pairs(corpus, threshold=ANN_DUP_THRESHOLD)
+    # impl='expr': the bitwise oracle mode (left-fold == DuckDB
+    # list_reduce); production default is the ~100x arrow scorer
+    out = embedding_near_dup_pairs(corpus, threshold=ANN_DUP_THRESHOLD, impl="expr")
     return out.select(
         "id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")
     )
@@ -524,7 +526,8 @@ def q_ann_near_dup_bucketed(spark, sf_dir):
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
     out = embedding_near_dup_pairs(
-        corpus, threshold=ANN_DUP_THRESHOLD, centroids=centroids, n_probe=2
+        corpus, threshold=ANN_DUP_THRESHOLD, centroids=centroids, n_probe=2,
+        impl="expr",  # bitwise oracle mode; production default is arrow
     )
     return out.select(
         "id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")

@@ -550,8 +550,18 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
     """Acoustic near-duplicate pairs: block on the spectral fingerprint,
     verify candidates with scale-normalized SNR >= ``snr_threshold_db``.
 
-    Plan shape (the one that survives 10^12 clips — full-corpus PCM bytes
-    never enter a shuffle, only candidate-bucket rows do):
+    Plan shape (the one that survives 10^12 clips). With the default
+    ``broadcast_dup_fp=True``, full-corpus PCM bytes never enter a
+    shuffle — only candidate-bucket rows do. With
+    ``broadcast_dup_fp=False`` (corpora that are mostly duplicates, so
+    the candidate id set itself is huge) the candidate fetch is a
+    shuffle join whose probe side is the byte-carrying source scan:
+    non-candidate bytes then cross the wire too unless the engine
+    injects a runtime filter — on a real cluster enable
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (Spark 3.3+) so
+    the candidate-id bloom filter prunes the scan before the exchange;
+    AQE may also demote the join back to broadcast if the candidate set
+    turns out small at runtime.
 
     1. one narrow pass computes the slim (clip_id, fingerprint) table
        (~40 B/row, persisted — it has three consumers; bytes stay in the

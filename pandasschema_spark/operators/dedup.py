@@ -6,9 +6,9 @@ SURVEY.md §2.4). Design targets the 100 TB documents table:
 - **exact_duplicate_ids** shuffles a 16-byte md5 digest, never the text;
   the aggregation is Spark's partial+final hash-agg (map-side combine), so
   the shuffle volume is O(distinct digests), not O(corpus bytes).
-- **n-gram / MinHash math is 100% native Catalyst expressions** (split,
-  transform, aggregate, array_min, conv(md5)) — whole-stage codegen, no
-  Python, and deterministic across engines (the md5-derived 32-bit gram
+- **n-gram / MinHash math is 100% native Catalyst expressions**
+  (regexp_extract_all, aggregate, array_min, conv(md5)) — whole-stage
+  codegen, no Python, and deterministic across engines (the md5-derived 32-bit gram
   hash makes signatures exactly reproducible in any SQL engine, which the
   DuckDB oracles exploit).
 - **LSH banding** turns the quadratic all-pairs problem into a group-by on
@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .text import normalized_text_expr, tokens_expr
+from .text import normalized_text_expr
 
 # 32-bit md5-prefix gram hash, then affine universal hashing mod a prime.
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
@@ -97,11 +97,26 @@ def exact_duplicate_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_ngrams_expr(text: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) of the normalized text as an
     array<string>; documents shorter than n tokens yield their whole token
-    string as the single shingle so they still participate."""
-    toks = tokens_expr(normalized_text_expr(text))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    string as the single shingle so they still participate.
+
+    Codegen-clean: the normalized text is single-space separated, so the
+    overlapping n-grams are exactly the matches of a lookahead regex over
+    it (``regexp_extract_all`` is a native codegen expression) — no
+    F.transform lambda (CodegenFallback, the 4x interpreted-projection
+    regression tests/test_plan_quality.py guards against)."""
+    norm = normalized_text_expr(text)
+    # space-pad so a `(?<= )` lookbehind anchors every match at a TOKEN
+    # start (a bare lookahead matches at every character offset); the
+    # lookahead keeps matches overlapping (nothing is consumed)
+    raw = F.regexp_extract_all(
+        F.concat(F.lit(" "), norm),
+        F.lit(r"(?<= )(?=((?:\S+ ){%d}\S+))" % (n - 1)), 1)
+    grams = (
+        F.when(norm.isNull(), F.lit(None).cast("array<string>"))
+        # < n tokens (incl. empty text -> ['']): the whole normalized
+        # string is the single shingle, same as the slice-based form
+        .when(F.size(raw) > 0, raw)
+        .otherwise(F.array(norm))
     )
     return F.array_distinct(grams)
 

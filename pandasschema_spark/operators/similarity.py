@@ -113,10 +113,17 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     centroids: DataFrame = None,
     n_probe: int = 2,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
+
+    ``impl='arrow'`` (default, same as cosine_topk): one vectorized numpy
+    pass per Arrow batch scores candidates ~100x faster than the
+    per-element expression fold on wide embeddings; identical result set
+    at any healthy threshold margin. ``impl='expr'`` is the bitwise
+    oracle mode (left-to-right fold == DuckDB list_reduce) kept for
+    cross-engine hash parity.
 
     With centroids (the scale path): IVF multi-probe blocking — every
     vector is assigned to its ``n_probe`` nearest cells

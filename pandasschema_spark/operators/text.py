@@ -72,8 +72,12 @@ def token_marker_count_expr(text: Column, markers: typing.List[str]) -> Column:
         F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
     )
     # \Q..\E-quote each marker: tokens are compared LITERALLY ('c++',
-    # 'u.s.' must not be parsed as regex syntax / wildcards)
-    quoted = ["\\Q{}\\E".format(m) for m in sorted(markers, key=len, reverse=True)]
+    # 'u.s.' must not be parsed as regex syntax / wildcards). A marker
+    # that itself contains the two-char sequence \E would end the quote
+    # region early — standard Pattern.quote handling: close the region,
+    # emit an escaped backslash + E, reopen (\E -> \E\\E\Q).
+    quoted = ["\\Q{}\\E".format(m.replace("\\E", "\\E\\\\E\\Q"))
+              for m in sorted(markers, key=len, reverse=True)]
     pattern = "(?<= )(?:{})(?= )".format("|".join(quoted))
     return F.regexp_count(padded, F.lit(pattern)).cast("long")
 

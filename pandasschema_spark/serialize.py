@@ -167,7 +167,9 @@ def check_to_spec(v) -> dict:
         return {"type": "cross_column_sql", "columns": list(v.input_columns),
                 "sql": sql, "message": v.message}
     if isinstance(v, IsDtypeValidation):
-        return {"type": "is_dtype", "dtype": np.dtype(v.dtype).name}
+        # merge _base_spec so a custom message/mode round-trips like on
+        # every other check type
+        return {**s, "type": "is_dtype", "dtype": np.dtype(v.dtype).name}
     raise PanSchArgumentError(
         "{} wraps arbitrary Python callables and cannot be serialized; "
         "use the cross_column_sql / matches_pattern / can_convert spec "
@@ -194,7 +196,14 @@ def spec_to_check(spec: dict, spark=None):
     def _combined(check):
         # ~/|/& construct wrapper objects without a message slot; a
         # combinator spec's custom message overrides the default quirky
-        # repr-interpolated one ('(a) <built-in function or_> (b)')
+        # repr-interpolated one ('(a) <built-in function or_> (b)').
+        # 'mode' has no meaning on the wrapper (each child spec carries
+        # its own) — reject rather than silently discard a config that
+        # thinks it forced pandas/native evaluation
+        if "mode" in kw:
+            raise PanSchArgumentError(
+                "'mode' is not valid on a combinator spec ({}) — set it on "
+                "the child specs instead".format(t))
         if "message" in kw:
             check._custom_message = kw["message"]
         return check
@@ -242,7 +251,10 @@ def spec_to_check(spec: dict, spark=None):
     if t == "cross_column_sql":
         return cross_column_sql_check(spec["columns"], spec["sql"], spec["message"])
     if t == "is_dtype":
-        return IsDtypeValidation(np.dtype(spec["dtype"]))
+        if "mode" in kw:
+            raise PanSchArgumentError(
+                "'mode' is not valid on the frame-level is_dtype spec")
+        return IsDtypeValidation(np.dtype(spec["dtype"]), **kw)
     raise PanSchArgumentError("unknown check spec type {!r}".format(t))
 
 

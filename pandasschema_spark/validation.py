@@ -708,13 +708,22 @@ class IsDtypeValidation(_BaseValidation):
 
     is_frame_level = True
 
-    def __init__(self, dtype: np.dtype):
+    def __init__(self, dtype: np.dtype, message: str = None):
+        # engine extension: the reference ctor rejects message= (its
+        # _BaseValidation has no kwargs), but the serializer's round-trip
+        # guarantee needs somewhere to carry one
         self.dtype = dtype
+        self._custom_message = message
+
+    @property
+    def message(self):
+        return self._custom_message
 
     def get_errors_for_type(self, name: str, spark_type: T.DataType):
         actual = spark_type_to_numpy(spark_type)
         if not np.issubdtype(actual, self.dtype):
             return [ValidationWarning(
+                self._custom_message or
                 "The column {} has a dtype of {} which is not a subclass of the required type {}".format(
                     name, actual, self.dtype))]
         return []
@@ -723,6 +732,7 @@ class IsDtypeValidation(_BaseValidation):
     def get_errors(self, series: pd.Series, column=None):
         if not np.issubdtype(series.dtype, self.dtype):
             return [ValidationWarning(
+                self._custom_message or
                 "The column {} has a dtype of {} which is not a subclass of the required type {}".format(
                     column.name if column else "", series.dtype, self.dtype))]
         return []

@@ -369,3 +369,41 @@ def test_token_marker_literal_matching(spark):
     ).collect()[0]
     assert out["cpp"] == 1   # no PatternSyntaxException, literal match
     assert out["us"] == 1    # 'uXsY' must NOT match 'u.s.'
+
+
+def test_word_ngrams_edge_cases(spark):
+    """Regex-based shingling must keep the slice-based form's edge
+    semantics: token-anchored overlapping trigrams; <n-token docs yield
+    the whole normalized text as one shingle; empty text -> ['']; null
+    text -> null (row dropped by explode)."""
+    from pandasschema_spark.operators.dedup import word_ngrams_expr
+
+    df = spark.createDataFrame(
+        [(1, "The  quick Brown fox jumps"), (2, "one two"), (3, "   "),
+         (4, None), (5, "ab ab ab ab")],
+        "id int, text string")
+    rows = {r["id"]: r["g"] for r in df.select(
+        "id", word_ngrams_expr(F.col("text"), 3).alias("g")).collect()}
+    assert rows[1] == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    assert rows[2] == ["one two"]
+    assert rows[3] == [""]
+    assert rows[4] is None
+    assert rows[5] == ["ab ab ab"]  # array_distinct collapses repeats
+
+
+def test_marker_count_literal_backslash_e(spark):
+    """A marker containing the 2-char sequence \\E must not end the
+    \\Q...\\E quote region early (Pattern.quote split-and-requote)."""
+    from pandasschema_spark.operators.text import token_marker_count_expr
+
+    df = spark.createDataFrame(
+        [(1, r"ok a\eb ok .*"), (2, r"a\Eb nothing")], "id int, text string")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id",
+        token_marker_count_expr(F.col("text"), ["ok", "a\\Eb", ".*"]).alias("c"),
+    ).collect()}
+    # text is lowercased before matching: 'a\Eb' token never matches the
+    # uppercase-E marker, '.*' matches only literally, and the quoting
+    # must not throw or corrupt the alternation
+    assert out[1] == 3  # two 'ok' + literal '.*'
+    assert out[2] == 0

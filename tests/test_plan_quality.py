@@ -137,3 +137,16 @@ def test_binary_column_read_only_when_checked(spark):
         assert reads
         for read in reads:
             assert "bytes" not in read, "bytes column must be pruned when no PCM check is present"
+
+
+def test_ngram_projection_codegen_clean(spark):
+    """The n-gram shingle projection (Jaccard/MinHash gram space) must be
+    native regexp_extract_all, not an F.transform lambda — the last
+    CodegenFallback HOF the r2 audit flagged."""
+    from pandasschema_spark.operators import dedup as D
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = plan_of(D.doc_grams(docs, "text", "doc_id"))
+    assert "lambdafunction" not in plan.lower(), \
+        "gram projection fell off the codegen path:\n" + plan[:2000]
+    assert plan.count("Scan parquet") == 1

@@ -161,3 +161,36 @@ def test_combinator_custom_message_round_trip():
     assert s.columns[0].validations[0].message == "neither range nor list"
     assert s.columns[0].validations[1].message == "must not be blank-padded"
     assert schema_to_dict(s) == d
+
+
+def test_combinator_mode_rejected():
+    """'mode' on a combinator spec would be silently discarded (the
+    wrapper has no evaluation mode of its own) — it must raise instead of
+    letting a config believe it forced pandas/native evaluation."""
+    import pytest as _pytest
+
+    from pandasschema_spark.errors import PanSchArgumentError
+    from pandasschema_spark.serialize import spec_to_check
+
+    with _pytest.raises(PanSchArgumentError, match="combinator"):
+        spec_to_check({"type": "not", "mode": "pandas",
+                       "of": {"type": "trailing_whitespace"}})
+    # mode on the CHILD is the supported spelling
+    spec_to_check({"type": "not", "of": {"type": "trailing_whitespace",
+                                         "mode": "pandas"}})
+
+
+def test_is_dtype_message_round_trip():
+    """IsDtypeValidation must round-trip a custom message like every
+    other check type (it used to drop _base_spec)."""
+    import numpy as np
+
+    from pandasschema_spark.serialize import check_to_spec, spec_to_check
+    from pandasschema_spark.validation import IsDtypeValidation
+
+    v = IsDtypeValidation(np.int64, message="ints only")
+    s = check_to_spec(v)
+    assert s["message"] == "ints only"
+    v2 = spec_to_check(s)
+    assert v2.message == "ints only"
+    assert np.dtype(v2.dtype) == np.dtype(np.int64)
