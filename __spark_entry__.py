@@ -406,6 +406,25 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: Jaccard pairs over a 3-tier corpus
+    (base, +' zz yy', +' zz yy qq rr ss tt') form chains A~B~C where A~C
+    alone can sit below threshold; connected components (alternating
+    large-star/small-star, operators/graph.py) collapse every chain to
+    its minimum-id cluster — the closure a keep-one dedup policy needs.
+    Oracle: the same edge set closed with a DuckDB recursive CTE."""
+    from pandasschema_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat("text", F.lit(" zz yy")).alias("text"))
+    m2 = docs.select((F.col("doc_id") + 20000).alias("doc_id"),
+                     F.concat("text", F.lit(" zz yy qq rr ss tt")).alias("text"))
+    corpus = docs.unionByName(m1).unionByName(m2)
+    pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def q_text_tokens(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -460,6 +479,68 @@ def q_schema_dispatch(spark, sf_dir):
     out += [("dtype", w.row, str(w.column), w.message) for w in r3.frame_warnings]
 
     return spark.createDataFrame(out, "scenario string, row long, col string, message string")
+
+
+def q_audio_sr_drift(spark, sf_dir):
+    """north_rule-named check: distribution drift on sr_hz between two
+    ingest batches (first vs second half of the audio corpus). The
+    Spark side is drift.two_sample_categorical_counts — both histograms
+    out of ONE shuffle; the chi-square p-value math on the O(4)-row
+    result is pytest-covered (tests/test_drift.py). Oracle re-derives
+    every clip's sr closed-form from the sha256 synthesis rule."""
+    from pandasschema_spark.operators.drift import two_sample_categorical_counts
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    ref = df.where(F.col("row_ord") < AUDIO_N // 2)
+    cand = df.where(F.col("row_ord") >= AUDIO_N // 2)
+    out = two_sample_categorical_counts(ref, cand, "sr_hz")
+    return out.select(F.col("bucket").cast("long").alias("sr_hz"),
+                      "c_ref", "c_cand")
+
+
+def q_sample_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5-bucket ranges over
+    doc_id): reproducible across engines, runs and repartitioning — the
+    oracle reproduces the EXACT same membership row-for-row. Row-local
+    codegen filter, zero shuffles."""
+    from pandasschema_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the events table into
+    per-session rows. One shuffle keyed by user_id: the two windows and
+    the per-session agg all reuse the hash(user_id) exchange."""
+    from pandasschema_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
+def q_val_quarantine(spark, sf_dir):
+    """Clean/quarantine split (ValidationResult.split): every orders row
+    labeled by whether it violates any check — the two-table write an
+    ingest pipeline does with violations. Scale shape: violating keys
+    distinct-aggregated + BROADCAST against two scans; the fact table
+    never shuffles."""
+    df = _t(spark, sf_dir, "orders")
+    schema = Schema([
+        Column("o_totalprice", [InRangeValidation(1000, 400000)]),
+        Column("o_orderpriority",
+               [InListValidation(["1-URGENT", "2-HIGH", "3-MEDIUM"])]),
+    ])
+    res = schema.validate(df, columns=["o_totalprice", "o_orderpriority"],
+                          row_key="o_orderkey")
+    clean, quar = res.split(df, "o_orderkey")
+
+    def pick(d, side):
+        return d.select("o_orderkey", "o_totalprice", "o_orderpriority",
+                        F.lit(side).alias("side"))
+
+    return pick(clean, "clean").unionByName(pick(quar, "quarantined"))
 
 
 def q_stats_profile(spark, sf_dir):
@@ -904,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "text_tokens": q_text_tokens,
         "text_subtokens": q_text_subtokens,
         "text_quality": q_text_quality,
@@ -913,6 +995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup": q_ann_near_dup,
         "ann_near_dup_bucketed": q_ann_near_dup_bucketed,
+        "val_quarantine": q_val_quarantine,
+        "events_sessionize": q_events_sessionize,
+        "sample_splits": q_sample_splits,
+        "audio_sr_drift": q_audio_sr_drift,
         "stats_profile": q_stats_profile,
         "schema_dispatch": q_schema_dispatch,
         "clips_validate": q_clips_validate,
@@ -1256,6 +1342,43 @@ FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
 """.format(corpus=_DOC_CORPUS_SQL, sigs=_minhash_sig_sql()),
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": """
+WITH RECURSIVE
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text || ' zz yy' FROM documents
+    UNION ALL
+    SELECT doc_id + 20000, text || ' zz yy qq rr ss tt' FROM documents
+),
+norm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+gramsets AS (
+    SELECT id,
+           list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gs
+    FROM toks
+),
+grams AS (SELECT id, u.g FROM gramsets, unnest(gs) AS u(g)),
+sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+common AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT id_a, id_b
+    FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+),
+bi AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+    SELECT a, b FROM bi
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+""",
         "text_tokens": """
 SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
 """.format(toks=_TOKS),
@@ -1416,6 +1539,50 @@ SELECT 'missing_column_viol_rows', -1, 'None', '0'
 UNION ALL
 SELECT 'dtype', -1, 'None',
        'The column o_orderkey has a dtype of int64 which is not a subclass of the required type <class ''numpy.float64''>'
+""",
+        "audio_sr_drift": """
+{fields}
+SELECT CAST(sr AS BIGINT) AS sr_hz,
+       CAST(sum(CASE WHEN i < {half} THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       CAST(sum(CASE WHEN i >= {half} THEN 1 ELSE 0 END) AS BIGINT) AS c_cand
+FROM g GROUP BY sr
+""".format(fields=_audio_fields_sql(AUDIO_N), half=AUDIO_N // 2),
+        "sample_splits": """
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            WHEN b < 1000000 THEN 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS b
+    FROM documents
+)
+""",
+        "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sno
+    FROM flagged
+)
+SELECT user_id, min(event_id) AS session_id,
+       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM sess GROUP BY user_id, sno
+""",
+        "val_quarantine": """
+SELECT o_orderkey, o_totalprice, o_orderpriority,
+       CASE WHEN (o_totalprice >= 1000 AND o_totalprice < 400000)
+             AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+            THEN 'clean' ELSE 'quarantined' END AS side
+FROM orders
 """,
         "stats_profile": """
 SELECT 'l_quantity' AS "column", count(l_quantity) AS n,

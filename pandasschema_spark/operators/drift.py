@@ -83,6 +83,55 @@ def chi_square_drift(
     return DriftResult(column, "chi_square", stat, p, int(n), p < alpha, alpha, buckets)
 
 
+def two_sample_categorical_counts(
+    df_ref: DataFrame, df_cand: DataFrame, column: str
+) -> DataFrame:
+    """(bucket, c_ref, c_cand): both histograms in ONE shuffle — the
+    frames are tagged and unioned so the counts come out of a single
+    partial+final hash agg, O(categories) output. The building block for
+    reference-vs-candidate drift on e.g. sr_hz between ingest batches."""
+    tagged = df_ref.select(
+        F.col(column).alias("bucket"), F.lit(1).alias("__ref__")
+    ).unionAll(
+        df_cand.select(F.col(column).alias("bucket"), F.lit(0).alias("__ref__"))
+    )
+    return tagged.groupBy("bucket").agg(
+        F.sum("__ref__").cast("long").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("__ref__")).cast("long").alias("c_cand"),
+    )
+
+
+def chi_square_two_sample(
+    df_ref: DataFrame,
+    df_cand: DataFrame,
+    column: str,
+    alpha: float = 0.001,
+) -> DriftResult:
+    """Two-sample chi-square homogeneity test: did the candidate batch's
+    category distribution drift from the reference batch's? Standard
+    statistic sum_j (a_j*sqrt(nb/na) - b_j*sqrt(na/nb))^2 / (a_j+b_j),
+    dof = k-1. Spark does one O(categories) agg; numpy does the O(k)
+    statistic on the driver."""
+    rows = two_sample_categorical_counts(df_ref, df_cand, column).collect()
+    a = np.array([r["c_ref"] for r in rows], dtype=float)
+    b = np.array([r["c_cand"] for r in rows], dtype=float)
+    na, nb = a.sum(), b.sum()
+    if na == 0 or nb == 0:
+        raise ValueError("both samples must be non-empty for two-sample chi-square")
+    k1, k2 = np.sqrt(nb / na), np.sqrt(na / nb)
+    tot = a + b
+    mask = tot > 0
+    stat = float((((a * k1 - b * k2) ** 2)[mask] / tot[mask]).sum())
+    dof = max(int(mask.sum()) - 1, 1)
+    p = _stats.chi2_sf(stat, dof)
+    buckets = [
+        (str(r["bucket"]), float(bj), float(aj * nb / na))
+        for r, aj, bj in zip(rows, a, b)
+    ]
+    return DriftResult(column, "chi_square_2sample", stat, p, int(na + nb),
+                       p < alpha, alpha, buckets)
+
+
 def binned_histogram(
     df: DataFrame, column: str, lo: float, hi: float, n_bins: int
 ) -> np.ndarray:

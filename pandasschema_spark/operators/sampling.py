@@ -1,0 +1,78 @@
+"""Deterministic content-hash sampling and train/val/test splits.
+
+Engine extension (no reference analog — SURVEY.md §2.5). Training-data
+pipelines need samples that are (a) reproducible across runs and
+engines, (b) stable under repartitioning and appends, and (c) cheap at
+10^12 rows. ``df.sample()`` gives none of these (seeded per-partition
+RNG: the sample changes whenever partitioning does). Hashing the ROW
+KEY gives all three: a row's split membership is a pure function of its
+id, so late-arriving data lands in the same splits and two engines
+agree row-for-row (the DuckDB oracle reproduces the exact sample).
+
+Mechanism: bucket = md5-derived 32-bit integer of the id (same
+conv(substr(md5)) primitive the dedup stack uses) modulo ``denom``.
+A row is in-sample iff bucket < frac*denom. Zero shuffles — the filter
+is a row-local codegen projection that fuses into the scan, so a 1%
+sample of 100 TB reads as a pushed-down scan + filter, and downstream
+ops see ordinary DataFrames.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_DENOM = 1_000_000
+
+
+def hash_bucket_expr(key: Column, denom: int = DEFAULT_DENOM,
+                     salt: str = "") -> Column:
+    """Uniform integer in [0, denom): first 8 md5 hex chars of
+    (salt || key) parsed base-16, mod denom. Engine-portable — DuckDB:
+    CAST(concat('0x', substr(md5(salt || key), 1, 8)) AS BIGINT) % denom."""
+    h = F.md5(F.encode(F.concat(F.lit(salt), key.cast("string")), "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % denom)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    salt: str = "",
+    denom: int = DEFAULT_DENOM,
+) -> DataFrame:
+    """Rows whose hash bucket falls below ``fraction`` — reproducible,
+    repartition-proof, append-stable. ``salt`` decorrelates independent
+    samples over the same keys."""
+    return df.where(
+        hash_bucket_expr(F.col(id_col), denom, salt) < int(fraction * denom))
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: typing.Dict[str, float],
+    *,
+    salt: str = "",
+    denom: int = DEFAULT_DENOM,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a split label ('train'/'val'/'test'/...) from contiguous hash
+    ranges; fractions must sum to <= 1 (remainder labeled NULL so a
+    holdout is explicit, not silent). Dict insertion order fixes the
+    range layout, so the assignment is stable for a given spec."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split fractions sum to {} > 1".format(total))
+    bucket = hash_bucket_expr(F.col(id_col), denom, salt)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    cases = []
+    for name, frac in splits.items():
+        lo, hi = hi, hi + int(frac * denom)
+        cases.append((lo, hi, name))
+    for lo, hi_b, name in reversed(cases):
+        expr = F.when((bucket >= lo) & (bucket < hi_b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -1,0 +1,102 @@
+"""Gap-based sessionization over event streams.
+
+Engine extension (no reference analog — SURVEY.md §2.5): assign every
+event to a session, where a session ends when the gap to the user's next
+event exceeds ``gap_us`` microseconds. The batch building block for
+engagement metrics, rate-limit validation windows, and per-session
+training-example assembly.
+
+Scale shape at 10^12 events: ONE shuffle keyed by user_id. The lag
+window and the running-sum window share the same (user_id) partitioning
+and (ts, event_id) ordering — one Exchange + Sort. The per-session
+aggregation groups on (user_id, session_no), which hash(user_id)
+partitioning already satisfies (ClusteredDistribution subset rule), so
+it adds NO second exchange — just a map-side-combinable agg
+(tests/test_plan_quality.py locks the single-exchange property). Hot
+users (bots) are the skew risk: at warehouse scale pre-filter by a
+per-user event cap (groupBy-count + broadcast anti-join, same pattern
+as the LSH bucket cap) before sessionizing. The streaming analog is
+``F.session_window`` with a watermark.
+
+Determinism: timestamps compare as integer microseconds (unix_micros ==
+DuckDB epoch_us), session identity is (min event_id in session) — pure
+functions of the data, safe for cross-engine oracle hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _epoch_us(ts_col: str):
+    """Wall-clock microseconds since epoch, timezone-free: parquet event
+    times load as TIMESTAMP_NTZ (which unix_micros rejects), so diff
+    against the NTZ epoch instead — bit-equal to DuckDB's epoch_us on
+    the same naive timestamps, and independent of the session timezone
+    for NTZ sources (tz-aware inputs are first localized to session
+    wall time by the cast)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+
+
+def _with_session_no(df, user_col, ts_col, id_col, gap_us):
+    us = _epoch_us(ts_col)
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_no", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """Per-event session labels: input columns plus
+    (session_no, session_id) where session_no is the user's 1-based
+    session ordinal and session_id the minimum event id in the session.
+    The session_id window partitions on (user, session_no), which the
+    existing hash(user) exchange already satisfies — re-sort only."""
+    with_no = _with_session_no(df, user_col, ts_col, id_col, gap_us)
+    w_sess = Window.partitionBy(user_col, "session_no")
+    return with_no.withColumn("session_id", F.min(id_col).over(w_sess))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """One row per session: (user_id, session_id, n_events, start_us,
+    end_us, duration_us). session_id = min event id in the session.
+    All integer-exact for cross-engine parity."""
+    us = _epoch_us(ts_col)
+    with_no = _with_session_no(df, user_col, ts_col, id_col, gap_us)
+    return (
+        with_no.withColumn("__us__", us)
+        .groupBy(F.col(user_col), F.col("session_no"))
+        .agg(
+            F.min(id_col).alias("session_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__us__").alias("start_us"),
+            F.max("__us__").alias("end_us"),
+        )
+        .select(
+            user_col, "session_id", "n_events", "start_us", "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )

@@ -74,6 +74,42 @@ class ValidationResult:
             .agg(F.count("*").alias("fail_count"))
         )
 
+    def split(
+        self,
+        df: DataFrame,
+        row_key: str,
+        *,
+        broadcast_bad: bool = True,
+    ) -> typing.Tuple[DataFrame, DataFrame]:
+        """(clean, quarantined): partition ``df`` by whether its
+        ``row_key`` appears in the violations — the split an ingest
+        pipeline writes to its clean and quarantine tables.
+
+        ``df`` must be the frame this result was produced from (or share
+        its row-key space) and ``row_key`` the same key passed to
+        validate. Scale shape: violating keys are distinct-aggregated
+        (output rows = violating rows, typically rare) and BROADCAST
+        against two scans of the source — the 10^12-row table itself
+        never shuffles. Pass ``broadcast_bad=False`` when violations are
+        NOT rare (a poisoned batch); Spark then plans shuffle joins and
+        AQE can still demote them back to broadcast at runtime.
+
+        Raises PanSchArgumentError on an early-returned result (the
+        column-count precheck failed — there is no row-level verdict)."""
+        from pyspark.sql import functions as F
+
+        if self.violations is None:
+            raise PanSchArgumentError(
+                "cannot split on an early-returned result (column-count "
+                "precheck failed before any row was validated)")
+        bad = self.violations.select(F.col("row").alias("__bad_row__")).distinct()
+        if broadcast_bad:
+            bad = F.broadcast(bad)
+        key = F.col(row_key).cast("long")
+        clean = df.join(bad, key == F.col("__bad_row__"), "left_anti")
+        quarantined = df.join(bad, key == F.col("__bad_row__"), "left_semi")
+        return clean, quarantined
+
     def collect_warnings(self, limit: int = None) -> typing.List[ValidationWarning]:
         """Materialize the reference's sorted warning list.
 

@@ -74,3 +74,34 @@ class Warehouse:
             df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def write_bucketed(self, df: DataFrame, table: str, bucket_col: str,
+                       n_buckets: int,
+                       sort_col: typing.Optional[str] = None) -> None:
+        """Catalog-registered bucketed table (Spark native bucketing):
+        rows hash-clustered into ``n_buckets`` files per partition by
+        ``bucket_col``, optionally sorted within buckets.
+
+        THE co-location primitive at 100 TB: two tables bucketed the
+        same way join WITHOUT an Exchange (and without even a Sort when
+        sort_col matches the join key) — the shuffle that dominates a
+        fact-fact join is paid ONCE at write time and amortized over
+        every subsequent join/aggregation on that key
+        (tests/test_plan_quality.py::test_bucketed_join_no_exchange
+        locks the exchange-free plan). Iceberg equivalent: a
+        bucket(n, col) partition transform + storage-partitioned joins.
+
+        Note: bucketed tables live in the session catalog (saveAsTable),
+        not at a bare path — read them back with spark.table(table).
+        Repartition to n_buckets first so each bucket is one well-sized
+        file instead of one file per task per bucket (the small-files
+        explosion CLAUDE.md warns about for partitionBy)."""
+        from pyspark.sql import functions as F
+
+        w = (df.repartition(n_buckets, F.col(bucket_col))
+             .write.mode("overwrite").format("parquet")
+             .option("path", self.path(table))
+             .bucketBy(n_buckets, bucket_col))
+        if sort_col is not None:
+            w = w.sortBy(sort_col)
+        w.saveAsTable(table)

@@ -150,3 +150,59 @@ def test_ngram_projection_codegen_clean(spark):
     assert "lambdafunction" not in plan.lower(), \
         "gram projection fell off the codegen path:\n" + plan[:2000]
     assert plan.count("Scan parquet") == 1
+
+
+def test_sessionize_single_exchange(spark):
+    """session_stats must plan exactly ONE shuffle (hash(user_id)): the
+    windows share the sort, and the (user, session_no) aggregation is
+    satisfied by the user_id partitioning (ClusteredDistribution subset
+    rule) — a second Exchange would double the dominant cost at 10^12
+    events."""
+    from pandasschema_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = plan_of(session_stats(ev))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan[:3000]
+
+
+def test_quarantine_split_broadcasts_bad_keys(spark):
+    """ValidationResult.split must broadcast the violating-key set — the
+    fact table itself must not shuffle."""
+    from pandasschema_spark.validation import InRangeValidation as IR
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    schema = Schema([Column("l_quantity", [IR(1, 25)])])
+    res = schema.validate(li, columns=["l_quantity"], row_key="l_orderkey")
+    clean, quar = res.split(li, "l_orderkey")
+    for side in (clean, quar):
+        plan = plan_of(side)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0], \
+            "fact side must not shuffle"
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO Exchange operators — the write-once-amortize-forever
+    co-location primitive for repeated fact-fact joins at scale."""
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path))
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        wh.write_bucketed(a, "bk_a", "k", 4, sort_col="k")
+        wh.write_bucketed(b, "bk_b", "k", 4, sort_col="k")
+        # disable broadcast so the tiny test tables take the fact-fact
+        # (sort-merge) path the bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan[:3000]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

@@ -1,0 +1,57 @@
+"""Deterministic hash sampling: reproducibility and partition-invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+)
+
+
+def test_sample_is_repartition_invariant(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 0.3).collect()}
+    s2 = {r["k"] for r in
+          deterministic_sample(df.repartition(13), "k", 0.3).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 2000 < 0.4
+
+
+def test_sample_is_append_stable(spark):
+    small = spark.range(0, 500).select(F.col("id").alias("k"))
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    s_small = {r["k"] for r in deterministic_sample(small, "k", 0.5).collect()}
+    s_big = {r["k"] for r in deterministic_sample(big, "k", 0.5).collect()}
+    assert s_small == {k for k in s_big if k < 500}
+
+
+def test_salt_decorrelates(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.5, salt="a").collect()}
+    b = {r["k"] for r in deterministic_sample(df, "k", 0.5, salt="b").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.3 < overlap < 0.7  # independent-ish, not identical
+
+
+def test_splits_partition_and_cover(spark):
+    df = spark.range(0, 1500).select(F.col("id").alias("k"))
+    out = assign_splits(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["c"] for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert None not in counts  # fractions sum to 1 -> full coverage
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_splits_holdout_is_explicit(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    out = assign_splits(df, "k", {"train": 0.5})
+    labels = {r["split"] for r in out.collect()}
+    assert labels == {"train", None}
+
+
+def test_splits_overcommit_raises(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="sum"):
+        assign_splits(df, "k", {"a": 0.7, "b": 0.5})

@@ -1,0 +1,72 @@
+"""Gap sessionization + clean/quarantine split."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pandasschema_spark import Column, Schema
+from pandasschema_spark.operators.sessions import session_stats, sessionize
+from pandasschema_spark.validation import InRangeValidation
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 61 min between event 2 and 3)
+        (0, t0, 1), (1, t0 + dt.timedelta(minutes=10), 1),
+        (2, t0 + dt.timedelta(minutes=29), 1),
+        (3, t0 + dt.timedelta(minutes=90), 1),
+        # user 2: one session, events out of id order
+        (5, t0 + dt.timedelta(minutes=5), 2), (4, t0, 2),
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+
+def test_sessionize_labels(spark):
+    out = sessionize(_events(spark)).collect()
+    by_id = {r["event_id"]: (r["session_no"], r["session_id"]) for r in out}
+    assert by_id[0] == (1, 0) and by_id[1] == (1, 0) and by_id[2] == (1, 0)
+    assert by_id[3] == (2, 3)
+    assert by_id[4] == (1, 4) and by_id[5] == (1, 4)
+
+
+def test_session_stats(spark):
+    out = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+           for r in session_stats(_events(spark)).collect()}
+    assert out[(1, 0)] == (3, 29 * 60 * 1_000_000)
+    assert out[(1, 3)] == (1, 0)
+    assert out[(2, 4)] == (2, 5 * 60 * 1_000_000)
+
+
+def test_gap_boundary_is_strict(spark):
+    # gap EXACTLY equal to the threshold stays in the same session
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, 1), (1, t0 + dt.timedelta(minutes=30), 1)],
+        "event_id long, ts timestamp, user_id long")
+    assert session_stats(df).count() == 1
+
+
+def test_split_clean_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, None), (4, 7.0)], "k long, x double")
+    schema = Schema([Column("x", [InRangeValidation(0, 10)])])
+    res = schema.validate(df, columns=["x"], row_key="k")
+    clean, quar = res.split(df, "k")
+    assert {r["k"] for r in clean.collect()} == {1, 4}
+    assert {r["k"] for r in quar.collect()} == {2, 3}
+    # every row lands on exactly one side
+    assert clean.count() + quar.count() == df.count()
+
+
+def test_split_early_return_raises(spark):
+    import pytest
+
+    from pandasschema_spark.errors import PanSchArgumentError
+
+    df = spark.createDataFrame([(1, 2.0, "x")], "k long, x double, y string")
+    schema = Schema([Column("x", [InRangeValidation(0, 10)])])
+    res = schema.validate(df)  # column-count precheck fails (1 vs 3)
+    assert res.is_early_return()
+    with pytest.raises(PanSchArgumentError, match="early-returned"):
+        res.split(df, "k")

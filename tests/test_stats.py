@@ -41,3 +41,33 @@ def test_ks_binned():
     skewed = np.array([5000] + [555] * 9)
     d2, p2 = S.ks_test_from_binned(skewed, probs)
     assert d2 > 0.3 and p2 < 1e-10
+
+
+def test_chi_square_two_sample(spark):
+    from pandasschema_spark.operators.drift import chi_square_two_sample
+
+    # same distribution -> no drift
+    ref = spark.createDataFrame([(i % 4,) for i in range(400)], "v int")
+    cand = spark.createDataFrame([(i % 4,) for i in range(400)], "v int")
+    r = chi_square_two_sample(ref, cand, "v")
+    assert r.statistic == pytest.approx(0.0)
+    assert not r.drifted
+
+    # candidate collapses to one category -> strong drift
+    skew = spark.createDataFrame([(0,) for _ in range(400)], "v int")
+    r2 = chi_square_two_sample(ref, skew, "v")
+    assert r2.drifted and r2.p_value < 1e-6
+    assert r2.kind == "chi_square_2sample"
+    assert r2.n == 800
+
+
+def test_two_sample_counts_single_shuffle(spark):
+    import re as _re
+
+    from pandasschema_spark.operators.drift import two_sample_categorical_counts
+
+    ref = spark.createDataFrame([(i % 3,) for i in range(30)], "v int")
+    cand = spark.createDataFrame([(i % 3,) for i in range(30)], "v int")
+    out = two_sample_categorical_counts(ref, cand, "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
