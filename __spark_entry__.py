@@ -499,6 +499,37 @@ def q_audio_sr_drift(spark, sf_dir):
                       "c_ref", "c_cand")
 
 
+DUR_LO, DUR_HI, DUR_BINS = 40, 201, 23
+
+
+def q_audio_dur_drift(spark, sf_dir):
+    """The second north-rule-named drift check: one-sample KS over the
+    binned dur_ms distribution of the audio corpus vs uniform bins, in
+    exact integers (same rational form as drift_ks_price). Oracle
+    re-derives every clip's dur_ms closed-form from the sha256 synthesis
+    rule."""
+    from pyspark.sql import Window
+
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    width = (DUR_HI - DUR_LO) / DUR_BINS
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("dur_ms") - F.lit(DUR_LO)) / F.lit(width)).cast("int"),
+                   F.lit(0)),
+        F.lit(DUR_BINS - 1),
+    )
+    hist = df.groupBy(bin_expr.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        hist.agg(F.sum("c").alias("n")))
+    dev = F.abs(F.lit(DUR_BINS) * F.col("cum") - F.col("n") * (F.col("bucket") + 1))
+    return cum.groupBy().agg(
+        F.max(dev).cast("long").alias("ks_num"),
+        F.first(F.lit(DUR_BINS) * F.col("n")).cast("long").alias("ks_den"),
+    )
+
+
 def q_sample_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket ranges over
     doc_id): reproducible across engines, runs and repartitioning — the
@@ -999,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "sample_splits": q_sample_splits,
         "audio_sr_drift": q_audio_sr_drift,
+        "audio_dur_drift": q_audio_dur_drift,
         "stats_profile": q_stats_profile,
         "schema_dispatch": q_schema_dispatch,
         "clips_validate": q_clips_validate,
@@ -1547,6 +1579,22 @@ SELECT CAST(sr AS BIGINT) AS sr_hz,
        CAST(sum(CASE WHEN i >= {half} THEN 1 ELSE 0 END) AS BIGINT) AS c_cand
 FROM g GROUP BY sr
 """.format(fields=_audio_fields_sql(AUDIO_N), half=AUDIO_N // 2),
+        "audio_dur_drift": """
+{fields},
+hist AS (
+    SELECT least(greatest(CAST(floor((dur - 40) / 7.0) AS INT), 0), 22) AS bucket,
+           count(*) AS c
+    FROM f GROUP BY 1
+),
+cum AS (
+    SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum,
+           (SELECT sum(c) FROM hist) AS n
+    FROM hist
+)
+SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
+       CAST(any_value(23*n) AS BIGINT) AS ks_den
+FROM cum
+""".format(fields=_audio_fields_sql(AUDIO_N)),
         "sample_splits": """
 SELECT doc_id,
        CASE WHEN b < 800000 THEN 'train'

@@ -131,3 +131,36 @@ def streaming_histogram(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(value_col).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization via the native ``session_window``
+    stateful aggregation: per (user, merged-window) one row of
+    (session_id = min event id, n_events, start/end). Watermark bounds
+    the state — a session finalizes (and emits, in append mode) once the
+    watermark passes its window end, so state is O(open sessions), not
+    O(history).
+
+    Boundary semantics vs the batch operator (operators/sessions.py):
+    session_window merges events with gap strictly LESS than ``gap``
+    while the batch operator keeps equal-gap events together (diff >
+    gap breaks). Identical on any data without microsecond-exact
+    gap-width spacing; tests/test_streaming.py asserts batch parity on
+    finalized sessions."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                 F.col(user_col))
+        .agg(F.min(id_col).alias("session_id"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.min(ts_col).alias("start_ts"),
+             F.max(ts_col).alias("end_ts"))
+    )

@@ -135,3 +135,54 @@ def test_streaming_histogram(spark, tmp_path_factory):
     # 60 rows over 3 one-minute windows, alternating categories -> 10 each
     assert len(got) == 6
     assert all(v == 10 for v in got.values())
+
+
+def test_streaming_session_stats_batch_parity(spark, tmp_path_factory):
+    """Finalized streaming sessions (append mode, watermark passed) must
+    match the batch sessionizer exactly on (user, session_id, n_events).
+    Data arrives in two chunks; a final far-future event per user pushes
+    the watermark past every real session so all of them finalize."""
+    import datetime as dt
+
+    from pandasschema_spark.operators.sessions import session_stats
+    from pandasschema_spark.streaming.incremental import streaming_session_stats
+
+    base = tmp_path_factory.mktemp("sess_stream")
+    src = str(base / "src")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(3):
+        for sess in range(2):
+            start = t0 + dt.timedelta(hours=3 * sess, minutes=7 * user)
+            for j in range(4):
+                rows.append((eid, start + dt.timedelta(minutes=5 * j), user))
+                eid += 1
+    # watermark pushers: one far-future event per user (its own session)
+    pushers = [(10_000 + u, t0 + dt.timedelta(days=30), u) for u in range(3)]
+    df = spark.createDataFrame(rows + pushers,
+                               "event_id long, ts timestamp, user_id long")
+    # arrival must respect event time: all real events in ONE first file
+    # (watermark stays below their sessions while they accumulate), the
+    # watermark-pushing far-future events in a second file/batch — a
+    # pusher arriving in the same batch as (or before) real events would
+    # advance the watermark and drop them as late
+    df.where(F.col("event_id") < 10_000).coalesce(1).write.mode("append").parquet(src)
+    df.where(F.col("event_id") >= 10_000).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        streaming_session_stats(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = {(r["user_id"], r["session_id"]): r["n_events"]
+               for r in spark.sql("SELECT * FROM sess_out").collect()}
+    batch = {(r["user_id"], r["session_id"]): r["n_events"]
+             for r in session_stats(df).collect()}
+    # every real (non-pusher) session finalized and matches batch exactly
+    real = {k: v for k, v in batch.items() if k[1] < 10_000}
+    assert emitted.items() >= real.items()
+    assert len(real) == 6
