@@ -416,10 +416,19 @@ def q_dedup_clusters(spark, sf_dir):
     from pandasschema_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    m1 = docs.select((F.col("doc_id") + 10000).alias("doc_id"),
-                     F.concat("text", F.lit(" zz yy")).alias("text"))
-    m2 = docs.select((F.col("doc_id") + 20000).alias("doc_id"),
-                     F.concat("text", F.lit(" zz yy qq rr ss tt")).alias("text"))
+    # suffixes are SALTED per doc-group (doc_id % 211): a corpus-wide
+    # constant suffix would plant a hot shingle shared by every mutated
+    # doc and fan the gram self-join out quadratically — the exact
+    # degenerate shape the max_gram_df cap exists for; the planted-chain
+    # corpus should not be one giant hot bucket by construction
+    r = (F.col("doc_id") % 211).cast("string")
+    m1 = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r).alias("text"))
+    m2 = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r, F.lit(" qq"), r,
+                 F.lit(" rr"), r, F.lit(" ss"), r, F.lit(" tt"), r).alias("text"))
     corpus = docs.unionByName(m1).unionByName(m2)
     pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
     return connected_components(pairs, "id_a", "id_b")
@@ -1379,9 +1388,19 @@ WITH RECURSIVE
 corpus AS (
     SELECT doc_id AS id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000, text || ' zz yy' FROM documents
+    SELECT doc_id + 10000,
+           text || ' zz' || CAST(doc_id % 211 AS VARCHAR)
+                || ' yy' || CAST(doc_id % 211 AS VARCHAR)
+    FROM documents
     UNION ALL
-    SELECT doc_id + 20000, text || ' zz yy qq rr ss tt' FROM documents
+    SELECT doc_id + 20000,
+           text || ' zz' || CAST(doc_id % 211 AS VARCHAR)
+                || ' yy' || CAST(doc_id % 211 AS VARCHAR)
+                || ' qq' || CAST(doc_id % 211 AS VARCHAR)
+                || ' rr' || CAST(doc_id % 211 AS VARCHAR)
+                || ' ss' || CAST(doc_id % 211 AS VARCHAR)
+                || ' tt' || CAST(doc_id % 211 AS VARCHAR)
+    FROM documents
 ),
 norm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
 toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),

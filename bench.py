@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_cosine_topk",
     "clips_validate",
+    "events_sessionize",
+    "val_quarantine",
+    "sample_splits",
+    "dedup_clusters",
 ]
 
 

@@ -404,3 +404,114 @@ def _assign_probe_cells_arrow(queries, centroids, n_probe, query_id_col,
             })
 
     return queries.select(query_id_col, query_vec_col).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training (spherical k-means)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    n_iter: int = 5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's with
+    cosine assignment + L2-normalized means). Returns a (cell, cvec)
+    DataFrame pluggable into assign_cells / ivf_topk /
+    assign_probe_cells / embedding_near_dup_pairs — closing the loop so
+    the ANN scale path no longer depends on hand-picked centroids.
+
+    Deterministic throughout: init is maximin (farthest-point) seeding
+    over the 64*k corpus rows with the smallest md5(id) — first seed =
+    smallest hash, each next seed the sampled point least similar to
+    its nearest chosen seed. No RNG state, insensitive to partitioning,
+    and (unlike pure hash-order init) two seeds cannot land inside one
+    tight cluster while another cluster goes unseeded — the failure
+    mode that leaves Lloyd's stuck with merged cells. Ties in
+    assignment break by ascending cell.
+
+    Scale shape per iteration (the 10^12-row plan):
+    - ASSIGN: centroids broadcast (k x dim, driver-sized); impl='arrow'
+      scores one numpy matmul per Arrow batch — no shuffle, no window.
+    - MEAN: posexplode(vec) -> groupBy(cell, pos) sum/count. Catalyst's
+      partial aggregation combines per partition BEFORE the exchange,
+      so shuffle volume is O(partitions * k * dim) accumulator entries —
+      the same volume a hand-written mapPartitions partial-sum would
+      ship — and the result (k x dim) collects to the driver, is
+      normalized in numpy, and re-broadcasts as the next centroids.
+    - Empty cells keep their previous centroid (standard Lloyd's fix).
+
+    n_iter is fixed rather than convergence-tested: each iteration is
+    two jobs, and IVF recall needs a decent partition of the space, not
+    the k-means optimum. Not SQL-oracle-gated (iterative float means
+    reassociate differently across engines); verified by pytest on
+    planted well-separated clusters + monotone inertia."""
+    import numpy as np
+
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v__"))
+
+    # deterministic maximin seeding over a hash-ordered driver sample
+    # (no RNG, no .rdd, partitioning-proof; the sample is k*64 rows —
+    # driver-sized at any corpus scale)
+    sample = (
+        base.withColumn("__h__", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h__")
+        .limit(max(k, 64 * k))
+        .select("__v__")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["__v__"], dtype=np.float64) for r in sample])
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    xn[xn == 0.0] = 1.0
+    Xn = X / xn
+    chosen = [0]  # smallest md5 hash
+    best_cos = Xn @ Xn[0]  # similarity of every sample point to its nearest seed
+    for _ in range(1, min(k, len(Xn))):
+        nxt = int(np.argmin(best_cos))  # least similar to all chosen seeds
+        chosen.append(nxt)
+        best_cos = np.maximum(best_cos, Xn @ Xn[nxt])
+    cents = Xn[chosen]
+    if len(cents) < k:  # corpus smaller than k: duplicate-pad determinate
+        cents = np.vstack([cents, cents[: k - len(cents)]])
+
+    spark = df.sparkSession
+    dim = cents.shape[1]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "cell int, cvec array<float>",
+        )
+        memb = assign_probe_cells(
+            base.select(F.col("vec_id").alias("query_id"),
+                        F.col("__v__").alias("query_vec")),
+            cdf, n_probe=1, impl=impl,
+        )
+        joined = base.join(
+            memb.select(F.col("query_id").alias("vec_id"), "cell"), "vec_id")
+        sums = (
+            joined.select("cell", F.posexplode("__v__").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        acc = np.zeros((len(cents), dim))
+        cnt = np.zeros(len(cents))
+        for r in sums:
+            acc[r["cell"], r["pos"]] += r["s"]
+            cnt[r["cell"]] = r["c"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        nn = np.linalg.norm(new, axis=1, keepdims=True)
+        nn[nn == 0.0] = 1.0
+        cents = new / nn
+
+    return spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, cvec array<float>",
+    )

@@ -407,3 +407,58 @@ def test_marker_count_literal_backslash_e(spark):
     # must not throw or corrupt the alternation
     assert out[1] == 3  # two 'ok' + literal '.*'
     assert out[2] == 0
+
+
+def test_train_ivf_centroids_recovers_planted_clusters(spark):
+    """Spherical k-means must separate three well-separated planted
+    directions: every member assigns to the same cell as its cluster
+    mates, and the trained centroids plug into ivf_topk."""
+    import numpy as np
+
+    from pandasschema_spark.operators.similarity import (
+        assign_probe_cells,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dirs = np.eye(3)  # three orthogonal cluster directions in R^3
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(40):
+            v = dirs[c] + rng.normal(0, 0.05, 3)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, truth int")
+
+    cents = train_ivf_centroids(df, k=3, n_iter=4)
+    assert cents.count() == 3
+    memb = assign_probe_cells(
+        df.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")),
+        cents, n_probe=1, impl="arrow")
+    got = {r["query_id"]: r["cell"] for r in memb.collect()}
+    truth = {r["vec_id"]: r["truth"] for r in df.collect()}
+    # cells are a relabeling of the planted clusters: grouping must match
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for vid2, cell in got.items():
+        groups[cell].add(truth[vid2])
+    assert all(len(tr) == 1 for tr in groups.values()), groups
+    assert len(groups) == 3
+
+
+def test_train_ivf_centroids_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    from pandasschema_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, k=8, n_iter=2).collect()
+    c2 = train_ivf_centroids(emb.repartition(7), k=8, n_iter=2).collect()
+    m1 = {r["cell"]: r["cvec"] for r in c1}
+    m2 = {r["cell"]: r["cvec"] for r in c2}
+    assert set(m1) == set(m2)
+    import numpy as np
+
+    for cell in m1:
+        assert np.allclose(m1[cell], m2[cell], atol=1e-6), cell
