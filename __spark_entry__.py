@@ -454,6 +454,14 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_text_top_terms(spark, sf_dir):
+    """TF-IDF-style top-5 terms per document, ranked by tf/df (monotone
+    in tf*idf, so it IS the tf-idf ranking without a logarithm): the
+    ranking key is one correctly-rounded IEEE division over integers,
+    identical in any engine, ties by ascending term."""
+    return TX.top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
+
+
 def q_schema_dispatch(spark, sf_dir):
     """Frame-level dispatch semantics (reference schema.py:32-88 +
     IsDtypeValidation) surfaced as rows so the driver's oracle gate
@@ -1031,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_top_terms": q_text_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup": q_ann_near_dup,
@@ -1474,6 +1483,30 @@ FROM hits
 """,
         "text_fingerprint": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+""",
+        "text_top_terms": """
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           unnest(CASE WHEN length(t) = 0 THEN []
+                       ELSE string_split(t, ' ') END) AS term
+    FROM norm
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+ranked AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfs.term_df,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY CAST(tf.tf AS DOUBLE) / dfs.term_df DESC,
+                                       tf.term) AS rank
+    FROM tf JOIN dfs USING (term)
+)
+SELECT doc_id, term, tf, CAST(term_df AS BIGINT) AS term_df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -163,3 +163,42 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8")).alias("fp"),
     )
+
+
+def top_terms(df: DataFrame, text_col: str, id_col: str, *,
+              k: int = 5) -> DataFrame:
+    """TF-IDF-style keyword extraction: the top ``k`` terms per document
+    ranked by tf/df (term frequency over corpus document frequency —
+    monotone in tf * idf for any monotone idf, so the RANKING is the
+    tf-idf ranking without ever computing a logarithm).
+
+    Exact cross-engine determinism: tf and df are integers and the
+    ranking key tf/df is a single correctly-rounded IEEE division —
+    identical in any engine — with ties broken by ascending term.
+    Output carries the integers (tf, term_df) so downstream scoring
+    recomputes any idf variant it wants.
+
+    Scale shape: explode(tokens) -> (doc, term) hash-agg [shuffle 1] ->
+    term df hash-agg over the (doc, term) pairs [shuffle 2, O(vocab)
+    output] -> join back on term [co-partitioned with shuffle 2] ->
+    per-doc top-k window [shuffle 3]. Token payloads shuffle once; the
+    rest is pair/vocab traffic."""
+    from pyspark.sql import Window
+
+    norm = normalized_text_expr(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens_expr(norm)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    w = Window.partitionBy("id").orderBy(
+        (F.col("tf").cast("double") / F.col("term_df")).desc(), F.col("term"))
+    return (
+        pairs.join(dfs, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "term_df",
+                F.col("rank").cast("long").alias("rank"))
+    )

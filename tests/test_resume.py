@@ -97,3 +97,21 @@ def test_kill_and_resume_identical(spark, wh_root):
     # final violations identical to the uninterrupted run
     full = ValidationRunner(wh, "run_full")
     assert _collect_violations(resumed, spark) == _collect_violations(full, spark)
+
+
+def test_compact_small_files(spark, tmp_path_factory):
+    """Compaction must collapse an append-fragmented table to the
+    size-targeted file count without changing its contents."""
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("compact")))
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS x")
+    for i in range(8):  # fragmented appends: 8 chunks x 4 partitions
+        df.where(F.col("id") % 8 == i).repartition(4).write.mode(
+            "append").parquet(wh.path("t"))
+    before = {r["id"]: r["x"] for r in spark.read.parquet(wh.path("t")).collect()}
+    res = wh.compact(spark, "t", target_mb=256)
+    assert res["files_before"] >= 32
+    assert res["files_after"] == 1  # tiny table -> one right-sized file
+    after = {r["id"]: r["x"] for r in spark.read.parquet(wh.path("t")).collect()}
+    assert after == before
