@@ -309,8 +309,13 @@ def q_drift_ks_price(spark, sf_dir):
         .groupBy(bin_expr.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # the KS sup must be evaluated at EVERY bin edge, including edges of
+    # empty bins (where F_obs stays flat but F_exp grows — the sup can
+    # live exactly there); left-join the full bin range with 0 fill
+    bins = spark.range(PRICE_BINS).select(F.col("id").cast("int").alias("bucket"))
+    full = bins.join(hist, "bucket", "left").na.fill({"c": 0})
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(
+    cum = full.withColumn("cum", F.sum("c").over(w)).crossJoin(
         hist.agg(F.sum("c").alias("n"))
     )
     dev = F.abs(F.lit(PRICE_BINS) * F.col("cum") - F.col("n") * (F.col("bucket") + 1))
@@ -422,11 +427,14 @@ def q_dedup_clusters(spark, sf_dir):
     # degenerate shape the max_gram_df cap exists for; the planted-chain
     # corpus should not be one giant hot bucket by construction
     r = (F.col("doc_id") % 211).cast("string")
+    # offsets far above any doc_id at any SF (documents scales ~50k/SF;
+    # +10000 collides with real ids past sf0.2 and silently merges
+    # unrelated documents into planted clusters)
     m1 = docs.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r).alias("text"))
     m2 = docs.select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r, F.lit(" qq"), r,
                  F.lit(" rr"), r, F.lit(" ss"), r, F.lit(" tt"), r).alias("text"))
     corpus = docs.unionByName(m1).unionByName(m2)
@@ -455,10 +463,11 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 def q_text_top_terms(spark, sf_dir):
-    """TF-IDF-style top-5 terms per document, ranked by tf/df (monotone
-    in tf*idf, so it IS the tf-idf ranking without a logarithm): the
-    ranking key is one correctly-rounded IEEE division over integers,
-    identical in any engine, ties by ascending term."""
+    """Top-5 terms per document ranked by tf/df — the tf*idf ranking
+    under the LINEAR idf variant idf=N/df (not log-idf, whose ln() is
+    not bit-reproducible across engines; see operators/text.py
+    top_terms). The ranking key is one correctly-rounded IEEE division
+    over integers, identical in any engine, ties by ascending term."""
     return TX.top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
 
 
@@ -537,8 +546,12 @@ def q_audio_dur_drift(spark, sf_dir):
         F.lit(DUR_BINS - 1),
     )
     hist = df.groupBy(bin_expr.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    # evaluate the KS sup at every bin edge incl. empty bins (see
+    # q_drift_ks_price)
+    bins = spark.range(DUR_BINS).select(F.col("id").cast("int").alias("bucket"))
+    full = bins.join(hist, "bucket", "left").na.fill({"c": 0})
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(
+    cum = full.withColumn("cum", F.sum("c").over(w)).crossJoin(
         hist.agg(F.sum("c").alias("n")))
     dev = F.abs(F.lit(DUR_BINS) * F.col("cum") - F.col("n") * (F.col("bucket") + 1))
     return cum.groupBy().agg(
@@ -1340,9 +1353,13 @@ WITH hist AS (
            count(*) AS c
     FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ),
+filled AS (
+    SELECT CAST(b.b AS INT) AS bucket, coalesce(h.c, 0) AS c
+    FROM range(0, 24) b(b) LEFT JOIN hist h ON h.bucket = b.b
+),
 cum AS (
     SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum, (SELECT sum(c) FROM hist) AS n
-    FROM hist
+    FROM filled
 )
 SELECT CAST(max(abs(24*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(24*n) AS BIGINT) AS ks_den
@@ -1397,12 +1414,12 @@ WITH RECURSIVE
 corpus AS (
     SELECT doc_id AS id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000,
+    SELECT doc_id + 1000000000,
            text || ' zz' || CAST(doc_id % 211 AS VARCHAR)
                 || ' yy' || CAST(doc_id % 211 AS VARCHAR)
     FROM documents
     UNION ALL
-    SELECT doc_id + 20000,
+    SELECT doc_id + 2000000000,
            text || ' zz' || CAST(doc_id % 211 AS VARCHAR)
                 || ' yy' || CAST(doc_id % 211 AS VARCHAR)
                 || ' qq' || CAST(doc_id % 211 AS VARCHAR)
@@ -1638,10 +1655,14 @@ hist AS (
            count(*) AS c
     FROM f GROUP BY 1
 ),
+filled AS (
+    SELECT CAST(b.b AS INT) AS bucket, coalesce(h.c, 0) AS c
+    FROM range(0, 23) b(b) LEFT JOIN hist h ON h.bucket = b.b
+),
 cum AS (
     SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum,
            (SELECT sum(c) FROM hist) AS n
-    FROM hist
+    FROM filled
 )
 SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(23*n) AS BIGINT) AS ks_den

@@ -45,9 +45,11 @@ def deterministic_sample(
 ) -> DataFrame:
     """Rows whose hash bucket falls below ``fraction`` — reproducible,
     repartition-proof, append-stable. ``salt`` decorrelates independent
-    samples over the same keys."""
+    samples over the same keys. The threshold rounds (never truncates):
+    float fractions like 0.29 are sub-integer BELOW their decimal value
+    (0.29*1e6 = 289999.99...), and int() would shave a bucket off."""
     return df.where(
-        hash_bucket_expr(F.col(id_col), denom, salt) < int(fraction * denom))
+        hash_bucket_expr(F.col(id_col), denom, salt) < round(fraction * denom))
 
 
 def assign_splits(
@@ -62,7 +64,14 @@ def assign_splits(
     """Add a split label ('train'/'val'/'test'/...) from contiguous hash
     ranges; fractions must sum to <= 1 (remainder labeled NULL so a
     holdout is explicit, not silent). Dict insertion order fixes the
-    range layout, so the assignment is stable for a given spec."""
+    range layout, so the assignment is stable for a given spec.
+
+    Range widths ROUND rather than truncate — int(0.29*denom) loses a
+    bucket to float representation and would silently NULL-label keys
+    even when fractions sum to exactly 1. Fractions that do not quantize
+    to 1/denom multiples can still leave a <=len(splits)-bucket rounding
+    residue labeled NULL (e.g. three 1/3 splits over 1e6 buckets leave
+    buckets 999999+)."""
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError("split fractions sum to {} > 1".format(total))
@@ -71,7 +80,7 @@ def assign_splits(
     hi = 0
     cases = []
     for name, frac in splits.items():
-        lo, hi = hi, hi + int(frac * denom)
+        lo, hi = hi, hi + round(frac * denom)
         cases.append((lo, hi, name))
     for lo, hi_b, name in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi_b), F.lit(name)).otherwise(expr)

@@ -167,10 +167,16 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def top_terms(df: DataFrame, text_col: str, id_col: str, *,
               k: int = 5) -> DataFrame:
-    """TF-IDF-style keyword extraction: the top ``k`` terms per document
-    ranked by tf/df (term frequency over corpus document frequency —
-    monotone in tf * idf for any monotone idf, so the RANKING is the
-    tf-idf ranking without ever computing a logarithm).
+    """Keyword extraction: the top ``k`` terms per document ranked by
+    tf/df (term frequency over corpus document frequency). This equals
+    the tf*idf ranking for the LINEAR idf variant idf = N/df (the key
+    is N * tf/df); it is NOT the standard log-idf ranking — log
+    compresses df differences, so tf/df promotes rare-term singletons
+    more aggressively (a tf=1/df=1 hapax outranks tf=8/df=9). Chosen
+    deliberately: the log variant's ln() is not bit-reproducible across
+    engines, while this key is; downstream code wanting log-idf can
+    recompute any variant from the (tf, term_df) integers carried in
+    the output.
 
     Exact cross-engine determinism: tf and df are integers and the
     ranking key tf/df is a single correctly-rounded IEEE division —

@@ -94,21 +94,31 @@ class ValidationResult:
         NOT rare (a poisoned batch); Spark then plans shuffle joins and
         AQE can still demote them back to broadcast at runtime.
 
+        The distinct violating-key set is PERSISTED before fanning out to
+        the two sides — both returned frames embed it, and without the
+        persist acting on both (the normal two-table ingest write) would
+        run the full validation scan twice. The persist handle rides on
+        both frames: call ``operators.dedup.release_cached`` on either
+        after the downstream actions in long-lived sessions.
+
         Raises PanSchArgumentError on an early-returned result (the
         column-count precheck failed — there is no row-level verdict)."""
+        from pyspark import StorageLevel
         from pyspark.sql import functions as F
+
+        from .operators.dedup import _attach_cached
 
         if self.violations is None:
             raise PanSchArgumentError(
                 "cannot split on an early-returned result (column-count "
                 "precheck failed before any row was validated)")
-        bad = self.violations.select(F.col("row").alias("__bad_row__")).distinct()
-        if broadcast_bad:
-            bad = F.broadcast(bad)
+        bad = (self.violations.select(F.col("row").alias("__bad_row__"))
+               .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+        bad_side = F.broadcast(bad) if broadcast_bad else bad
         key = F.col(row_key).cast("long")
-        clean = df.join(bad, key == F.col("__bad_row__"), "left_anti")
-        quarantined = df.join(bad, key == F.col("__bad_row__"), "left_semi")
-        return clean, quarantined
+        clean = df.join(bad_side, key == F.col("__bad_row__"), "left_anti")
+        quarantined = df.join(bad_side, key == F.col("__bad_row__"), "left_semi")
+        return _attach_cached(clean, [bad]), _attach_cached(quarantined, [bad])
 
     def collect_warnings(self, limit: int = None) -> typing.List[ValidationWarning]:
         """Materialize the reference's sorted warning list.

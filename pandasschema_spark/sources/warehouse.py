@@ -14,7 +14,7 @@ import os
 import typing
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import col as F_col, hash as F_hash, pmod as F_pmod
 
 
 class Warehouse:
@@ -108,7 +108,7 @@ class Warehouse:
         w.saveAsTable(table)
 
     def compact(self, spark: SparkSession, name: str,
-                target_mb: int = 256,
+                target_mb: float = 256,
                 partition_by: typing.Sequence[str] = ()) -> dict:
         """Small-files compaction — the Iceberg rewrite_data_files analog
         for the parquet warehouse. Streaming appends and per-batch
@@ -117,18 +117,28 @@ class Warehouse:
         listing, task scheduling, footer reads) becomes the bottleneck
         before data volume does.
 
-        Rewrites the table into ceil(bytes / target_mb) files via a
-        round-robin repartition (or per-partition with partition_by,
-        repartitioned by the partition columns first — the small-files
-        explosion guard). Returns {'files_before', 'files_after',
-        'bytes'}. The rewrite stages to <path>.compact__ then swaps via
-        atomic rename, so a concurrent reader sees old-or-new, never a
-        mix; re-running after a crash between rename steps is safe
-        (stage dir is rebuilt from whichever directory survived)."""
+        Rewrites the table into ~ceil(bytes / target_mb) files via a
+        round-robin repartition. With ``partition_by``, rows are
+        clustered by the partition columns plus a content-hash salt
+        sized so each partition VALUE still splits into enough tasks to
+        approach the byte target (a plain repartition-by-columns would
+        collapse a 10 GB hot partition into one 10 GB file and silently
+        ignore target_mb).
+
+        Swap protocol: stage to <path>.compact__, then
+        rename(path -> .old__), rename(stage -> path), delete .old__.
+        The two renames are not jointly atomic: a crash between them
+        leaves the table briefly absent, but NO state is lost — the
+        next compact() (or ``recover_compaction``, called here first)
+        restores <path> from the surviving .old__ before doing anything
+        else. A stale .compact__ from a crashed write is always
+        discarded and rebuilt. Returns {'files_before', 'files_after',
+        'bytes'}."""
         import math
         import shutil
 
         path = self.path(name)
+        self.recover_compaction(name)
 
         def _stats(p):
             files = bytes_ = 0
@@ -140,12 +150,16 @@ class Warehouse:
             return files, bytes_
 
         files_before, total = _stats(path)
-        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        n_out = max(1, math.ceil(total / (target_mb * 1024.0 * 1024.0)))
         df = spark.read.parquet(path)
         stage = path + ".compact__"
         shutil.rmtree(stage, ignore_errors=True)
         if partition_by:
-            (df.repartition(*[F_col(c) for c in partition_by])
+            n_values = max(df.select(*partition_by).distinct().count(), 1)
+            salt_n = max(1, math.ceil(n_out / n_values))
+            salt = F_pmod(F_hash(*[F_col(c) for c in df.columns]), salt_n)
+            (df.repartition(max(n_out, n_values),
+                            *([F_col(c) for c in partition_by] + [salt]))
                .write.mode("overwrite").partitionBy(*partition_by).parquet(stage))
         else:
             df.repartition(n_out).write.mode("overwrite").parquet(stage)
@@ -157,3 +171,15 @@ class Warehouse:
         files_after, _ = _stats(path)
         return {"files_before": files_before, "files_after": files_after,
                 "bytes": total}
+
+    def recover_compaction(self, name: str) -> bool:
+        """Restore a table stranded by a crash inside compact()'s rename
+        window: if <path> is missing but <path>.old__ survived, rename it
+        back. Returns True when a recovery happened. Safe to call any
+        time (no-op when the table is healthy)."""
+        path = self.path(name)
+        old = path + ".old__"
+        if not os.path.exists(path) and os.path.isdir(old):
+            os.rename(old, path)
+            return True
+        return False

@@ -717,7 +717,11 @@ class IsDtypeValidation(_BaseValidation):
 
     @property
     def message(self):
-        return self._custom_message
+        # default-message fallback like every other check (the column-
+        # specific wording still comes from get_errors_for_type)
+        return self._custom_message or (
+            "has a dtype which is not a subclass of the required type "
+            "{}".format(self.dtype))
 
     def get_errors_for_type(self, name: str, spark_type: T.DataType):
         actual = spark_type_to_numpy(spark_type)

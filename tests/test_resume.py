@@ -3,6 +3,7 @@ re-run with the same run_id, verify no bucket validated twice and the final
 violations equal an uninterrupted run. Cross-bucket duplicates must be
 caught by the dedicated global phase."""
 
+import os
 import shutil
 import tempfile
 
@@ -115,3 +116,51 @@ def test_compact_small_files(spark, tmp_path_factory):
     assert res["files_after"] == 1  # tiny table -> one right-sized file
     after = {r["id"]: r["x"] for r in spark.read.parquet(wh.path("t")).collect()}
     assert after == before
+
+
+def test_compact_crash_recovery(spark, tmp_path_factory):
+    """A crash between compact()'s two renames leaves the table in
+    .old__; the next compact() must restore it before rewriting."""
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("compact_crash")))
+    df = spark.range(0, 1000).selectExpr("id", "id * 3 AS x")
+    df.repartition(6).write.parquet(wh.path("t"))
+    before = {r["id"]: r["x"] for r in spark.read.parquet(wh.path("t")).collect()}
+    # simulate the crash window: table renamed away, second rename lost
+    os.rename(wh.path("t"), wh.path("t") + ".old__")
+    assert not os.path.exists(wh.path("t"))
+    res = wh.compact(spark, "t", target_mb=256)
+    after = {r["id"]: r["x"] for r in spark.read.parquet(wh.path("t")).collect()}
+    assert after == before
+    assert res["files_after"] == 1
+
+
+def test_compact_partitioned_respects_target(spark, tmp_path_factory):
+    """With partition_by, compaction must still split data into multiple
+    files per partition value when the byte target demands it (a plain
+    repartition-by-columns would emit one file per value)."""
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("compact_part")))
+    df = spark.range(0, 20000).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS p", "repeat('x', 200) AS pad")
+    for i in range(4):
+        df.where(F.col("id") % 4 == i).repartition(4).write.mode(
+            "append").partitionBy("p").parquet(wh.path("t"))
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(wh.path("t")) for f in fs if f.endswith(".parquet"))
+    # fractional-MB target that forces ~6 output files across 2 values
+    res = wh.compact(spark, "t", target_mb=total / 6 / (1024 * 1024),
+                     partition_by=["p"])
+    import collections
+
+    per_value = collections.Counter()
+    for r, _d, fs in os.walk(wh.path("t")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                per_value["p=1" in r] += 1
+    assert res["files_after"] >= 4  # >1 file per value, both values
+    after = spark.read.parquet(wh.path("t"))
+    assert after.count() == 20000

@@ -55,3 +55,13 @@ def test_splits_overcommit_raises(spark):
     df = spark.range(0, 10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="sum"):
         assign_splits(df, "k", {"a": 0.7, "b": 0.5})
+
+
+def test_splits_no_truncation_gap(spark):
+    """Fractions like 0.29 sit just below their decimal value in float;
+    range widths must round, not truncate, or keys near denom get a
+    silent NULL label despite fractions summing to 1."""
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    out = assign_splits(df, "k", {"a": 0.29, "b": 0.71})
+    labels = {r["split"] for r in out.collect()}
+    assert labels == {"a", "b"}  # full coverage, no NULL
