@@ -1377,7 +1377,21 @@ SELECT CAST(b.b AS INT) AS bucket, CAST(20000 // 32 AS BIGINT) AS rows_seen,
 FROM range(0, 32) b(b) LEFT JOIN fails f ON f.bucket = b.b
 """,
         "dedup_exact": """
-SELECT doc_id + 10000 AS id, doc_id AS keep_id FROM documents WHERE doc_id % 3 = 0
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+),
+norm AS (
+    SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM corpus
+),
+g AS (
+    SELECT id, min(id) OVER (PARTITION BY t) AS keep_id,
+           count(*) OVER (PARTITION BY t) AS c
+    FROM norm
+)
+SELECT id, keep_id FROM g WHERE c > 1 AND id <> keep_id
 """,
         "dedup_jaccard": """
 WITH {corpus},
