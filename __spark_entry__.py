@@ -560,6 +560,46 @@ def q_audio_dur_drift(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join through bucketed tables (Warehouse.write_bucketed):
+    customer and orders are staged bucketed on the customer key, then
+    joined and aggregated — the write-once-amortize-forever shuffle
+    elimination for repeated fact-fact joins. The plan is asserted
+    exchange-free HERE (not only in pytest) so the property sits under
+    the driver's gate; the oracle is the plain SQL join, proving the
+    bucketed layout changes no answer."""
+    import tempfile
+
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="psf_bucketed_"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for tbl in ("bkq_cust", "bkq_orders"):
+        spark.sql("DROP TABLE IF EXISTS {}".format(tbl))
+    wh.write_bucketed(cust, "bkq_cust", "c_custkey", 8, sort_col="c_custkey")
+    wh.write_bucketed(orders, "bkq_orders", "o_custkey", 8, sort_col="o_custkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkq_cust").join(
+            spark.table("bkq_orders"),
+            F.col("c_custkey") == F.col("o_custkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join planned a shuffle"
+        # per-row integer cents BEFORE the sum: a double sum is
+        # accumulation-order-dependent and would hash-differ per engine
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_c"),
+        )
+        out.count()  # materialize under the no-broadcast conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def q_sample_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket ranges over
     doc_id): reproducible across engines, runs and repartitioning — the
@@ -1060,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_quarantine": q_val_quarantine,
         "events_sessionize": q_events_sessionize,
         "sample_splits": q_sample_splits,
+        "bucketed_join": q_bucketed_join,
         "audio_sr_drift": q_audio_sr_drift,
         "audio_dur_drift": q_audio_dur_drift,
         "stats_profile": q_stats_profile,
@@ -1682,6 +1723,12 @@ SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(23*n) AS BIGINT) AS ks_den
 FROM cum
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        "bucketed_join": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
         "sample_splits": """
 SELECT doc_id,
        CASE WHEN b < 800000 THEN 'train'
