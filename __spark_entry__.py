@@ -378,12 +378,13 @@ def q_agg_price_hist(spark, sf_dir):
 
 
 def _doc_corpus(spark, sf_dir):
-    """documents ∪ near-dup mutations: ids shifted by 10000, two suffix
+    """documents ∪ near-dup mutations: ids shifted by 10^9 (safely above
+    any real doc_id at any scale factor), two suffix
     words appended — a deterministic corpus where near-dup ground truth
-    is exactly the (i, i+10000) pairs."""
+    is exactly the (i, i+10^9) pairs."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
     )
     return docs.unionByName(mutated)
@@ -392,7 +393,7 @@ def _doc_corpus(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
     )
     return D.exact_duplicate_ids(docs.unionByName(copies), "text", "doc_id")
 
@@ -568,11 +569,16 @@ def q_bucketed_join(spark, sf_dir):
     exchange-free HERE (not only in pytest) so the property sits under
     the driver's gate; the oracle is the plain SQL join, proving the
     bucketed layout changes no answer."""
-    import tempfile
+    import shutil
 
     from pandasschema_spark.sources.warehouse import Warehouse
 
-    wh = Warehouse(tempfile.mkdtemp(prefix="psf_bucketed_"))
+    # fixed staging path, wiped up front: a fresh mkdtemp per invocation
+    # would leak a full bucketed copy of both tables every gate run
+    # (DROP TABLE on an external table removes only catalog metadata)
+    root = "/tmp/psf_bucketed_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     for tbl in ("bkq_cust", "bkq_orders"):
@@ -641,7 +647,10 @@ def q_val_quarantine(spark, sf_dir):
         return d.select("o_orderkey", "o_totalprice", "o_orderpriority",
                         F.lit(side).alias("side"))
 
-    return pick(clean, "clean").unionByName(pick(quar, "quarantined"))
+    out = pick(clean, "clean").unionByName(pick(quar, "quarantined"))
+    # carry split()'s persisted key-set handle so harnesses can release it
+    out._psf_cached = getattr(clean, "_psf_cached", [])
+    return out
 
 
 def q_stats_profile(spark, sf_dir):
@@ -1130,7 +1139,7 @@ _DOC_CORPUS_SQL = """
 corpus AS (
     SELECT doc_id AS id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000, text || ' zz yy' FROM documents
+    SELECT doc_id + 1000000000, text || ' zz yy' FROM documents
 ),
 norm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
 toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),
@@ -1421,7 +1430,7 @@ FROM range(0, 32) b(b) LEFT JOIN fails f ON f.bucket = b.b
 WITH corpus AS (
     SELECT doc_id AS id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+    SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 3 = 0
 ),
 norm AS (
     SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -1431,6 +1440,9 @@ g AS (
     SELECT id, min(id) OVER (PARTITION BY t) AS keep_id,
            count(*) OVER (PARTITION BY t) AS c
     FROM norm
+    -- NULL texts never join on their (NULL) md5 digest in the Spark
+    -- operator; the window would group them — mirror the join semantics
+    WHERE t IS NOT NULL
 )
 SELECT id, keep_id FROM g WHERE c > 1 AND id <> keep_id
 """,

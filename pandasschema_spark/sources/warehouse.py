@@ -14,7 +14,9 @@ import os
 import typing
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import col as F_col, hash as F_hash, pmod as F_pmod
+from pyspark.sql.functions import (col as F_col, concat_ws as F_concat_ws,
+                                   hash as F_hash, lit as F_lit,
+                                   pmod as F_pmod, when as F_when)
 
 
 class Warehouse:
@@ -120,10 +122,18 @@ class Warehouse:
         Rewrites the table into ~ceil(bytes / target_mb) files via a
         round-robin repartition. With ``partition_by``, rows are
         clustered by the partition columns plus a content-hash salt
-        sized so each partition VALUE still splits into enough tasks to
-        approach the byte target (a plain repartition-by-columns would
-        collapse a 10 GB hot partition into one 10 GB file and silently
-        ignore target_mb).
+        sized PER PARTITION VALUE from that value's actual on-disk
+        bytes (read off the hive directory names during the same walk
+        that counts files — no extra Spark job): only oversized values
+        get salt buckets, so a 10 GB hot partition splits toward the
+        byte target while small values stay one file each (an
+        average-sized salt would either leave the hot value whole or
+        shatter the small ones). The salt hashes only hashable columns
+        (maps excluded — Spark's hash() rejects MapType). Partition
+        values needing hive URL-escaping (spaces, '=', '/') won't match
+        the dir-name comparison and fall back to unsalted (one file) —
+        fine for the int/plain-string partition keys this warehouse
+        uses.
 
         Swap protocol: stage to <path>.compact__, then
         rename(path -> .old__), rename(stage -> path), delete .old__.
@@ -150,15 +160,39 @@ class Warehouse:
             return files, bytes_
 
         files_before, total = _stats(path)
-        n_out = max(1, math.ceil(total / (target_mb * 1024.0 * 1024.0)))
+        target_bytes = target_mb * 1024.0 * 1024.0
+        n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.parquet(path)
         stage = path + ".compact__"
         shutil.rmtree(stage, ignore_errors=True)
         if partition_by:
-            n_values = max(df.select(*partition_by).distinct().count(), 1)
-            salt_n = max(1, math.ceil(n_out / n_values))
-            salt = F_pmod(F_hash(*[F_col(c) for c in df.columns]), salt_n)
-            (df.repartition(max(n_out, n_values),
+            # per-VALUE bytes from the hive dir layout ("p=1/q=2/...")
+            value_bytes: typing.Dict[str, int] = {}
+            for root, _dirs, names in os.walk(path):
+                rel = os.path.relpath(root, path)
+                if not names or rel == ".":
+                    continue
+                sz = sum(os.path.getsize(os.path.join(root, f))
+                         for f in names if f.endswith(".parquet"))
+                if sz:
+                    value_bytes[rel] = value_bytes.get(rel, 0) + sz
+            from pyspark.sql import types as _T
+
+            hashable = [f.name for f in df.schema.fields
+                        if not isinstance(f.dataType, _T.MapType)]
+            # salt only the oversized values; everything else -> bucket 0
+            value_expr = F_concat_ws(
+                "/", *[F_concat_ws("=", F_lit(c), F_col(c).cast("string"))
+                       for c in partition_by])
+            salt = F_lit(0)
+            for rel, sz in value_bytes.items():
+                k = math.ceil(sz / target_bytes)
+                if k > 1:
+                    salt = F_when(
+                        value_expr == rel,
+                        F_pmod(F_hash(*[F_col(c) for c in hashable]), k),
+                    ).otherwise(salt)
+            (df.repartition(max(n_out, len(value_bytes) or 1),
                             *([F_col(c) for c in partition_by] + [salt]))
                .write.mode("overwrite").partitionBy(*partition_by).parquet(stage))
         else:

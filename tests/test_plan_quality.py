@@ -174,12 +174,15 @@ def test_quarantine_split_broadcasts_bad_keys(spark):
     li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
     schema = Schema([Column("l_quantity", [IR(1, 25)])])
     res = schema.validate(li, columns=["l_quantity"], row_key="l_orderkey")
+    from pandasschema_spark.operators.dedup import release_cached
+
     clean, quar = res.split(li, "l_orderkey")
     for side in (clean, quar):
         plan = plan_of(side)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0], \
             "fact side must not shuffle"
+    release_cached(clean)
 
 
 def test_bucketed_join_no_exchange(spark, tmp_path):

@@ -161,6 +161,8 @@ def test_compact_partitioned_respects_target(spark, tmp_path_factory):
         for f in fs:
             if f.endswith(".parquet"):
                 per_value["p=1" in r] += 1
-    assert res["files_after"] >= 4  # >1 file per value, both values
+    assert res["files_after"] >= 4
+    # the actual guard: EACH partition value split into >1 file
+    assert set(per_value) == {True, False} and min(per_value.values()) > 1, per_value
     after = spark.read.parquet(wh.path("t"))
     assert after.count() == 20000

@@ -52,11 +52,14 @@ def test_split_clean_quarantine(spark):
         [(1, 5.0), (2, 50.0), (3, None), (4, 7.0)], "k long, x double")
     schema = Schema([Column("x", [InRangeValidation(0, 10)])])
     res = schema.validate(df, columns=["x"], row_key="k")
+    from pandasschema_spark.operators.dedup import release_cached
+
     clean, quar = res.split(df, "k")
     assert {r["k"] for r in clean.collect()} == {1, 4}
     assert {r["k"] for r in quar.collect()} == {2, 3}
     # every row lands on exactly one side
     assert clean.count() + quar.count() == df.count()
+    release_cached(clean)  # split() persists the violating-key set
 
 
 def test_split_early_return_raises(spark):

@@ -64,6 +64,13 @@ def main():
             print("FAIL  {:24s} spark error: {}".format(name, str(ex)[:300]))
             failures.append(name)
             continue
+        finally:
+            # free any operator-attached persists (dedup gram indexes,
+            # split()'s violating-key set, ...) — this harness runs all
+            # queries in ONE long-lived session
+            from pandasschema_spark.operators.dedup import release_cached
+
+            release_cached(locals().get("sdf"))
         spark_t = time.time() - t0
         if name not in oracles:
             print("OK?   {:24s} rows={} ({:.1f}s) [rows-only: no oracle]".format(

@@ -5,8 +5,10 @@ for naive label propagation, whose round count is the chain LENGTH) must
 converge in a handful of star rounds with wall time dominated by the
 edge-list shuffles, not the iteration count.
 
-Usage: python tools/stress_cc.py [n_edges] [chain_len] [cpus]
-Prints one JSON line {edges, chain_len, rounds<=, seconds, clusters}.
+Usage: python tools/stress_cc.py [n_nodes] [chain_len] [cpus]
+Prints one JSON line {edges (actual count), chain_len, seconds,
+clusters} — edges = n_nodes - n_nodes//chain_len (one link dropped per
+chain boundary).
 """
 
 from __future__ import annotations
@@ -47,13 +49,14 @@ def main() -> None:
         .where((F.col("id") + 1) % chain_len != 0)
         .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     )
+    actual_edges = n_edges - n_edges // chain_len
     t0 = time.time()
     cc = connected_components(edges, max_iter=25)
     n_clusters = cc.select("cluster_id").distinct().count()
     sec = time.time() - t0
     print(json.dumps({
-        "edges": n_edges, "chain_len": chain_len, "cpus": cpus,
-        "seconds": round(sec, 1), "clusters": n_clusters,
+        "edges": actual_edges, "nodes": n_edges, "chain_len": chain_len,
+        "cpus": cpus, "seconds": round(sec, 1), "clusters": n_clusters,
         "expected_clusters": (n_edges + chain_len - 1) // chain_len,
     }))
     assert n_clusters == (n_edges + chain_len - 1) // chain_len, "wrong clustering"
