@@ -606,6 +606,28 @@ def q_bucketed_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def q_warehouse_compact(spark, sf_dir):
+    """Small-files compaction under the gate: the nation table is staged
+    as 20 fragmented append files, compacted to the byte target, and
+    read back — the oracle is the plain source table, proving the
+    rewrite changes no row; the file-count collapse is asserted inside
+    the query (like bucketed_join's plan assertion)."""
+    import shutil
+
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    root = "/tmp/psf_compact_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    nation = _t(spark, sf_dir, "nation")
+    for i in range(5):  # fragmented appends: 5 chunks x 4 partitions
+        nation.where(F.col("n_nationkey") % 5 == i).repartition(4) \
+            .write.mode("append").parquet(wh.path("t"))
+    res = wh.compact(spark, "t", target_mb=256)
+    assert res["files_before"] >= 20 and res["files_after"] == 1, res
+    return wh.read(spark, "t").select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q_sample_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket ranges over
     doc_id): reproducible across engines, runs and repartitioning — the
@@ -1110,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "sample_splits": q_sample_splits,
         "bucketed_join": q_bucketed_join,
+        "warehouse_compact": q_warehouse_compact,
         "audio_sr_drift": q_audio_sr_drift,
         "audio_dur_drift": q_audio_dur_drift,
         "stats_profile": q_stats_profile,
@@ -1735,6 +1758,9 @@ SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(23*n) AS BIGINT) AS ks_den
 FROM cum
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        "warehouse_compact": """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
         "bucketed_join": """
 SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
