@@ -628,6 +628,29 @@ def q_warehouse_compact(spark, sf_dir):
     return wh.read(spark, "t").select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """Second columnar source format: the supplier table staged to an
+    ORC warehouse (same Warehouse interface as parquet, incl.
+    compaction), read back through the format-abstracted path and
+    validated; the oracle is the original table — proving the format
+    swap changes no row."""
+    import shutil
+
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    root = "/tmp/psf_orc_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root, fmt="orc")
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    wh.write(sup, "t", partition_by=["s_nationkey"])
+    res = wh.compact(spark, "t", target_mb=256, partition_by=["s_nationkey"])
+    assert res["files_after"] <= res["files_before"], res
+    return wh.read(spark, "t").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal")
+
+
 def q_sample_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket ranges over
     doc_id): reproducible across engines, runs and repartitioning — the
@@ -1133,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_splits": q_sample_splits,
         "bucketed_join": q_bucketed_join,
         "warehouse_compact": q_warehouse_compact,
+        "orc_roundtrip": q_orc_roundtrip,
         "audio_sr_drift": q_audio_sr_drift,
         "audio_dur_drift": q_audio_dur_drift,
         "stats_profile": q_stats_profile,
@@ -1758,6 +1782,10 @@ SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(23*n) AS BIGINT) AS ks_den
 FROM cum
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        "orc_roundtrip": """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+FROM supplier
+""",
         "warehouse_compact": """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """,

@@ -174,3 +174,35 @@ def ks_drift(
         for i in range(len(probs))
     ]
     return DriftResult(column, "ks", stat, p, n, p < alpha, alpha, buckets)
+
+
+def population_stability_index(
+    df_ref: DataFrame,
+    df_cand: DataFrame,
+    column: str,
+    *,
+    threshold: float = 0.2,
+    epsilon: float = 1e-6,
+) -> DriftResult:
+    """PSI — the ML-monitoring standard for feature drift between a
+    reference batch and a candidate batch:
+    sum_j (p_j - q_j) * ln(p_j / q_j) over category shares, with the
+    usual epsilon floor for empty-on-one-side categories. Conventional
+    reading: <0.1 stable, 0.1-0.2 moderate, >0.2 (default threshold)
+    drifted. Spark work is the same single tagged-union O(categories)
+    aggregation as the chi-square test; the O(k) float math runs on the
+    driver (ln() is why PSI is pytest- rather than oracle-verified —
+    the histogram legs it consumes ARE oracle-gated via audio_sr_drift)."""
+    rows = two_sample_categorical_counts(df_ref, df_cand, column).collect()
+    a = np.array([r["c_ref"] for r in rows], dtype=float)
+    b = np.array([r["c_cand"] for r in rows], dtype=float)
+    na, nb = a.sum(), b.sum()
+    if na == 0 or nb == 0:
+        raise ValueError("both samples must be non-empty for PSI")
+    p = np.maximum(a / na, epsilon)
+    q = np.maximum(b / nb, epsilon)
+    psi = float(((p - q) * np.log(p / q)).sum())
+    buckets = [(str(r["bucket"]), float(bj), float(aj * nb / na))
+               for r, aj, bj in zip(rows, a, b)]
+    return DriftResult(column, "psi", psi, float("nan"), int(na + nb),
+                       psi > threshold, threshold, buckets)

@@ -2,7 +2,8 @@
 
 No Iceberg runtime jar ships in this sandbox and Maven Central is
 unreachable (SURVEY.md environment facts), so the local implementation is
-partitioned Parquet plus our own manifest table, behind an interface whose
+partitioned Parquet (or ORC — both builtin columnar formats are
+supported end-to-end incl. compaction) plus our own manifest table, behind an interface whose
 Iceberg implementation differs only in DDL/DML strings
 (``USING iceberg`` + MERGE for the manifest) — partition listing, pruning
 and dynamic-partition overwrite have direct Iceberg equivalents.
@@ -29,7 +30,7 @@ class Warehouse:
     """
 
     def __init__(self, root: str, fmt: str = "parquet"):
-        if fmt not in ("parquet", "iceberg"):
+        if fmt not in ("parquet", "orc", "iceberg"):
             raise ValueError("unsupported warehouse format {!r}".format(fmt))
         if fmt == "iceberg":
             raise NotImplementedError(
@@ -39,6 +40,7 @@ class Warehouse:
             )
         self.root = root
         self.fmt = fmt
+        self.suffix = "." + ("orc" if fmt == "orc" else "parquet")
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -46,19 +48,19 @@ class Warehouse:
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.isdir(p) and (
-            any(f.endswith(".parquet") or f.startswith("bucket=") or f == "_SUCCESS"
+            any(f.endswith(self.suffix) or f.startswith("bucket=") or f == "_SUCCESS"
                 for f in os.listdir(p))
         )
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+        return spark.read.format(self.fmt).load(self.path(name))
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: typing.Sequence[str] = ()) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        w.format(self.fmt).save(self.path(name))
 
     def append(self, df: DataFrame, name: str,
                partition_by: typing.Sequence[str] = ()) -> None:
@@ -74,7 +76,8 @@ class Warehouse:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+            (df.write.mode("overwrite").partitionBy(*partition_by)
+               .format(self.fmt).save(self.path(name)))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -154,7 +157,7 @@ class Warehouse:
             files = bytes_ = 0
             for root, _dirs, names in os.walk(p):
                 for f in names:
-                    if f.endswith(".parquet"):
+                    if f.endswith(self.suffix):
                         files += 1
                         bytes_ += os.path.getsize(os.path.join(root, f))
             return files, bytes_
@@ -162,7 +165,7 @@ class Warehouse:
         files_before, total = _stats(path)
         target_bytes = target_mb * 1024.0 * 1024.0
         n_out = max(1, math.ceil(total / target_bytes))
-        df = spark.read.parquet(path)
+        df = spark.read.format(self.fmt).load(path)
         stage = path + ".compact__"
         shutil.rmtree(stage, ignore_errors=True)
         if partition_by:
@@ -173,7 +176,7 @@ class Warehouse:
                 if not names or rel == ".":
                     continue
                 sz = sum(os.path.getsize(os.path.join(root, f))
-                         for f in names if f.endswith(".parquet"))
+                         for f in names if f.endswith(self.suffix))
                 if sz:
                     value_bytes[rel] = value_bytes.get(rel, 0) + sz
             from pyspark.sql import types as _T
@@ -194,9 +197,11 @@ class Warehouse:
                     ).otherwise(salt)
             (df.repartition(max(n_out, len(value_bytes) or 1),
                             *([F_col(c) for c in partition_by] + [salt]))
-               .write.mode("overwrite").partitionBy(*partition_by).parquet(stage))
+               .write.mode("overwrite").partitionBy(*partition_by)
+               .format(self.fmt).save(stage))
         else:
-            df.repartition(n_out).write.mode("overwrite").parquet(stage)
+            (df.repartition(n_out).write.mode("overwrite")
+               .format(self.fmt).save(stage))
         old = path + ".old__"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)

@@ -71,3 +71,27 @@ def test_two_sample_counts_single_shuffle(spark):
     out = two_sample_categorical_counts(ref, cand, "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_population_stability_index(spark):
+    from pandasschema_spark.operators.drift import population_stability_index
+
+    ref = spark.createDataFrame([(i % 4,) for i in range(400)], "v int")
+    same = spark.createDataFrame([(i % 4,) for i in range(400)], "v int")
+    r = population_stability_index(ref, same, "v")
+    assert r.statistic == pytest.approx(0.0)
+    assert not r.drifted and r.kind == "psi"
+
+    # known-value check: shares (0.5, 0.5) -> (0.8, 0.2)
+    ref2 = spark.createDataFrame([(i % 2,) for i in range(100)], "v int")
+    cand2 = spark.createDataFrame([(0,)] * 80 + [(1,)] * 20, "v int")
+    r2 = population_stability_index(ref2, cand2, "v")
+    import math
+
+    expected = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert r2.statistic == pytest.approx(expected, rel=1e-9)
+    assert r2.drifted  # 0.416 > 0.2
+
+    # one-sided empty category goes through the epsilon floor, not a crash
+    skew = spark.createDataFrame([(9,)] * 50, "v int")
+    assert population_stability_index(ref2, skew, "v").drifted
