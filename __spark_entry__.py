@@ -628,6 +628,32 @@ def q_warehouse_compact(spark, sf_dir):
     return wh.read(spark, "t").select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_pipeline_training_set(spark, sf_dir):
+    """End-to-end training-set assembly — the composition a pipeline user
+    actually runs, as ONE lazy plan: quality gate (>= 5 tokens) ->
+    language gate (lang-ID says 'en') -> exact dedup (keep-first drop of
+    non-minimum duplicates) -> deterministic train/val/test assignment.
+    Every stage is an already-gated operator; this query gates their
+    COMPOSITION (column flow, join semantics, filter interaction) against
+    one SQL oracle."""
+    from pandasschema_spark.operators.dedup import exact_duplicate_ids
+    from pandasschema_spark.operators.sampling import assign_splits
+    from pandasschema_spark.operators.text import lang_id, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = token_count(docs, "text", "doc_id")
+    lang = lang_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
+    dupes = exact_duplicate_ids(docs, "text", "doc_id") \
+        .select(F.col("id").alias("doc_id"))
+    kept = (
+        docs.join(toks, "doc_id").join(lang, "doc_id")
+        .where((F.col("n_tokens") >= 5) & (F.col("lang_pred") == "en"))
+        .join(F.broadcast(dupes), "doc_id", "left_anti")
+    )
+    return assign_splits(kept.select("doc_id"), "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """Second columnar source format: the supplier table staged to an
     ORC warehouse (same Warehouse interface as parquet, incl.
@@ -1157,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "warehouse_compact": q_warehouse_compact,
         "orc_roundtrip": q_orc_roundtrip,
+        "pipeline_training_set": q_pipeline_training_set,
         "audio_sr_drift": q_audio_sr_drift,
         "audio_dur_drift": q_audio_dur_drift,
         "stats_profile": q_stats_profile,
@@ -1782,6 +1809,53 @@ SELECT CAST(max(abs(23*cum - n*(bucket+1))) AS BIGINT) AS ks_num,
        CAST(any_value(23*n) AS BIGINT) AS ks_den
 FROM cum
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        "pipeline_training_set": """
+WITH norm AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, text, t,
+           len(CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(text), '\\s+') END) AS n_tokens,
+           CASE WHEN length(t) = 0 THEN []
+                ELSE string_split_regex(t, '\\s+') END AS w
+    FROM norm
+),
+lang AS (
+    SELECT doc_id, t, n_tokens,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN len(list_filter(w, x -> list_contains(['the','and','is','of','to'], x)))
+                     >= greatest(len(list_filter(w, x -> list_contains(['der','die','und','ist','das'], x))),
+                                 len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))),
+                                 len(list_filter(w, x -> list_contains(['el','la','y','es','los'], x))), 1) THEN 'en'
+                ELSE 'other' END AS lang_pred
+    FROM feat
+),
+dup AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS keep,
+               count(*) OVER (PARTITION BY t) AS c
+        FROM norm WHERE t IS NOT NULL
+    ) WHERE c > 1 AND doc_id <> keep
+),
+kept AS (
+    SELECT l.doc_id FROM lang l
+    WHERE n_tokens >= 5 AND lang_pred = 'en'
+      AND l.doc_id NOT IN (SELECT doc_id FROM dup)
+)
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            WHEN b < 1000000 THEN 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS b
+    FROM kept
+)
+""",
         "orc_roundtrip": """
 SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
 FROM supplier
