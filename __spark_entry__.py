@@ -399,8 +399,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    # max_gram_df=None: the DuckDB oracle computes UNCAPPED exact Jaccard,
+    # so the gated query must too — otherwise the gate silently diverges
+    # at any SF where some shingle's document frequency crosses the
+    # default 10k cap. The cap (default ON for real pipelines) keeps its
+    # own coverage via the plan locks in tests/test_plan_quality.py.
     return D.ngram_jaccard_pairs(
-        _doc_corpus(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+        _doc_corpus(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5,
+        max_gram_df=None,
     )
 
 
@@ -439,7 +445,11 @@ def q_dedup_clusters(spark, sf_dir):
         F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r, F.lit(" qq"), r,
                  F.lit(" rr"), r, F.lit(" ss"), r, F.lit(" tt"), r).alias("text"))
     corpus = docs.unionByName(m1).unionByName(m2)
-    pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    # max_gram_df=None for oracle equivalence at every SF (the DuckDB
+    # recursive-CTE closure starts from UNCAPPED exact Jaccard edges);
+    # the salted suffixes above already bound the self-join fan-out.
+    pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
+                                  threshold=0.5, max_gram_df=None)
     return connected_components(pairs, "id_a", "id_b")
 
 
@@ -692,7 +702,9 @@ def q_sample_splits(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) of the events table into
     per-session rows. One shuffle keyed by user_id: the two windows and
-    the per-session agg all reuse the hash(user_id) exchange."""
+    the per-session agg all reuse the hash(user_id) exchange. The
+    default hot-user cap (100k events, groupBy-count + broadcast
+    anti-join) stays ON and the oracle applies the identical rule."""
     from pandasschema_spark.operators.sessions import session_stats
 
     return session_stats(_t(spark, sf_dir, "events"))
@@ -1882,7 +1894,14 @@ FROM (
 )
 """,
         "events_sessionize": """
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+WITH e0 AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+-- same hot-user cap as operators/sessions.py (default ON, 100k events):
+-- the oracle applies the identical rule so the gate stays equivalent at
+-- ANY scale factor, not just ones where the cap happens not to bind
+e AS (
+    SELECT * FROM e0 WHERE user_id NOT IN (
+        SELECT user_id FROM e0 GROUP BY user_id HAVING count(*) > 100000)
+),
 flagged AS (
     SELECT user_id, event_id, us,
            CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000

@@ -468,8 +468,17 @@ def main() -> None:
             "steal_gate_exhausted": gate_exhausted,
             "overlapping_cpusets": bool(narrow.overlapping or wide.overlapping),
             "per_round_efficiency": effs,
-            "efficiency_n_to_4n": round(_median(effs), 3),
-            "efficiency_from_medians": round((med_w / med_n) / ratio, 3),
+            # a fully-stormy window must not masquerade as a gated figure:
+            # the headline efficiency keys go null and the contaminated
+            # fallback moves to *_stormy (still reported verbatim)
+            "efficiency_n_to_4n": (None if gate_exhausted
+                                   else round(_median(effs), 3)),
+            "efficiency_from_medians": (None if gate_exhausted
+                                        else round((med_w / med_n) / ratio, 3)),
+            "efficiency_stormy": (round(_median(effs), 3)
+                                  if gate_exhausted else None),
+            "efficiency_from_medians_stormy": (
+                round((med_w / med_n) / ratio, 3) if gate_exhausted else None),
             "machine_parallel_capacity": {
                 "per_round": calib_effs,
                 "median": round(_median(calib_effs), 3),
@@ -565,6 +574,7 @@ def main() -> None:
         })
         if s.get("steal_gate_exhausted"):
             compact["steal_gate_exhausted"] = True
+            compact["efficiency_stormy"] = s.get("efficiency_stormy")
         if s.get("overlapping_cpusets"):
             compact["overlapping_cpusets"] = True
     print(json.dumps(compact))

@@ -52,9 +52,22 @@ def train_pca(
     *,
     vec_col: str = "embedding",
     k: int = 16,
+    tree_reduce_above: int = 64,
 ) -> PCAModel:
     """Fit PCA: one distributed pass accumulating per-partition
-    (X^T X, sum, n), then a driver-side d x d eigendecomposition."""
+    (X^T X, sum, n), then a driver-side d x d eigendecomposition.
+
+    Driver traffic is O(collected_rows * d^2). With many input
+    partitions AND wide vectors that collect itself becomes the
+    bottleneck (10k partitions x d=4096 ~ 1.3 TB), so when the input
+    has more than ``tree_reduce_above`` partitions the partials go
+    through ONE extra narrow combine level — repartition the
+    O(parts) gram rows to ~sqrt(parts) groups and sum inside each —
+    before collecting, turning driver traffic into O(sqrt(parts) *
+    d^2). Float sums reassociate across the tree, same ~ulp caveat
+    as the partitioning note above."""
+    import math
+
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -84,7 +97,30 @@ def train_pca(
                 "n": [n],
             })
 
-    parts = df.select(F.col(vec_col).alias("v")).mapInPandas(partial, schema).collect()
+    def combine(batches):
+        # second tree level: sum already-reduced (gram, colsum, n) rows
+        gram = colsum = None
+        n = 0
+        for b in batches:
+            for g, s, m in zip(b["gram"], b["colsum"], b["n"]):
+                g = np.asarray(g, dtype=np.float64)
+                s = np.asarray(s, dtype=np.float64)
+                gram = g if gram is None else gram + g
+                colsum = s if colsum is None else colsum + s
+                n += int(m)
+        if n:
+            yield pd.DataFrame({
+                "gram": [gram.tolist()],
+                "colsum": [colsum.tolist()],
+                "n": [n],
+            })
+
+    partials = df.select(F.col(vec_col).alias("v")).mapInPandas(partial, schema)
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts > tree_reduce_above:
+        groups = max(1, int(math.isqrt(n_parts)))
+        partials = partials.repartition(groups).mapInPandas(combine, schema)
+    parts = partials.collect()
     if not parts:
         raise ValueError("train_pca on an empty DataFrame")
     n = sum(p["n"] for p in parts)

@@ -19,6 +19,7 @@ ops see ordinary DataFrames.
 
 from __future__ import annotations
 
+import math
 import typing
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -45,11 +46,15 @@ def deterministic_sample(
 ) -> DataFrame:
     """Rows whose hash bucket falls below ``fraction`` — reproducible,
     repartition-proof, append-stable. ``salt`` decorrelates independent
-    samples over the same keys. The threshold rounds (never truncates):
-    float fractions like 0.29 are sub-integer BELOW their decimal value
-    (0.29*1e6 = 289999.99...), and int() would shave a bucket off."""
+    samples over the same keys. The threshold rounds HALF-UP (never
+    truncates, never banker's-rounds): float fractions like 0.29 are
+    sub-integer BELOW their decimal value (0.29*1e6 = 289999.99..., so
+    int() would shave a bucket off), while Python round()'s half-to-even
+    would turn an exactly-representable half-bucket fraction (0.0000005
+    with denom=1e6) into an EMPTY sample instead of one bucket."""
     return df.where(
-        hash_bucket_expr(F.col(id_col), denom, salt) < round(fraction * denom))
+        hash_bucket_expr(F.col(id_col), denom, salt)
+        < math.floor(fraction * denom + 0.5))
 
 
 def assign_splits(
@@ -66,12 +71,13 @@ def assign_splits(
     holdout is explicit, not silent). Dict insertion order fixes the
     range layout, so the assignment is stable for a given spec.
 
-    Range widths ROUND rather than truncate — int(0.29*denom) loses a
-    bucket to float representation and would silently NULL-label keys
-    even when fractions sum to exactly 1. Fractions that do not quantize
-    to 1/denom multiples can still leave a <=len(splits)-bucket rounding
-    residue labeled NULL (e.g. three 1/3 splits over 1e6 buckets leave
-    buckets 999999+)."""
+    Range widths ROUND HALF-UP rather than truncate — int(0.29*denom)
+    loses a bucket to float representation and would silently NULL-label
+    keys even when fractions sum to exactly 1 (and round()'s half-to-even
+    would zero out an exact half-bucket fraction). Fractions that do not
+    quantize to 1/denom multiples can still leave a <=len(splits)-bucket
+    rounding residue labeled NULL (e.g. three 1/3 splits over 1e6
+    buckets leave buckets 999999+)."""
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError("split fractions sum to {} > 1".format(total))
@@ -80,7 +86,7 @@ def assign_splits(
     hi = 0
     cases = []
     for name, frac in splits.items():
-        lo, hi = hi, hi + round(frac * denom)
+        lo, hi = hi, hi + math.floor(frac * denom + 0.5)
         cases.append((lo, hi, name))
     for lo, hi_b, name in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi_b), F.lit(name)).otherwise(expr)

@@ -13,10 +13,15 @@ aggregation groups on (user_id, session_no), which hash(user_id)
 partitioning already satisfies (ClusteredDistribution subset rule), so
 it adds NO second exchange — just a map-side-combinable agg
 (tests/test_plan_quality.py locks the single-exchange property). Hot
-users (bots) are the skew risk: at warehouse scale pre-filter by a
-per-user event cap (groupBy-count + broadcast anti-join, same pattern
-as the LSH bucket cap) before sessionizing. The streaming analog is
-``F.session_window`` with a watermark.
+users (bots) are the skew risk: one bot with 10^9 events puts its whole
+history in ONE task's sort. The cap (default ON, repo invariant:
+caps-default-on) pre-filters users whose TOTAL event count exceeds
+``max_events_per_user`` via a groupBy-count + broadcast anti-join —
+the same pattern as the LSH bucket cap, never a count-over-window
+(which would itself shuffle the full event set per user before
+filtering; tests/test_plan_quality.py locks the no-window property).
+Pass ``max_events_per_user=None`` for exact/uncapped. The streaming
+analog is ``F.session_window`` with a watermark.
 
 Determinism: timestamps compare as integer microseconds (unix_micros ==
 DuckDB epoch_us), session identity is (min event_id in session) — pure
@@ -25,9 +30,30 @@ functions of the data, safe for cross-engine oracle hashing.
 
 from __future__ import annotations
 
+import typing
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+#: default hot-user cap: a real user does not produce 100k events in one
+#: table; above this the row is near-certainly a bot/test account whose
+#: single-task sort would dominate the stage at 10^12-event scale.
+DEFAULT_MAX_EVENTS_PER_USER = 100_000
+
+
+def _drop_hot_users(df, user_col, max_events_per_user):
+    """Exclude users whose total event count exceeds the cap: slim
+    groupBy-count (map-side combined, shuffles one long per user) +
+    broadcast LEFT ANTI join — the event rows themselves are only
+    filtered, never shuffled by the cap."""
+    if max_events_per_user is None:
+        return df
+    hot = (df.groupBy(user_col)
+             .agg(F.count(F.lit(1)).alias("__n_events__"))
+             .where(F.col("__n_events__") > max_events_per_user)
+             .select(user_col))
+    return df.join(F.broadcast(hot), user_col, "left_anti")
 
 
 def _epoch_us(ts_col: str):
@@ -62,12 +88,16 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_us: int = DEFAULT_GAP_US,
+    max_events_per_user: typing.Optional[int] = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
     """Per-event session labels: input columns plus
     (session_no, session_id) where session_no is the user's 1-based
     session ordinal and session_id the minimum event id in the session.
     The session_id window partitions on (user, session_no), which the
-    existing hash(user) exchange already satisfies — re-sort only."""
+    existing hash(user) exchange already satisfies — re-sort only.
+    Users above ``max_events_per_user`` total events are dropped up
+    front (see module doc; None = exact)."""
+    df = _drop_hot_users(df, user_col, max_events_per_user)
     with_no = _with_session_no(df, user_col, ts_col, id_col, gap_us)
     w_sess = Window.partitionBy(user_col, "session_no")
     return with_no.withColumn("session_id", F.min(id_col).over(w_sess))
@@ -80,11 +110,15 @@ def session_stats(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_us: int = DEFAULT_GAP_US,
+    max_events_per_user: typing.Optional[int] = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
     """One row per session: (user_id, session_id, n_events, start_us,
     end_us, duration_us). session_id = min event id in the session.
-    All integer-exact for cross-engine parity."""
+    All integer-exact for cross-engine parity. Users above
+    ``max_events_per_user`` total events are dropped up front (see
+    module doc; None = exact)."""
     us = _epoch_us(ts_col)
+    df = _drop_hot_users(df, user_col, max_events_per_user)
     with_no = _with_session_no(df, user_col, ts_col, id_col, gap_us)
     return (
         with_no.withColumn("__us__", us)

@@ -87,7 +87,15 @@ class ValidationResult:
 
         ``df`` must be the frame this result was produced from (or share
         its row-key space) and ``row_key`` the same key passed to
-        validate. Scale shape: violating keys are distinct-aggregated
+        validate. ``row_key`` must name an INTEGRAL column (the
+        violations' 'row' is a long): a string/float/decimal key would
+        be cast, and any value the cast nulls out would never match a
+        join predicate — genuinely violating rows would silently route
+        to the CLEAN side. Non-integral key types therefore raise
+        PanSchArgumentError up front, and rows whose key IS NULL (also
+        unmatchable) are routed to the QUARANTINED side — an
+        unattributable row must never ship in the clean table.
+        Scale shape: violating keys are distinct-aggregated
         (output rows = violating rows, typically rare) and BROADCAST
         against two scans of the source — the 10^12-row table itself
         never shuffles. Pass ``broadcast_bad=False`` when violations are
@@ -112,12 +120,27 @@ class ValidationResult:
             raise PanSchArgumentError(
                 "cannot split on an early-returned result (column-count "
                 "precheck failed before any row was validated)")
+        key_type = dict(df.dtypes).get(row_key)
+        if key_type is None:
+            raise PanSchArgumentError(
+                "split(): row_key column {!r} not in df".format(row_key))
+        if key_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise PanSchArgumentError(
+                "split() requires an integral row_key (violations' 'row' is "
+                "a long); got {!r} of type {} — a lossy cast would silently "
+                "route violating rows to the clean side. Validate with an "
+                "integral key column (e.g. an ingest ordinal).".format(
+                    row_key, key_type))
+
         bad = (self.violations.select(F.col("row").alias("__bad_row__"))
                .distinct().persist(StorageLevel.MEMORY_AND_DISK))
         bad_side = F.broadcast(bad) if broadcast_bad else bad
         key = F.col(row_key).cast("long")
-        clean = df.join(bad_side, key == F.col("__bad_row__"), "left_anti")
-        quarantined = df.join(bad_side, key == F.col("__bad_row__"), "left_semi")
+        clean = df.where(key.isNotNull()).join(
+            bad_side, key == F.col("__bad_row__"), "left_anti")
+        quarantined = df.where(key.isNotNull()).join(
+            bad_side, key == F.col("__bad_row__"), "left_semi",
+        ).unionByName(df.where(key.isNull()))
         return _attach_cached(clean, [bad]), _attach_cached(quarantined, [bad])
 
     def collect_warnings(self, limit: int = None) -> typing.List[ValidationWarning]:

@@ -105,7 +105,7 @@ class Warehouse:
         from pyspark.sql import functions as F
 
         w = (df.repartition(n_buckets, F.col(bucket_col))
-             .write.mode("overwrite").format("parquet")
+             .write.mode("overwrite").format(self.fmt)
              .option("path", self.path(table))
              .bucketBy(n_buckets, bucket_col))
         if sort_col is not None:
@@ -148,10 +148,27 @@ class Warehouse:
         discarded and rebuilt. Returns {'files_before', 'files_after',
         'bytes'}."""
         import math
+        import re
         import shutil
 
         path = self.path(name)
         self.recover_compaction(name)
+
+        # Guard: a bucketed table's files carry the bucket-id suffix
+        # (part-...-<uuid>_00003.c000...). A plain repartition rewrite
+        # would break Spark's bucket-file naming contract (the catalog
+        # would still claim n_buckets hash-clustered files), silently
+        # un-bucketing every subsequent join. Re-clustering is the only
+        # valid "compaction" for these: call write_bucketed again.
+        bucket_file = re.compile(r"_\d{5}\.c\d{3}")
+        for root_, _dirs, names_ in os.walk(path):
+            for f in names_:
+                if f.endswith(self.suffix) and bucket_file.search(f):
+                    raise ValueError(
+                        "compact() refused: {!r} is a bucketed table "
+                        "(bucket-suffixed files like {!r}); a plain rewrite "
+                        "would break the bucket-file contract — rewrite via "
+                        "write_bucketed instead".format(name, f))
 
         def _stats(p):
             files = bytes_ = 0

@@ -674,9 +674,24 @@ class InTableValidation(_SeriesValidation):
     def default_message(self):
         return "is not present in the reference table column {}".format(self.dim_col)
 
+    #: pandas-fallback ceiling: above this many distinct dimension values
+    #: the driver-side collect would OOM; the default broadcast-anti-join
+    #: plan has no such limit (the dim stays distributed/broadcast).
+    PANDAS_FALLBACK_MAX_DISTINCT = 1_000_000
+
     def pandas_validate(self, series):
-        opts = [r[self.dim_col] for r in self.dim_df.select(self.dim_col).distinct().collect()]
-        return series.isin(opts)
+        cap = self.PANDAS_FALLBACK_MAX_DISTINCT
+        rows = (self.dim_df.select(self.dim_col).distinct()
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            from .errors import PanSchArgumentError
+            raise PanSchArgumentError(
+                "InTableValidation pandas fallback refused: dimension column "
+                "{!r} has more than {:,} distinct values — collecting it to "
+                "the driver would OOM. Use the default plan (mode='auto': "
+                "broadcast LEFT ANTI join) which never collects the dimension."
+                .format(self.dim_col, cap))
+        return series.isin([r[self.dim_col] for r in rows])
 
 
 # ---------------------------------------------------------------------------

@@ -59,3 +59,16 @@ def test_pca_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         train_pca(df, k=2)
+
+
+def test_pca_tree_reduce_matches_flat_collect(spark):
+    """Above the partition threshold the gram partials go through one
+    extra combine level; the model must match the flat path (~ulp float
+    reassociation only) and still recover the planted axes."""
+    df = _planted(spark).repartition(24)
+    flat = train_pca(df, k=2, tree_reduce_above=1_000_000)
+    tree = train_pca(df, k=2, tree_reduce_above=8)  # forces the combine level
+    assert tree.n == flat.n == 400
+    assert np.allclose(tree.components, flat.components, atol=1e-6)
+    assert np.allclose(tree.variances, flat.variances, atol=1e-6)
+    assert abs(tree.components[0][0]) > 0.99 and tree.components[0][0] > 0

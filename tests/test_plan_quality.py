@@ -161,9 +161,28 @@ def test_sessionize_single_exchange(spark):
     from pandasschema_spark.operators.sessions import session_stats
 
     ev = spark.read.parquet(SF_DIR + "/events.parquet")
-    plan = plan_of(session_stats(ev))
+    plan = plan_of(session_stats(ev, max_events_per_user=None))
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1, plan[:3000]
+
+
+def test_sessionize_hot_user_cap_plan(spark):
+    """The default hot-user cap must be a slim groupBy-count + broadcast
+    LEFT ANTI join — never a count-over-window (which would shuffle and
+    sort the FULL event set per user before filtering anything). Total
+    exchanges: the sessionize exchange plus ONE metadata-sized count
+    exchange (user_id + a long), and the per-event Window count stays
+    exactly what the uncapped plan has."""
+    from pandasschema_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    capped = plan_of(session_stats(ev))            # cap defaults ON
+    uncapped = plan_of(session_stats(ev, max_events_per_user=None))
+    assert "BroadcastHashJoin" in capped and "LeftAnti" in capped, capped[:3000]
+    assert capped.count("Window") == uncapped.count("Window"), \
+        "cap added a window over the event set:\n" + capped[:3000]
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", capped))
+    assert n_exchanges == 2, capped[:3000]
 
 
 def test_quarantine_split_broadcasts_bad_keys(spark):
@@ -185,27 +204,53 @@ def test_quarantine_split_broadcasts_bad_keys(spark):
     release_cached(clean)
 
 
-def test_bucketed_join_no_exchange(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_bucketed_join_no_exchange(spark, tmp_path, fmt):
     """Two tables bucketed identically on the join key must join with
     ZERO Exchange operators — the write-once-amortize-forever
-    co-location primitive for repeated fact-fact joins at scale."""
+    co-location primitive for repeated fact-fact joins at scale. Both
+    builtin columnar formats: write_bucketed must honor the warehouse
+    format (an ORC warehouse silently writing parquet buckets was the
+    round-3 wart), checked against the files actually on disk."""
+    import os
+
     from pandasschema_spark.sources.warehouse import Warehouse
 
-    wh = Warehouse(str(tmp_path))
+    wh = Warehouse(str(tmp_path), fmt=fmt)
     a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
     b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    ta, tb = "bk_a_" + fmt, "bk_b_" + fmt
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        wh.write_bucketed(a, "bk_a", "k", 4, sort_col="k")
-        wh.write_bucketed(b, "bk_b", "k", 4, sort_col="k")
+        wh.write_bucketed(a, ta, "k", 4, sort_col="k")
+        wh.write_bucketed(b, tb, "k", 4, sort_col="k")
+        data_files = [f for f in os.listdir(wh.path(ta)) if f.startswith("part-")]
+        assert data_files and all(f.endswith(wh.suffix) for f in data_files), \
+            "bucketed files ignore the warehouse format: " + repr(data_files[:3])
         # disable broadcast so the tiny test tables take the fact-fact
         # (sort-merge) path the bucketing exists for
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        joined = spark.table(ta).join(spark.table(tb), "k")
         plan = plan_of(joined)
         assert "Exchange" not in plan, plan[:3000]
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bk_a")
-        spark.sql("DROP TABLE IF EXISTS bk_b")
+        spark.sql("DROP TABLE IF EXISTS {}".format(ta))
+        spark.sql("DROP TABLE IF EXISTS {}".format(tb))
+
+
+def test_compact_refuses_bucketed_table(spark, tmp_path):
+    """compact()'s plain repartition rewrite would break Spark's
+    bucket-file naming contract while the catalog still advertises the
+    bucketing — it must refuse with a pointer at write_bucketed."""
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    try:
+        wh.write_bucketed(df, "bk_guard", "k", 4)
+        with pytest.raises(ValueError, match="write_bucketed"):
+            wh.compact(spark, "bk_guard")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_guard")

@@ -65,3 +65,21 @@ def test_splits_no_truncation_gap(spark):
     out = assign_splits(df, "k", {"a": 0.29, "b": 0.71})
     labels = {r["split"] for r in out.collect()}
     assert labels == {"a", "b"}  # full coverage, no NULL
+
+
+def test_half_bucket_fraction_rounds_up(spark):
+    """An exactly-representable half-bucket fraction (0.5/denom) must
+    yield ONE bucket, not zero — Python round()'s half-to-even would
+    silently empty the sample."""
+    from pandasschema_spark.operators.sampling import (
+        assign_splits, deterministic_sample, hash_bucket_expr)
+
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    denom = 1_000_000
+    frac = 0.5 / denom  # 0.0000005: round() -> 0 buckets, half-up -> 1
+    got = deterministic_sample(df, "k", frac, denom=denom)
+    want = df.where(hash_bucket_expr(F.col("k"), denom) < 1)
+    assert sorted(r["k"] for r in got.collect()) \
+        == sorted(r["k"] for r in want.collect())
+    lab = assign_splits(df, "k", {"tiny": frac}, denom=denom)
+    assert lab.where(F.col("split") == "tiny").count() == want.count()

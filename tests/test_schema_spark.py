@@ -240,3 +240,23 @@ def test_distinct_in_schema(spark):
     assert ws[0].row == 1  # keep='first': only the SECOND '1' fails
     assert ws[0].message == "contains values that are not unique"
     assert str(ws[0]) == '{row: 1, column: "v"}: "1" contains values that are not unique'
+
+
+def test_intable_pandas_fallback_guard(spark, monkeypatch):
+    """The pandas fallback collects the distinct dimension to the driver;
+    above the cap it must refuse with a pointer at the anti-join plan
+    instead of silently OOMing the driver."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.errors import PanSchArgumentError
+    from pandasschema_spark.validation import InTableValidation
+
+    dim = spark.range(0, 50).select(F.col("id").alias("v"))
+    v = InTableValidation(dim, "v")
+    monkeypatch.setattr(InTableValidation, "PANDAS_FALLBACK_MAX_DISTINCT", 10)
+    with pytest.raises(PanSchArgumentError, match="refused"):
+        v.pandas_validate(pd.Series([1, 2, 3]))
+    monkeypatch.setattr(InTableValidation, "PANDAS_FALLBACK_MAX_DISTINCT", 100)
+    assert v.pandas_validate(pd.Series([1, 999])).tolist() == [True, False]

@@ -73,3 +73,50 @@ def test_split_early_return_raises(spark):
     assert res.is_early_return()
     with pytest.raises(PanSchArgumentError, match="early-returned"):
         res.split(df, "k")
+
+
+def test_hot_user_cap_drops_bot(spark):
+    """A user above max_events_per_user vanishes entirely (bot filter);
+    cap=None keeps everyone; normal users are untouched either way."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 99) for i in range(20)]
+    rows += [(100, t0, 1), (101, t0 + dt.timedelta(minutes=5), 1)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    capped = session_stats(df, max_events_per_user=10)
+    assert {r["user_id"] for r in capped.collect()} == {1}
+    exact = session_stats(df, max_events_per_user=None)
+    assert {r["user_id"] for r in exact.collect()} == {1, 99}
+    # cap at the exact count is NOT exceeded -> user kept
+    at_cap = session_stats(df, max_events_per_user=20)
+    assert {r["user_id"] for r in at_cap.collect()} == {1, 99}
+
+
+def test_split_requires_integral_key(spark):
+    import pytest
+
+    from pandasschema_spark.errors import PanSchArgumentError
+
+    df = spark.createDataFrame([("a", 50.0)], "k string, x double")
+    schema = Schema([Column("x", [InRangeValidation(0, 10)])])
+    res = schema.validate(df, columns=["x"], row_key="k")
+    with pytest.raises(PanSchArgumentError, match="integral"):
+        res.split(df, "k")
+    with pytest.raises(PanSchArgumentError, match="not in df"):
+        res.split(df, "missing_key")
+
+
+def test_split_null_key_routes_to_quarantine(spark):
+    """A NULL row key can never match a join predicate; the row is
+    unattributable and must ship in the QUARANTINE table, never clean."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 5.0), (None, 50.0), (2, 50.0)], "k long, x double")
+    schema = Schema([Column("x", [InRangeValidation(0, 10)])])
+    res = schema.validate(df, columns=["x"], row_key="k")
+    from pandasschema_spark.operators.dedup import release_cached
+
+    clean, quar = res.split(df, "k")
+    assert [r["k"] for r in clean.collect()] == [1]
+    assert sorted([r["k"] for r in quar.collect()], key=lambda v: (v is None, v)) \
+        == [2, None, None]
+    assert clean.count() + quar.count() == df.count()
+    release_cached(clean)
