@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "val_quarantine",
     "sample_splits",
     "dedup_clusters",
+    # round-4 additions (appended — earlier names keep r1-r3 comparability)
+    "heavy_hitters",
+    "outlier_zscore",
 ]
 
 

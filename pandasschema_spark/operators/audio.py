@@ -164,50 +164,68 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
     T.StructField("seg_idx", T.IntegerType(), False),
+    T.StructField("start_byte", T.LongType(), False),
     T.StructField("bytes", T.BinaryType(), False),
     T.StructField("sr_hz", T.IntegerType(), False),
 ])
 
 
-def segment(df: DataFrame, seg_ms: int, *, id_col: str = "clip_id",
+def segment(df: DataFrame, seg_ms: int, *, hop_ms: typing.Optional[int] = None,
+            id_col: str = "clip_id",
             bytes_col: str = "bytes", sr_col: str = "sr_hz",
             drop_tail: bool = True) -> DataFrame:
     """Split every clip into fixed-duration windows of ``seg_ms``
     (segment length = sr * seg_ms // 1000 samples) — the standard
-    training-window op. One narrow mapInPandas pass fanning each input
-    row out to its segments; with ``drop_tail`` (default) only full
-    windows are emitted (n_segments = n_samples // seg_len, the
-    closed-form law the oracle checks), else the ragged tail becomes a
-    final short segment.
+    training-window op. ``hop_ms`` (default: ``seg_ms``, i.e. disjoint
+    windows) strides the window starts for OVERLAPPING windows, the
+    usual shape for spectrogram/feature frames: window k covers samples
+    [k*hop, k*hop + seg_len), and only full windows are emitted —
+    n_windows = (n_samples - seg_len) // hop + 1 when n_samples >=
+    seg_len else 0, the closed-form law the oracle checks. With the
+    default disjoint stride, ``drop_tail=False`` instead appends the
+    ragged tail as a final short segment (unsupported for overlapping
+    strides, where "the tail" is ill-defined — raises).
 
-    Fan-out is row-local, so at 10^12 clips this stays a narrow map; the
-    segment id is (clip_id, seg_idx), and downstream repartitioning (for
-    shard-sized output files) is the caller's write-side concern."""
+    One narrow mapInPandas pass fanning each input row out to its
+    windows; fan-out is row-local, so at 10^12 clips this stays a
+    narrow map (overlap multiplies output bytes by ~seg/hop — size the
+    write partitioning for the POST-fan-out volume). The segment id is
+    (clip_id, seg_idx) and ``start_byte`` records the window's byte
+    offset for lineage back into the source clip."""
+    if hop_ms is not None and hop_ms != seg_ms and not drop_tail:
+        raise ValueError("drop_tail=False requires disjoint windows "
+                         "(hop_ms == seg_ms or None)")
 
     def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
         for b in batches:
             ids = b[id_col].to_numpy()
             raws = b[bytes_col].to_numpy()
             srs = b[sr_col].to_numpy()
-            out_id, out_idx, out_b, out_sr = [], [], [], []
+            out_id, out_idx, out_off, out_b, out_sr = [], [], [], [], []
             for j in range(len(b)):
                 raw = raws[j] or b""
                 sr = int(srs[j])
                 seg_bytes = 2 * max(sr * seg_ms // 1000, 1)
-                n_full = len(raw) // seg_bytes
+                hop_bytes = seg_bytes if hop_ms is None else \
+                    2 * max(sr * hop_ms // 1000, 1)
+                n_full = 0 if len(raw) < seg_bytes else \
+                    (len(raw) - seg_bytes) // hop_bytes + 1
                 for k in range(n_full):
                     out_id.append(ids[j])
                     out_idx.append(k)
-                    out_b.append(raw[k * seg_bytes:(k + 1) * seg_bytes])
+                    out_off.append(k * hop_bytes)
+                    out_b.append(raw[k * hop_bytes:k * hop_bytes + seg_bytes])
                     out_sr.append(sr)
                 tail = len(raw) - n_full * seg_bytes
-                if tail and not drop_tail:
+                if tail > 0 and not drop_tail:
                     out_id.append(ids[j])
                     out_idx.append(n_full)
+                    out_off.append(n_full * seg_bytes)
                     out_b.append(raw[n_full * seg_bytes:])
                     out_sr.append(sr)
             yield pd.DataFrame({"clip_id": out_id,
                                 "seg_idx": np.array(out_idx, dtype=np.int32),
+                                "start_byte": np.array(out_off, dtype=np.int64),
                                 "bytes": out_b,
                                 "sr_hz": np.array(out_sr, dtype=np.int32)})
 

@@ -1,0 +1,170 @@
+"""Order-statistics validation operators: exact discrete quantiles,
+per-group integer-exact z-score outliers, heavy hitters.
+
+Engine extensions (no reference analog — SURVEY.md §2.5): the north
+rule's "column stats + distribution-drift" family needs more than
+histograms — release gates are written against quantiles ("p99 clip
+duration < 30s"), per-cohort outlier rates, and hot-key diagnostics
+(the thing you run BEFORE deciding to salt a shuffle).
+
+All three are integer-exact so the DuckDB oracles hash bit-for-bit:
+quantiles use the ceil-rank discrete definition over integer values,
+outliers compare against driver-derived integer cutoffs (exact big-int
+math, no float sqrt in either engine), heavy hitters break count ties
+by value.
+
+Scale shapes at 10^12 rows:
+- exact_quantiles: ONE hash-agg shuffle of O(distinct values); the
+  cumulative window then runs over the value HISTOGRAM (k rows, one
+  task) — exact and cheap for bounded-cardinality columns (sample
+  rates, durations in ms, prices in cents). For genuinely unbounded
+  columns quantize first (floor to a grid); the quantile of the
+  quantized column is the quantized quantile, and k stays bounded by
+  the grid. The final join against the O(#quantiles) rank frame is a
+  broadcast.
+- zscore_outliers: per-group (n, sum, sum-of-squares) via ONE
+  map-side-combined hash agg (decimal(38) accumulators — cent^2 sums
+  overflow int64 past ~10^5 rows); O(groups) rows reach the driver,
+  which turns them into exact integer CUTOFFS on the raw value
+  (isqrt on arbitrary-precision ints — the rows' own engine never
+  multiplies big numbers); cutoffs broadcast-join back and the flag is
+  a row-local integer compare fused into the scan.
+- heavy_hitters: hash-agg + TakeOrdered(k) — no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+import typing
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col,
+    qs_pm: typing.Sequence[int],
+    *,
+    denom: int = 1000,
+) -> DataFrame:
+    """Exact discrete quantiles of an integral column: for each q (in
+    units of 1/denom, e.g. per-mille) the smallest value v whose
+    cumulative count reaches rank ceil(q*n/denom) — the classic
+    quantile-disc definition, integer-exact across engines.
+
+    Returns (q_pm, rank, n, value) — one row per requested quantile.
+    ``value_col`` may be a column name or a Column expression (cast it
+    to an integral type for cross-engine hashing). NULLs are excluded
+    from n, matching SQL aggregate semantics.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = (df.select(v.alias("value")).where(F.col("value").isNotNull())
+           .groupBy("value").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    cum = h.withColumn("cum", F.sum("c").over(w)) \
+           .crossJoin(h.agg(F.sum("c").alias("n")))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pm], "q_pm long")
+    # ceil(q*n/denom) as pure integer arithmetic: (a + b - 1) div b
+    rank = F.expr("(q_pm * n + {d} - 1) div {d}".format(d=denom))
+    return (cum.join(F.broadcast(qdf),
+                     (F.col("cum") >= rank) & ((F.col("cum") - F.col("c")) < rank))
+            .select("q_pm", rank.alias("rank"), "n", "value"))
+
+
+class GroupCutoffs(typing.NamedTuple):
+    group: typing.Tuple
+    n: int
+    lo_cut: int  # outlier iff value <= lo_cut
+    hi_cut: int  # outlier iff value >= hi_cut
+
+
+def zscore_cutoffs(
+    df: DataFrame,
+    value_col,
+    group_cols: typing.Sequence[str],
+    *,
+    k: int = 3,
+) -> typing.List[GroupCutoffs]:
+    """Per-group exact integer outlier cutoffs for |x - mean| > k*std.
+
+    The float-free identity: with integer x, n, s = sum(x),
+    ss = sum(x^2), the condition (x-mean)^2 > k^2 * var is exactly
+    (n*x - s)^2 > C where C = k^2*(n*ss - s^2). Since |n*x - s| is an
+    integer, that is |n*x - s| >= isqrt(C)+1, i.e.
+    x >= ceil((s+t)/n) or x <= floor((s-t)/n) with t = isqrt(C)+1 —
+    two integer CUTOFFS per group, computed here with Python's
+    arbitrary-precision ints (no overflow, no float sqrt). ``k`` must
+    be an integer for the identity to stay exact."""
+    if k != int(k):
+        raise ValueError("k must be an integer for exact cutoffs")
+    k = int(k)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dec = v.cast("decimal(19,0)")
+    stats = (df.select(*group_cols, v.alias("__v__"), dec.alias("__vd__"))
+               .where(F.col("__v__").isNotNull())
+               .groupBy(*group_cols)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("__vd__").alias("s"),
+                    F.sum(F.col("__vd__") * F.col("__vd__")).alias("ss"))
+             ).collect()
+    out = []
+    for r in stats:
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        c = k * k * (n * ss - s * s)
+        t = math.isqrt(c) + 1
+        lo = (s - t) // n                    # floor
+        hi = -((-(s + t)) // n)              # ceil
+        out.append(GroupCutoffs(tuple(r[g] for g in group_cols), n, lo, hi))
+    return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col,
+    group_cols: typing.Sequence[str],
+    *,
+    k: int = 3,
+    keep_cols: typing.Sequence[str] = (),
+) -> DataFrame:
+    """Rows whose integral ``value_col`` deviates from its group mean by
+    strictly more than k standard deviations (population std), exactly.
+    Returns group_cols + keep_cols + (value, lo_cut, hi_cut)."""
+    cuts = zscore_cutoffs(df, value_col, group_cols, k=k)
+    spark = df.sparkSession
+    schema_src = df.select(*group_cols).schema
+    cut_rows = [(*c.group, c.lo_cut, c.hi_cut) for c in cuts]
+    from pyspark.sql import types as T
+
+    cut_schema = T.StructType(
+        list(schema_src.fields)
+        + [T.StructField("lo_cut", T.LongType()),
+           T.StructField("hi_cut", T.LongType())])
+    cut_df = spark.createDataFrame(cut_rows, cut_schema)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    joined = (df.select(*group_cols, *keep_cols, v.alias("value"))
+                .where(F.col("value").isNotNull())
+                .join(F.broadcast(cut_df), list(group_cols)))
+    return (joined.where((F.col("value") <= F.col("lo_cut"))
+                         | (F.col("value") >= F.col("hi_cut")))
+            .select(*group_cols, *keep_cols, "value", "lo_cut", "hi_cut"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col,
+    *,
+    top_k: int = 50,
+) -> DataFrame:
+    """The ``top_k`` most frequent values of a column with deterministic
+    tie-breaking (count desc, value asc): the pre-salting diagnostic —
+    run this before keying a 10^12-row shuffle on the column. Hash-agg
+    (map-side combined, O(distinct) shuffle) + TakeOrdered(k); the rank
+    window runs over the already-limited k rows only."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = (df.select(c.alias("value")).where(F.col("value").isNotNull())
+                .groupBy("value").agg(F.count(F.lit(1)).alias("cnt")))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("value")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    return topk.withColumn("rank", F.row_number().over(w))

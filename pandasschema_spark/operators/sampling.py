@@ -57,6 +57,33 @@ def deterministic_sample(
         < math.floor(fraction * denom + 0.5))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: typing.Dict[typing.Any, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+    denom: int = DEFAULT_DENOM,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each row keeps/drops by the
+    SAME md5-bucket rule as ``deterministic_sample`` but against its
+    stratum's fraction (strata not listed get ``default_fraction``).
+    The workhorse for rebalancing skewed training mixes (downsample the
+    dominant language, keep all of the rare one) while staying
+    reproducible, repartition-proof and append-stable. Still a
+    row-local codegen filter fused into the scan — zero shuffles; the
+    per-stratum threshold is a CASE over ``fractions`` (broadcast that
+    map via a join instead if it has millions of entries)."""
+    bucket = hash_bucket_expr(F.col(id_col), denom, salt)
+    thr = F.lit(math.floor(default_fraction * denom + 0.5))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(math.floor(frac * denom + 0.5))).otherwise(thr)
+    return df.where(bucket < thr)
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str,

@@ -54,3 +54,46 @@ def with_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
         expr = F.when(cond, F.lit(off)) if expr is None else expr.when(cond, F.lit(off))
     intra = F.col("__mid__") % F.lit(_PART_SHIFT)
     return tagged.withColumn(name, (expr + intra).cast("long")).drop("__mid__")
+
+
+def with_file_ordered_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
+    """Append a 0-based row ordinal ordered by (file path ascending,
+    position within file) — the order ``sorted(glob)`` + ``pd.concat``
+    would give, which is what a reference user ingesting a multi-file
+    CSV directory expects.
+
+    ``with_row_index`` follows Spark's SCAN order, and Spark sorts file
+    splits by size DESCENDING for bin-packing — a directory of unequal
+    CSV part files gets its ordinals assigned largest-file-first
+    (empirically verified; tests/test_ingest.py). This variant re-keys
+    each scan chunk by its source file: one O(chunks) driver
+    aggregation of (partition, file) -> (count, first id). Within one
+    file, chunk order follows monotonically_increasing_id order, which
+    matches byte-offset order because Spark's length sort is stable and
+    a file's equal-size splits enter it consecutively. Same scale shape
+    as with_row_index: two narrow scans, no data shuffle; the per-row
+    ``input_file_name()`` string is confined to the ordinal scan."""
+    mid = F.monotonically_increasing_id()
+    tagged = (df.withColumn("__mid__", mid)
+                .withColumn("__fname__", F.input_file_name()))
+    pid = F.shiftright(F.col("__mid__"), 33)
+    chunks = (
+        tagged.groupBy(pid.alias("__pid__"), F.col("__fname__"))
+        .agg(F.count(F.lit(1)).alias("__cnt__"),
+             F.min("__mid__").alias("__min_mid__"))
+        .collect()
+    )
+    if not chunks:
+        return (tagged.withColumn(name, F.lit(0).cast("long"))
+                .drop("__mid__", "__fname__"))
+    expr = None
+    acc = 0
+    for row in sorted(chunks, key=lambda r: (r["__fname__"], r["__min_mid__"])):
+        # ordinal = global_offset + (mid - chunk_first_mid)
+        cond = (pid == F.lit(row["__pid__"])) & \
+               (F.col("__fname__") == F.lit(row["__fname__"]))
+        delta = F.lit(acc - row["__min_mid__"])
+        expr = F.when(cond, delta) if expr is None else expr.when(cond, delta)
+        acc += row["__cnt__"]
+    return (tagged.withColumn(name, (expr + F.col("__mid__")).cast("long"))
+            .drop("__mid__", "__fname__"))

@@ -374,3 +374,32 @@ def test_cosine_topk_arrow_string_ids(spark):
     assert len(rows) == 6
     assert all(isinstance(r["vec_id"], str) for r in rows)
     emb.unpersist()
+
+
+def test_segment_hop_overlapping_windows(spark, quality_df):
+    """Overlapping windows: count law (ns - sl)//hl + 1, stride-exact
+    start offsets, byte-exact slices, and start_byte lineage."""
+    import pytest
+
+    from pandasschema_spark.operators.audio import segment
+
+    segs = segment(quality_df.limit(40), 25, hop_ms=10).collect()
+    by_clip = {}
+    for r in segs:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for i in range(0, 40, 7):
+        s, f = _local_pcm(i)
+        raw = s.astype("<i2").tobytes()
+        sl = 2 * (f["sr_hz"] * 25 // 1000)
+        hl = 2 * (f["sr_hz"] * 10 // 1000)
+        want_n = 0 if len(raw) < sl else (len(raw) - sl) // hl + 1
+        got = sorted(by_clip.get("clip_{:012d}".format(i), []),
+                     key=lambda r: r["seg_idx"])
+        assert len(got) == want_n
+        for k in (0, want_n // 2, want_n - 1):
+            if want_n:
+                r = got[k]
+                assert r["start_byte"] == k * hl
+                assert bytes(r["bytes"]) == raw[k * hl:k * hl + sl]
+    with pytest.raises(ValueError, match="disjoint"):
+        segment(quality_df, 25, hop_ms=10, drop_tail=False)

@@ -1,0 +1,108 @@
+"""Order-statistics operators: exact quantiles, z-score outliers,
+heavy hitters, stratified sampling."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.colstats import (
+    exact_quantiles,
+    heavy_hitters,
+    zscore_cutoffs,
+    zscore_outliers,
+)
+from pandasschema_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def test_exact_quantiles_match_numpy_disc(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=3000).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    out = {r["q_pm"]: r for r in
+           exact_quantiles(df, "x", [10, 500, 990]).collect()}
+    s = sorted(vals)
+    for q in (10, 500, 990):
+        rank = -((-q * len(vals)) // 1000)  # ceil
+        assert out[q]["rank"] == rank
+        assert out[q]["value"] == s[rank - 1]
+        assert out[q]["n"] == len(vals)
+
+
+def test_exact_quantiles_ignore_nulls_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "x long")
+    out = {r["q_pm"]: r["value"] for r in
+           exact_quantiles(df, "x", [500, 1000]).collect()}
+    # n=4 (null excluded): p50 rank=2 -> 1, p100 rank=4 -> 2
+    assert out[500] == 1 and out[1000] == 2
+
+
+def test_zscore_cutoffs_exact_identity(spark):
+    """Cutoffs must agree with the direct big-int squared comparison for
+    every value — including near the boundary."""
+    vals = [10, 12, 11, 9, 13, 10, 11, 500, 2, 10, 12]  # one huge, one low
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "g string, x long")
+    (c,) = zscore_cutoffs(df, "x", ["g"], k=2)
+    n, s = len(vals), sum(vals)
+    ss = sum(v * v for v in vals)
+    big = 4 * (n * ss - s * s)
+    for v in range(0, 600):
+        direct = (n * v - s) ** 2 > big
+        via_cuts = v <= c.lo_cut or v >= c.hi_cut
+        assert direct == via_cuts, v
+
+
+def test_zscore_outliers_flags_tail(spark):
+    rows = [("a", i, 50 + (i % 7)) for i in range(200)]
+    rows += [("a", 900, 10_000), ("a", 901, -9_000)]
+    rows += [("b", i + 1000, 7) for i in range(50)]  # zero-ish variance group
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = zscore_outliers(df, "x", ["g"], k=3, keep_cols=["id"]).collect()
+    assert {r["id"] for r in out} == {900, 901}
+    assert all(r["g"] == "a" for r in out)
+
+
+def test_zscore_requires_integer_k(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, x long")
+    with pytest.raises(ValueError, match="integer"):
+        zscore_cutoffs(df, "x", ["g"], k=2.5)
+
+
+def test_heavy_hitters_ranks_and_ties(spark):
+    rows = [(v,) for v in [1] * 5 + [2] * 5 + [3] * 7 + [4] * 2 + [5]]
+    df = spark.createDataFrame(rows, "x long")
+    out = heavy_hitters(df, "x", top_k=3).orderBy("rank").collect()
+    # count desc, value asc on ties: 3(7), then 1(5) before 2(5)
+    assert [(r["value"], r["cnt"], r["rank"]) for r in out] == \
+        [(3, 7, 1), (1, 5, 2), (2, 5, 3)]
+
+
+def test_stratified_sample_matches_per_stratum_rule(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "k long, lang string")
+    frac = {"en": 0.5, "de": 0.05}
+    got = {r["k"] for r in
+           stratified_sample(df, "k", "lang", frac,
+                             default_fraction=1.0).collect()}
+    # per-stratum equivalence with the plain sampler restricted to the stratum
+    for lang, f in [("en", 0.5), ("de", 0.05), ("fr", 1.0)]:
+        sub = df.where(F.col("lang") == lang)
+        want = {r["k"] for r in deterministic_sample(sub, "k", f).collect()}
+        assert {k for k in got if ["en", "de", "fr"][k % 3] == lang} == want
+
+
+def test_stratified_sample_is_repartition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(2000)], "k long, s string")
+    a = {r["k"] for r in
+         stratified_sample(df, "k", "s", {"a": 0.3, "b": 0.7}).collect()}
+    b = {r["k"] for r in
+         stratified_sample(df.repartition(13), "k", "s",
+                           {"a": 0.3, "b": 0.7}).collect()}
+    assert a == b and len(a) > 0

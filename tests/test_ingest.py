@@ -67,3 +67,36 @@ def test_jsonl_with_ordinal(spark, tmp_path):
     schema = Schema([Column("age", [InRangeValidation(0, 120)])])
     ws = schema.validate(df, columns=["age"], row_key="row_ord").collect_warnings()
     assert len(ws) == 1 and ws[0].row == 1 and ws[0].value == "200"
+
+
+def test_multifile_csv_ordinal_is_filename_order(spark, tmp_path):
+    """Spark orders scan splits by SIZE descending, not filename — the
+    file-aware ordinal must still assign (file path asc, row-in-file)
+    order, for equal AND unequal file sizes. Regression for the raw
+    with_row_index behavior (largest-file-first ordinals)."""
+    def write(fn, lo, hi):
+        (tmp_path / fn).write_text(
+            "i\n" + "".join("{}\n".format(j) for j in range(lo, hi)))
+
+    write("a-000.csv", 0, 100)
+    write("a-001.csv", 100, 400)   # bigger: Spark would scan it FIRST
+    write("a-002.csv", 400, 450)
+    rows = read_csv_with_ordinal(spark, str(tmp_path)).orderBy("row_ord").collect()
+    assert [int(r["i"]) for r in rows] == list(range(450))
+    assert [r["row_ord"] for r in rows] == list(range(450))
+
+
+def test_multifile_csv_ordinal_split_files(spark, tmp_path):
+    """A file large enough to split into multiple scan chunks keeps
+    within-file byte order (stable length sort)."""
+    n = 5000
+    (tmp_path / "big.csv").write_text(
+        "i\n" + "".join("{:08d}\n".format(j) for j in range(n)))
+    small = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        rows = read_csv_with_ordinal(spark, str(tmp_path)) \
+            .orderBy("row_ord").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", small)
+    assert [int(r["i"]) for r in rows] == list(range(n))

@@ -254,3 +254,40 @@ def test_compact_refuses_bucketed_table(spark, tmp_path):
             wh.compact(spark, "bk_guard")
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_guard")
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Per-stratum sampling must stay a row-local filter fused into the
+    scan — zero Exchange operators."""
+    from pandasschema_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(SF_DIR + "/orders.parquet")
+    plan = plan_of(stratified_sample(docs, "o_orderkey", "o_orderpriority",
+                                     {"1-URGENT": 0.5}, default_fraction=0.1))
+    assert "Exchange" not in plan, plan[:3000]
+    assert plan.count("Scan parquet") == 1
+
+
+def test_zscore_outliers_broadcasts_cutoffs(spark):
+    """The O(groups) cutoff table must broadcast back to the fact scan —
+    the rows themselves never shuffle."""
+    from pandasschema_spark.operators.colstats import zscore_outliers
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = zscore_outliers(ev, cents, ["event_type"], k=3,
+                          keep_cols=["event_id"])
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0], \
+        "fact side must not shuffle:\n" + plan[:3000]
+
+
+def test_heavy_hitters_no_global_sort(spark):
+    """Top-k must plan TakeOrderedAndProject over the hash-agg — a full
+    Sort of the distinct-value set is the thing to avoid at 10^9 keys."""
+    from pandasschema_spark.operators.colstats import heavy_hitters
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    plan = plan_of(heavy_hitters(li, "l_partkey", top_k=50).select("value", "cnt"))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
