@@ -106,3 +106,53 @@ def test_stratified_sample_is_repartition_invariant(spark):
          stratified_sample(df.repartition(13), "k", "s",
                            {"a": 0.3, "b": 0.7}).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# property-based: the integer identities must hold for arbitrary data
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=999))
+def test_quantile_rank_law_property(vals, q_pm):
+    """Pure-python check of the ceil-rank law the operator and oracle
+    share: value at rank ceil(q*n/denom) in sorted order, driven by the
+    same (q*n + denom - 1) // denom integer form both engines use."""
+    n = len(vals)
+    rank = (q_pm * n + 999) // 1000
+    assert rank == -((-q_pm * n) // 1000)  # the two ceil forms agree
+    assert 1 <= rank <= n
+    s = sorted(vals)
+    v = s[rank - 1]
+    # v is the smallest value whose cumulative count reaches rank
+    below = sum(1 for x in vals if x < v)
+    at = sum(1 for x in vals if x <= v)
+    assert below < rank <= at
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=2, max_size=40),
+       st.integers(min_value=1, max_value=6))
+def test_zscore_cutoff_identity_property(vals, k):
+    """Cutoff form == squared form for arbitrary ints (incl. values far
+    outside the observed range): x <= lo or x >= hi <=>
+    (n*x - s)^2 > k^2*(n*ss - s^2)."""
+    import math
+
+    n, s = len(vals), sum(vals)
+    ss = sum(v * v for v in vals)
+    c = k * k * (n * ss - s * s)
+    t = math.isqrt(c) + 1
+    lo = (s - t) // n
+    hi = -((-(s + t)) // n)
+    probes = set(vals) | {lo - 1, lo, lo + 1, hi - 1, hi, hi + 1,
+                          min(vals) - 10**12, max(vals) + 10**12}
+    for x in probes:
+        assert ((n * x - s) ** 2 > c) == (x <= lo or x >= hi), (x, lo, hi)
