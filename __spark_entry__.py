@@ -1190,6 +1190,28 @@ def q_sample_stratified(spark, sf_dir):
                              default_fraction=0.1)
 
 
+def q_val_distinct_multi(spark, sf_dir):
+    """Composite-key uniqueness — the multi-column extension of V8: the
+    (l_partkey, l_suppkey) pair must be unique (it is not — the pair
+    repeats across orders), via the same salted two-phase hash-agg +
+    broadcast join-back plan on a fused concat key. Keep-first: the
+    minimum row key per duplicate pair survives."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "ps_key", F.concat_ws(":", "l_partkey", "l_suppkey"))
+    schema = Schema([Column("ps_key", [IsDistinctValidation(salt_buckets=32)])])
+    return _violations(schema, df, ["ps_key"], F.expr(LINEITEM_ROW))
+
+
+def q_rate_limit(spark, sf_dir):
+    """Tumbling-window rate-limit validation: users emitting more than
+    one event per minute window. One slim (user, window) hash agg —
+    the events never shuffle as rows."""
+    from pandasschema_spark.operators.sessions import rate_limit_violations
+
+    return rate_limit_violations(_t(spark, sf_dir, "events"),
+                                 window_us=60_000_000, max_events=1)
+
+
 def q_val_summary(spark, sf_dir):
     """ValidationResult.summary(): per-check failure counts as ONE
     map-side-combined hash agg over the violations plan — the first
@@ -1294,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_csv_ordinal": q_ingest_csv_ordinal,
         "audio_segment_hop": q_audio_segment_hop,
         "val_summary": q_val_summary,
+        "val_distinct_multi": q_val_distinct_multi,
+        "rate_limit": q_rate_limit,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1513,6 +1537,22 @@ v AS (
     FROM r WHERE i % 211 = 11
 )
 SELECT i AS row, col AS "column", value, message FROM v
+""",
+        "val_distinct_multi": """
+SELECT l_orderkey*10 + l_linenumber AS row, 'ps_key' AS "column",
+       CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR) AS value,
+       'contains values that are not unique' AS message
+FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY l_orderkey*10 + l_linenumber) AS rn
+      FROM lineitem) WHERE rn > 1
+""",
+        "rate_limit": """
+SELECT user_id, (epoch_us(ts)//60000000)*60000000 AS window_start_us,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id, epoch_us(ts)//60000000
+HAVING count(*) > 1
 """,
         "val_summary": """
 SELECT 'l_quantity#0:InRangeValidation' AS check_id, 'l_quantity' AS "column",

@@ -103,6 +103,40 @@ def sessionize(
     return with_no.withColumn("session_id", F.min(id_col).over(w_sess))
 
 
+def rate_limit_violations(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 60 * 1_000_000,
+    max_events: int = 1,
+) -> DataFrame:
+    """Tumbling-window rate-limit check: (user, window) pairs whose
+    event count exceeds ``max_events`` — the bot/abuse validation a
+    stream ingest gate runs. One row per violating (user_id,
+    window_start_us, n_events).
+
+    Scale shape: ONE map-side-combined hash agg keyed by (user_id,
+    window) — the shuffle carries one long per (user, window) pair, the
+    events themselves never move; the HAVING filter runs on the agg
+    output. Windows are integer floor-division of epoch microseconds
+    (``us div window_us``), bit-equal to DuckDB's ``//`` on the same
+    integers, so the oracle hashes exactly."""
+    us = _epoch_us(ts_col)
+    win = df.withColumn("__us__", us).withColumn(
+        "__win__", F.expr("__us__ div {}".format(int(window_us))))
+    return (
+        win.groupBy(F.col(user_col), F.col("__win__"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > max_events)
+        .select(
+            user_col,
+            (F.col("__win__") * window_us).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

@@ -120,3 +120,19 @@ def test_split_null_key_routes_to_quarantine(spark):
         == [2, None, None]
     assert clean.count() + quar.count() == df.count()
     release_cached(clean)
+
+
+def test_rate_limit_violations(spark):
+    from pandasschema_spark.operators.sessions import rate_limit_violations
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=10 * i), 1) for i in range(8)]
+    rows += [(100, t0, 2), (101, t0 + dt.timedelta(minutes=5), 2)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {(r["user_id"], r["window_start_us"]): r["n_events"]
+           for r in rate_limit_violations(df, max_events=2).collect()}
+    # user 1: minute 0 holds events at 0,10,...,50s (6 events), minute 1
+    # holds 60,70s (2 events, not over); user 2 never exceeds
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert out == {(1, base): 6}
+    assert rate_limit_violations(df, max_events=10).count() == 0
