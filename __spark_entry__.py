@@ -578,7 +578,10 @@ def q_bucketed_join(spark, sf_dir):
     elimination for repeated fact-fact joins. The plan is asserted
     exchange-free HERE (not only in pytest) so the property sits under
     the driver's gate; the oracle is the plain SQL join, proving the
-    bucketed layout changes no answer."""
+    bucketed layout changes no answer. The warehouse is ORC — the
+    second builtin columnar format — putting write_bucketed's
+    format-dispatch under the gate too (parquet bucketing keeps its own
+    plan lock in tests/test_plan_quality.py)."""
     import shutil
 
     from pandasschema_spark.sources.warehouse import Warehouse
@@ -588,7 +591,7 @@ def q_bucketed_join(spark, sf_dir):
     # (DROP TABLE on an external table removes only catalog metadata)
     root = "/tmp/psf_bucketed_gate"
     shutil.rmtree(root, ignore_errors=True)
-    wh = Warehouse(root)
+    wh = Warehouse(root, fmt="orc")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     for tbl in ("bkq_cust", "bkq_orders"):
