@@ -1215,6 +1215,69 @@ def q_rate_limit(spark, sf_dir):
                                  window_us=60_000_000, max_events=1)
 
 
+def q_val_referential_bloom(spark, sf_dir):
+    """Bloom-SCREEN referential violations — the huge-dimension scale
+    path: the dim becomes a fixed-size broadcast bitmap (here 4096
+    bits / 3 md5-chunk hashes over the <100 customer keys) and every
+    flagged fact row is a definite violation, found with zero joins and
+    zero shuffles. The screen is a pure function of (data, n_bits, k):
+    the oracle rebuilds the identical bit set in SQL and reproduces the
+    flag row-for-row — including which true violations the screen
+    (deterministically) lets through."""
+    from pandasschema_spark.operators.referential import bloom_screen_violations
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return bloom_screen_violations(
+        ev, "user_id", dim, "c_custkey",
+        n_bits=4096, k=3, keep_cols=["event_id"])
+
+
+def q_text_edit_distance(spark, sf_dir):
+    """Edit-distance verify stage over candidate pairs (adjacent doc
+    ids as a deterministic stand-in for a blocking stage's output):
+    native JVM levenshtein over 48-char prefixes — O(candidates),
+    never all-pairs."""
+    from pandasschema_spark.operators.text import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b"))
+    return edit_distance_pairs(docs, "text", "doc_id", pairs, max_chars=48)
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant salted join (north_rule: 'skew handled by
+    salting'): lineitem joins orders on the salted order key — the hot
+    key's rows spread over 16 reducers instead of one — then
+    aggregates revenue per priority. Broadcast is disabled in-query so
+    the shuffle path the salt exists for is the path measured; the
+    oracle is the PLAIN join + aggregation, proving salting changes no
+    answer. Per-row integer cents before the sum keep the hash
+    engine-portable."""
+    from pandasschema_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = salted_join(li, orders, "l_orderkey", salt_buckets=16)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "__salt__" in plan, "join did not go through the salted key"
+        assert "BroadcastHashJoin" not in plan
+        out = (j.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_items"),
+                    F.sum("cents").alias("revenue_c")))
+        out.count()  # materialize under the no-broadcast conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def q_val_summary(spark, sf_dir):
     """ValidationResult.summary(): per-check failure counts as ONE
     map-side-combined hash agg over the violations plan — the first
@@ -1321,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_summary": q_val_summary,
         "val_distinct_multi": q_val_distinct_multi,
         "rate_limit": q_rate_limit,
+        "val_referential_bloom": q_val_referential_bloom,
+        "salted_join": q_salted_join,
+        "text_edit_distance": q_text_edit_distance,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1549,6 +1615,40 @@ FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              row_number() OVER (PARTITION BY l_partkey, l_suppkey
                                 ORDER BY l_orderkey*10 + l_linenumber) AS rn
       FROM lineitem) WHERE rn > 1
+""",
+        "text_edit_distance": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) AS INT)
+           AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""",
+        "salted_join": """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        # the exact same bloom spec as the engine: k=3 md5 8-hex-char
+        # chunks mod 4096; a fact row is flagged iff ANY of its 3 bits is
+        # unset in the union of the dim's bits
+        "val_referential_bloom": """
+WITH dimv AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+              FROM customer WHERE c_custkey < 100),
+ks(i) AS (VALUES (0), (1), (2)),
+bits AS (
+    SELECT DISTINCT
+        CAST(concat('0x', substr(md5(v), 1 + 8*i, 8)) AS BIGINT) % 4096 AS b
+    FROM dimv, ks
+),
+fidx AS (
+    SELECT event_id, user_id,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*i, 8))
+                AS BIGINT) % 4096 AS b
+    FROM events, ks
+    WHERE user_id IS NOT NULL
+)
+SELECT DISTINCT event_id, user_id
+FROM fidx WHERE b NOT IN (SELECT b FROM bits)
 """,
         "rate_limit": """
 SELECT user_id, (epoch_us(ts)//60000000)*60000000 AS window_start_us,

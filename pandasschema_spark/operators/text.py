@@ -208,3 +208,36 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, *,
         .select(F.col("id").alias(id_col), "term", "tf", "term_df",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def edit_distance_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    pairs,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_chars: int = 64,
+):
+    """Levenshtein edit distance for candidate document pairs — the
+    verify stage after a blocking stage (LSH/SimHash/embedding) proposes
+    near-dups, and the transcript-vs-transcript check an audio QA
+    pipeline runs on suspected re-reads.
+
+    NEVER all-pairs: ``pairs`` (id_a, id_b) comes from a blocking
+    operator, so the join traffic is O(candidates). Texts are truncated
+    to ``max_chars`` first because Levenshtein is O(len^2) per pair —
+    at 64 chars that is a bounded ~4k cell DP per pair, JVM-side
+    (native ``levenshtein``, no Python). Two shuffles keyed by id to
+    attach the texts (broadcast if the pair set is small).
+
+    Engine-portable: Spark's and DuckDB's levenshtein both compute the
+    classic unit-cost edit distance over code points."""
+    t = df.select(F.col(id_col).alias("__eid__"),
+                  F.substring(F.col(text_col), 1, max_chars).alias("__t__"))
+    a = t.select(F.col("__eid__").alias(id_a), F.col("__t__").alias("__ta__"))
+    b = t.select(F.col("__eid__").alias(id_b), F.col("__t__").alias("__tb__"))
+    return (pairs.join(a, id_a).join(b, id_b)
+            .select(id_a, id_b,
+                    F.levenshtein("__ta__", "__tb__").alias("edit_dist")))

@@ -1,0 +1,96 @@
+"""Bloom-screen referential, salted join, edit-distance pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.joins import salted_join
+from pandasschema_spark.operators.referential import (
+    bloom_screen_violations,
+    build_bloom,
+)
+from pandasschema_spark.operators.text import edit_distance_pairs
+
+
+def test_bloom_screen_one_sided_and_nearly_complete(spark):
+    """Every flagged row is a TRUE violation (no false positives ever);
+    with a reasonably-sized bitmap the screen catches essentially all
+    violations. NULLs are never flagged."""
+    dim = spark.range(0, 500).select(F.col("id").alias("k"))
+    rows = [(i, i) for i in range(500)]            # valid
+    rows += [(1000 + i, 10_000 + i) for i in range(300)]  # violations
+    rows.append((9999, None))
+    fact = spark.createDataFrame(rows, "event_id long, k long")
+    out = bloom_screen_violations(fact, "k", dim, "k",
+                                  n_bits=1 << 14, k=3,
+                                  keep_cols=["event_id"]).collect()
+    flagged = {r["event_id"] for r in out}
+    true_viol = {1000 + i for i in range(300)}
+    assert flagged <= true_viol          # one-sided: no valid row flagged
+    assert len(flagged) >= 295           # near-complete at this fp rate
+    assert 9999 not in flagged
+
+
+def test_bloom_bitmap_partitioning_invariant(spark):
+    dim = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    b1 = build_bloom(dim, "v", n_bits=1 << 12, k=2)
+    b2 = build_bloom(dim.repartition(7), "v", n_bits=1 << 12, k=2)
+    assert b1 == b2
+
+
+def test_bloom_screen_plan_no_join(spark):
+    """The screen must be a single scan + Arrow filter — zero joins,
+    zero exchanges on the fact side."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+        .where(F.col("c_custkey") < 50)
+    out = bloom_screen_violations(ev, "user_id", dim, "c_custkey",
+                                  n_bits=4096, k=3, keep_cols=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 5, i) for i in range(1000)] + [(99, -1)], "k long, x long")
+    dim = spark.createDataFrame(
+        [(i, "d{}".format(i)) for i in range(5)], "k long, label string")
+    salted = salted_join(fact, dim, "k", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched fact rows with null dim cols
+    left = salted_join(fact, dim, "k", salt_buckets=8, how="left")
+    assert left.count() == 1001
+    assert left.where(F.col("label").isNull()).count() == 1
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(fact, dim, "k", how="full")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple salt buckets."""
+    fact = spark.createDataFrame([(1, i) for i in range(500)], "k long, x long")
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(8))
+    n_buckets = fact.select(salt.alias("s")).distinct().count()
+    assert n_buckets >= 6
+
+
+def test_edit_distance_pairs_matches_python(spark):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    texts = ["the quick brown fox", "the quick brown fax",
+             "lorem ipsum dolor", "completely different thing", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in edit_distance_pairs(df, "text", "doc_id", pairs).collect()}
+    for (a, b), d in out.items():
+        assert d == lev(texts[a][:64], texts[b][:64]), (a, b)
+    assert len(out) == 10
