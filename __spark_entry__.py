@@ -1233,6 +1233,39 @@ def q_val_referential_bloom(spark, sf_dir):
         n_bits=4096, k=3, keep_cols=["event_id"])
 
 
+def q_pipeline_audio_qc(spark, sf_dir):
+    """End-to-end audio QC pipeline — the graft's payload-side analog of
+    pipeline_training_set, composed as one lazy plan from four gated
+    operators: PCM stats (silence/clipping flags) -> frame-level
+    silence ratio -> native byte-length cross-check -> fixed-window
+    segmentation of the SURVIVORS, rolled up to per-clip segment
+    counts. Every defect class the generator injects is dropped by the
+    metric filter that targets it (silence by peak==0, clipping by
+    n_clipped>0, half-silence by silence_ppm, truncation by the length
+    law), so the oracle is the clean-clip segment law alone. The kept
+    id set broadcasts; corpus bytes never shuffle."""
+    from pandasschema_spark.operators.audio import (audio_stats,
+                                                    frame_silence, segment)
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    st = audio_stats(df).select(
+        "clip_id",
+        (F.col("peak_abs") == 0).alias("is_silent"),
+        (F.col("n_clipped") > 0).alias("is_clipped"))
+    fs = frame_silence(df).select("clip_id", "silence_ppm")
+    len_ok = df.where(
+        F.length("bytes").cast("long")
+        == F.expr("2 * ((CAST(sr_hz AS BIGINT) * dur_ms) DIV 1000)")
+    ).select("clip_id")
+    kept = (st.join(fs, "clip_id").join(len_ok, "clip_id")
+            .where((~F.col("is_silent")) & (~F.col("is_clipped"))
+                   & (F.col("silence_ppm") < 250000))
+            .select("clip_id"))
+    segs = segment(df.join(F.broadcast(kept), "clip_id"), 25)
+    return segs.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_segments"))
+
+
 def q_text_edit_distance(spark, sf_dir):
     """Edit-distance verify stage over candidate pairs (adjacent doc
     ids as a deterministic stand-in for a blocking stage's output):
@@ -1387,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_referential_bloom": q_val_referential_bloom,
         "salted_join": q_salted_join,
         "text_edit_distance": q_text_edit_distance,
+        "pipeline_audio_qc": q_pipeline_audio_qc,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1616,6 +1650,15 @@ FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                                 ORDER BY l_orderkey*10 + l_linenumber) AS rn
       FROM lineitem) WHERE rn > 1
 """,
+        # survivors of the QC composition are exactly the clean clips
+        # (each injected defect class is dropped by its targeted filter),
+        # so the oracle is the clean-clip segment-count law
+        "pipeline_audio_qc": """
+{fields}
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(n // (sr // 40) AS BIGINT) AS n_segments
+FROM g WHERE cls = -1
+""".format(fields=_audio_fields_sql(AUDIO_N)),
         "text_edit_distance": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) AS INT)
