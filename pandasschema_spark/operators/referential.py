@@ -105,8 +105,6 @@ def build_bloom(dim_df: DataFrame, dim_col: str, *,
     schema = T.StructType([T.StructField("bm", T.BinaryType())])
     parts = (dim_df.select(F.col(dim_col).cast("string").alias("v"))
              .mapInPandas(partial, schema).collect())
-    import numpy as np
-
     acc = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
         acc |= np.frombuffer(r["bm"], dtype=np.uint8)

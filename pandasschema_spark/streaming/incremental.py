@@ -164,3 +164,31 @@ def streaming_session_stats(
              F.min(ts_col).alias("start_ts"),
              F.max(ts_col).alias("end_ts"))
     )
+
+
+def streaming_rate_limit(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    max_events: int = 1,
+) -> DataFrame:
+    """Streaming counterpart of operators/sessions.rate_limit_violations:
+    per-(user, tumbling window) event counts over ``max_events``, via the
+    native windowed stateful aggregation. The watermark bounds state to
+    open windows and (append mode) finalizes a window's verdict once it
+    can no longer change — the continuous form of the batch bot check.
+    Epoch-aligned tumbling windows match the batch operator's
+    ``us div window_us`` bucketing exactly, so finalized violations
+    equal the batch result on the same data (pytest parity)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                 F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > max_events)
+        .select(user_col, F.col("win.start").alias("window_start"),
+                "n_events")
+    )

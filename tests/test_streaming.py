@@ -186,3 +186,44 @@ def test_streaming_session_stats_batch_parity(spark, tmp_path_factory):
     real = {k: v for k, v in batch.items() if k[1] < 10_000}
     assert emitted.items() >= real.items()
     assert len(real) == 6
+
+
+def test_streaming_rate_limit_batch_parity(spark, tmp_path_factory):
+    """Finalized streaming rate-limit violations must equal the batch
+    operator's on the same data: same epoch-aligned minute windows,
+    same counts."""
+    import datetime as dt
+
+    from pandasschema_spark.operators.sessions import rate_limit_violations
+    from pandasschema_spark.streaming.incremental import streaming_rate_limit
+
+    base = tmp_path_factory.mktemp("rate_stream")
+    src = str(base / "src")
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(3):
+        # user bursts: `user+1` events inside minute 0, single events after
+        for j in range(user + 1):
+            rows.append((eid, t0 + dt.timedelta(seconds=5 * j), user)); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=5), user)); eid += 1
+    pushers = [(10_000 + u, t0 + dt.timedelta(days=30), u) for u in range(3)]
+    df = spark.createDataFrame(rows + pushers,
+                               "event_id long, ts timestamp, user_id long")
+    df.where(F.col("event_id") < 10_000).coalesce(1).write.mode("append").parquet(src)
+    df.where(F.col("event_id") >= 10_000).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    q = (streaming_rate_limit(stream, window="1 minute",
+                              watermark="1 minute", max_events=1)
+         .writeStream.format("memory").queryName("rate_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"],
+            int(r["window_start"].replace(tzinfo=dt.timezone.utc).timestamp())
+            * 1_000_000): r["n_events"]
+           for r in spark.sql("SELECT * FROM rate_out").collect()}
+    want = {(r["user_id"], r["window_start_us"]): r["n_events"]
+            for r in rate_limit_violations(df, max_events=1).collect()}
+    assert got == want and len(want) == 2  # users 1 and 2 burst
