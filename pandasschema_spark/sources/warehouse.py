@@ -64,6 +64,34 @@ class Warehouse:
 
     def append(self, df: DataFrame, name: str,
                partition_by: typing.Sequence[str] = ()) -> None:
+        """Append with a SCHEMA GUARD: parquet/ORC appends with a
+        mismatched schema do not fail at write time — they land mixed
+        files that surface later as missing columns or unreadable
+        scans. Appending to an existing table therefore requires the
+        incoming frame's (name, type) set to equal the table's
+        (order-insensitive; partition columns compare by name only,
+        since hive-partition values read back as their directory-parsed
+        types)."""
+        if self.exists(name):
+            have = {f.name: f.dataType.simpleString()
+                    for f in df.sparkSession.read.format(self.fmt)
+                    .load(self.path(name)).schema.fields}
+            got = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields}
+            part = set(partition_by)
+            mismatch = {
+                c for c in set(have) | set(got)
+                if (have.get(c) != got.get(c)) and not (
+                    c in part and c in have and c in got)
+            }
+            if mismatch:
+                raise ValueError(
+                    "append() schema mismatch on {!r} for columns {} "
+                    "(table: {}; frame: {}) — appending would create a "
+                    "mixed-schema table; migrate explicitly instead".format(
+                        name, sorted(mismatch),
+                        {c: have.get(c) for c in sorted(mismatch)},
+                        {c: got.get(c) for c in sorted(mismatch)}))
         self.write(df, name, mode="append", partition_by=partition_by)
 
     def overwrite_partitions(self, df: DataFrame, name: str,

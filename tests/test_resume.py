@@ -166,3 +166,23 @@ def test_compact_partitioned_respects_target(spark, tmp_path_factory):
     assert set(per_value) == {True, False} and min(per_value.values()) > 1, per_value
     after = spark.read.parquet(wh.path("t"))
     assert after.count() == 20000
+
+
+def test_append_schema_guard(spark, tmp_path_factory):
+    """Appending a mismatched-schema frame must refuse up front —
+    a silent mixed-schema table is a read-time landmine."""
+    import pytest
+
+    from pandasschema_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("append_guard")))
+    a = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    wh.write(a, "t")
+    wh.append(a, "t")  # same schema: fine
+    assert wh.read(spark, "t").count() == 20
+    bad_type = spark.range(0, 5).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        wh.append(bad_type, "t")
+    bad_col = spark.range(0, 5).selectExpr("id AS k", "CAST(id AS STRING) AS w")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        wh.append(bad_col, "t")
