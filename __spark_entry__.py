@@ -2300,10 +2300,14 @@ FROM (
 WITH e0 AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
 -- same hot-user cap as operators/sessions.py (default ON, 100k events):
 -- the oracle applies the identical rule so the gate stays equivalent at
--- ANY scale factor, not just ones where the cap happens not to bind
+-- ANY scale factor, not just ones where the cap happens not to bind.
+-- NULL-SAFE like the engine's eqNullSafe anti-join (NOT IN would drop
+-- ALL null-user rows the moment any hot user exists)
 e AS (
-    SELECT * FROM e0 WHERE user_id NOT IN (
-        SELECT user_id FROM e0 GROUP BY user_id HAVING count(*) > 100000)
+    SELECT * FROM e0 WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT user_id AS hu FROM e0
+                       GROUP BY user_id HAVING count(*) > 100000) h
+        WHERE h.hu IS NOT DISTINCT FROM e0.user_id)
 ),
 flagged AS (
     SELECT user_id, event_id, us,

@@ -601,6 +601,10 @@ def append_history(out: dict) -> None:
             [x["steal_pct"] for x in s["n_cpus"]["samples"]
              + s["four_n_cpus"]["samples"]] or [0.0]),
         "scale_clips": s["scale_clips"],
+        # suite marker: BENCH_QUERIES grows append-only across rounds, so
+        # per-query rows are comparable but the suite ISN'T literally
+        # identical between records — this disambiguates after the fact
+        "n_bench_queries": len(BENCH_QUERIES),
     }
     with open(os.path.join(REPO, "BENCH_history.jsonl"), "a") as fh:
         fh.write(json.dumps(rec) + "\n")
@@ -616,18 +620,23 @@ def render_history() -> str:
             line = line.strip()
             if line:
                 rows.append(json.loads(line))
-    md = ["## Run history (identical suite; persisted in BENCH_history.jsonl)",
+    md = ["## Run history (persisted in BENCH_history.jsonl; the headline "
+          "SUITE grows append-only across rounds — the n_q column says how "
+          "many per-query entries BENCH_QUERIES had for that record, so "
+          "rows with different n_q are not workload-identical)",
           "",
-          "| when / window | headline clips/s | N->4N eff (median kept rounds) "
-          "| ratio-of-medians | probe | rounds kept / dropped | max steal |",
-          "|---|---|---|---|---|---|---|"]
+          "| when / window | headline clips/s | n_q | N->4N eff (median kept "
+          "rounds) | ratio-of-medians | probe | rounds kept / dropped "
+          "| max steal |",
+          "|---|---|---|---|---|---|---|---|"]
     def _v(r, k):
         x = r.get(k)
         return "—" if x is None else x
 
     for r in rows:
-        md.append("| {} | {:,.0f} | {} | {} | {} | {} / {} | {}% |".format(
+        md.append("| {} | {:,.0f} | {} | {} | {} | {} | {} / {} | {}% |".format(
             r.get("ts") or r.get("note", "?"), r["headline_clips_per_sec"],
+            _v(r, "n_bench_queries"),
             _v(r, "efficiency_n_to_4n"), _v(r, "efficiency_from_medians"),
             _v(r, "probe_median"), _v(r, "rounds_kept"),
             _v(r, "rounds_dropped_steal"), _v(r, "max_steal_pct")))

@@ -57,6 +57,12 @@ def exact_quantiles(
     to an integral type for cross-engine hashing). NULLs are excluded
     from n, matching SQL aggregate semantics.
     """
+    bad = [q for q in qs_pm if not (0 < int(q) <= denom)]
+    if bad:
+        raise ValueError(
+            "qs_pm must satisfy 0 < q <= denom={} (got {}): q=0 or q>denom "
+            "would compute a rank outside [1, n] and silently emit no row "
+            "for that quantile".format(denom, bad))
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     h = (df.select(v.alias("value")).where(F.col("value").isNotNull())
            .groupBy("value").agg(F.count(F.lit(1)).alias("c")))

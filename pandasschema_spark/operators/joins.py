@@ -18,9 +18,13 @@ form — and the only one that also fixes the downstream
 aggregate-on-the-same-key stage, since the salt can be kept through it
 (partial agg per (key, salt), final per key).
 
-The salt must be row-local and need NOT be deterministic across runs
-for correctness (any assignment yields the same join result); here it
-is a hash of all fact columns so results are stable run-to-run anyway.
+The salt must be row-local and spread WITHIN each key; it need NOT be
+deterministic across runs for correctness (any assignment yields the
+same join result). Default: ``monotonically_increasing_id() mod
+salt_buckets`` — O(1) per row regardless of row width (hashing every
+fact column would push each row's full payload bytes through the hash
+just to pick a bucket). Pass ``salt_cols`` for a content-derived salt
+when run-to-run stable task placement matters more.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ def salted_join(
     *,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     how: str = "inner",
+    salt_cols: typing.Optional[typing.Sequence[str]] = None,
 ) -> DataFrame:
     """``fact.join(dim, on, how)`` with the fact side's hot keys spread
     over ``salt_buckets`` reducers. ``on`` must be a single equi-join
@@ -55,8 +60,11 @@ def salted_join(
         raise ValueError("salted_join supports how='inner'|'left'")
     fact_cols = [c for c in fact.columns]
     dim_cols = [c for c in dim.columns if c != on]
-    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]),
-                  F.lit(salt_buckets))
+    if salt_cols is not None:
+        salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]),
+                      F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     f = fact.withColumn("__salt__", salt)
     d = dim.withColumn(
         "__salt__",

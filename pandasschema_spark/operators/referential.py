@@ -143,10 +143,16 @@ def bloom_screen_violations(
     import numpy as np
     import pandas as pd
 
-    bitmap = np.frombuffer(build_bloom(dim_df, dim_col, n_bits=n_bits, k=k),
-                           dtype=np.uint8)
+    # a SparkContext broadcast, NOT a closure capture: a closure-pickled
+    # bitmap rides inside the serialized UDF command and re-materializes
+    # in EVERY Python worker process; the broadcast ships once per
+    # executor and is shared — the difference between "1.25 GB bitmap is
+    # shippable" and multiplying it by the worker count
+    bc = df.sparkSession.sparkContext.broadcast(
+        build_bloom(dim_df, dim_col, n_bits=n_bits, k=k))
 
     def miss_bloom(s):
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
         out = []
         for v in s:
             if v is None:

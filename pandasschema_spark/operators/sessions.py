@@ -46,14 +46,20 @@ def _drop_hot_users(df, user_col, max_events_per_user):
     """Exclude users whose total event count exceeds the cap: slim
     groupBy-count (map-side combined, shuffles one long per user) +
     broadcast LEFT ANTI join — the event rows themselves are only
-    filtered, never shuffled by the cap."""
+    filtered, never shuffled by the cap. The join is NULL-SAFE
+    (eqNullSafe): groupBy collects all NULL-user rows into one group —
+    the classic unauthenticated-bot signature — and a plain equi-anti
+    predicate would never match that group's key, silently exempting
+    exactly the hottest group from the cap."""
     if max_events_per_user is None:
         return df
     hot = (df.groupBy(user_col)
              .agg(F.count(F.lit(1)).alias("__n_events__"))
              .where(F.col("__n_events__") > max_events_per_user)
-             .select(user_col))
-    return df.join(F.broadcast(hot), user_col, "left_anti")
+             .select(F.col(user_col).alias("__hot_user__")))
+    return (df.join(F.broadcast(hot),
+                    F.col(user_col).eqNullSafe(F.col("__hot_user__")),
+                    "left_anti"))
 
 
 def _epoch_us(ts_col: str):

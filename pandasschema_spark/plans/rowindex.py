@@ -16,6 +16,8 @@ helper exists for reference-parity tests and ad-hoc frames.
 
 from __future__ import annotations
 
+import typing
+
 from pyspark.sql import DataFrame, functions as F
 
 _PART_SHIFT = 8589934592  # 2^33, monotonically_increasing_id's partition stride
@@ -86,14 +88,28 @@ def with_file_ordered_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataF
     if not chunks:
         return (tagged.withColumn(name, F.lit(0).cast("long"))
                 .drop("__mid__", "__fname__"))
-    expr = None
+    # per-chunk delta so that ordinal = delta + mid
+    deltas: typing.Dict[int, typing.List[typing.Tuple[str, int]]] = {}
     acc = 0
     for row in sorted(chunks, key=lambda r: (r["__fname__"], r["__min_mid__"])):
-        # ordinal = global_offset + (mid - chunk_first_mid)
-        cond = (pid == F.lit(row["__pid__"])) & \
-               (F.col("__fname__") == F.lit(row["__fname__"]))
-        delta = F.lit(acc - row["__min_mid__"])
-        expr = F.when(cond, delta) if expr is None else expr.when(cond, delta)
+        deltas.setdefault(row["__pid__"], []).append(
+            (row["__fname__"], acc - row["__min_mid__"]))
         acc += row["__cnt__"]
+    # nested dispatch: OUTER on pid (one integer compare per partition),
+    # INNER on fname only among that partition's few packed files — a
+    # flat (pid, fname) chain would run O(total chunks) per-row STRING
+    # compares in the output scan
+    expr = None
+    for p, files in deltas.items():
+        if len(files) == 1:
+            inner = F.lit(files[0][1])
+        else:
+            inner = None
+            for fname, delta in files:
+                c = F.col("__fname__") == F.lit(fname)
+                inner = (F.when(c, F.lit(delta)) if inner is None
+                         else inner.when(c, F.lit(delta)))
+        cond = pid == F.lit(p)
+        expr = F.when(cond, inner) if expr is None else expr.when(cond, inner)
     return (tagged.withColumn(name, (expr + F.col("__mid__")).cast("long"))
             .drop("__mid__", "__fname__"))

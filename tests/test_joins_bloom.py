@@ -66,11 +66,18 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
-    """The hot key's rows must land in multiple salt buckets."""
+    """The hot key's rows must land in multiple salt buckets — both the
+    default O(1) row-id salt and the opt-in content salt."""
     fact = spark.createDataFrame([(1, i) for i in range(500)], "k long, x long")
-    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(8))
-    n_buckets = fact.select(salt.alias("s")).distinct().count()
-    assert n_buckets >= 6
+    default_salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    assert fact.select(default_salt.alias("s")).distinct().count() == 8
+    content_salt = F.pmod(F.hash(F.col("k"), F.col("x")), F.lit(8))
+    assert fact.select(content_salt.alias("s")).distinct().count() >= 6
+    # content salt path gives the same join answer
+    dim = spark.createDataFrame([(1, "d")], "k long, label string")
+    got = salted_join(fact, dim, "k", salt_buckets=8,
+                      salt_cols=["k", "x"]).count()
+    assert got == 500
 
 
 def test_edit_distance_pairs_matches_python(spark):

@@ -136,3 +136,17 @@ def test_rate_limit_violations(spark):
     base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
     assert out == {(1, base): 6}
     assert rate_limit_violations(df, max_events=10).count() == 0
+
+
+def test_hot_user_cap_is_null_safe(spark):
+    """A NULL-user group above the cap (unauthenticated bots) must be
+    dropped like any hot user — a plain equi-anti-join predicate never
+    matches the NULL key and would silently exempt exactly that group."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), None) for i in range(20)]
+    rows += [(100, t0, 1), (101, t0 + dt.timedelta(minutes=1), 1)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    capped = session_stats(df, max_events_per_user=10)
+    assert {r["user_id"] for r in capped.collect()} == {1}
+    exact = session_stats(df, max_events_per_user=None)
+    assert {r["user_id"] for r in exact.collect()} == {1, None}
