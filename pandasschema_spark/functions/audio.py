@@ -114,6 +114,11 @@ def decode_pcm(raw: bytes, codec: str = "pcm_s16le") -> np.ndarray:
     if codec in ("pcm_s16le", "flac", "opus", "mp3"):
         # flac/opus/mp3: payload is synthesized PCM in this sandbox. A real
         # deployment would dispatch: soundfile.read / opuslib / ffmpeg.
+        # Odd-length payloads (corrupt row) decode the even prefix rather
+        # than raising — same policy as operators/audio._decode: one bad
+        # row must become a failed CHECK, never a dead stage.
+        if len(raw) % 2:
+            raw = raw[: len(raw) - 1]
         return np.frombuffer(raw, dtype="<i2")
     raise NotImplementedError("codec {!r} decode not available".format(codec))
 

@@ -403,3 +403,21 @@ def test_segment_hop_overlapping_windows(spark, quality_df):
                 assert bytes(r["bytes"]) == raw[k * hl:k * hl + sl]
     with pytest.raises(ValueError, match="disjoint"):
         segment(quality_df, 25, hop_ms=10, drop_tail=False)
+
+
+def test_decode_pcm_odd_length_truncates(spark):
+    """A corrupt odd-length payload decodes its even prefix in BOTH
+    decode helpers — a single bad row must fail its check, not the
+    Spark stage."""
+    import numpy as np
+
+    from pandasschema_spark.functions.audio import decode_pcm
+    from pandasschema_spark.operators.audio import audio_stats
+
+    raw = np.array([100, -100, 7], dtype="<i2").tobytes() + b"\x01"
+    assert decode_pcm(raw).tolist() == [100, -100, 7]
+    df = spark.createDataFrame(
+        [("c0", bytearray(raw), 8000)],
+        "clip_id string, bytes binary, sr_hz int")
+    (row,) = audio_stats(df).collect()
+    assert row["n_samples"] == 3 and row["len_bytes"] == 7
