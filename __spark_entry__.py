@@ -1233,6 +1233,35 @@ def q_val_referential_bloom(spark, sf_dir):
         n_bits=4096, k=3, keep_cols=["event_id"])
 
 
+def q_val_monotonic(spark, sf_dir):
+    """Out-of-order event detection (clock skew / replayed batches):
+    per-user lag window over sequence order flags timestamps that move
+    backward. Violations are PLANTED in-query (every event_id % 211
+    shifted back 30 days — same mutate-the-input pattern as the dedup
+    corpus queries) so the gate checks nonempty output; both engines
+    evaluate the identical projected frame."""
+    from pandasschema_spark.operators.sessions import ordering_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.when((F.col("event_id") % 211 == 0) & (F.col("event_id") > 0),
+               F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+         .otherwise(F.col("ts")).alias("ts"))
+    return ordering_violations(ev)
+
+
+def q_dim_coverage(spark, sf_dir):
+    """Reverse referential / completeness: nations that no (filtered)
+    customer references — gaps planted by dropping customers of every
+    nation key ≡ 3 (mod 5) in-query. Fact side reduces to its distinct
+    key set before the small dim anti-joins it."""
+    from pandasschema_spark.operators.referential import coverage_gaps
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") % 5 != 3)
+    return coverage_gaps(nation, "n_nationkey", cust, "c_nationkey")
+
+
 def q_pipeline_audio_qc(spark, sf_dir):
     """End-to-end audio QC pipeline — the graft's payload-side analog of
     pipeline_training_set, composed as one lazy plan from four gated
@@ -1421,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "text_edit_distance": q_text_edit_distance,
         "pipeline_audio_qc": q_pipeline_audio_qc,
+        "val_monotonic": q_val_monotonic,
+        "dim_coverage": q_dim_coverage,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1649,6 +1680,26 @@ FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              row_number() OVER (PARTITION BY l_partkey, l_suppkey
                                 ORDER BY l_orderkey*10 + l_linenumber) AS rn
       FROM lineitem) WHERE rn > 1
+""",
+        "val_monotonic": """
+WITH e AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_id % 211 = 0 AND event_id > 0
+                THEN ts - INTERVAL 30 DAY ELSE ts END AS ts
+    FROM events),
+l AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_us
+    FROM e)
+SELECT user_id, event_id, prev_us, us
+FROM l WHERE prev_us IS NOT NULL AND us < prev_us
+""",
+        "dim_coverage": """
+SELECT n_nationkey, n_name FROM nation n
+WHERE NOT EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_nationkey % 5 != 3 AND c.c_nationkey = n.n_nationkey)
 """,
         # survivors of the QC composition are exactly the clean clips
         # (each injected defect class is dropped by its targeted filter),

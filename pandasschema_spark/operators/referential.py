@@ -173,3 +173,23 @@ def bloom_screen_violations(
     return (df.select(*keep_cols, F.col(value_col))
             .where(F.col(value_col).isNotNull())
             .where(miss_udf(F.col(value_col).cast("string"))))
+
+
+def coverage_gaps(
+    dim_df: DataFrame,
+    dim_col: str,
+    fact_df: DataFrame,
+    fact_col: str,
+) -> DataFrame:
+    """Reverse referential: dimension values with NO fact rows — the
+    completeness check that catches dead partitions, dropped upstream
+    feeds, and enum values that silently stopped arriving (the codec
+    nobody ingests anymore).
+
+    Scale shape: the fact side reduces to its DISTINCT key set first
+    (map-side-combined hash agg — one value per distinct key shuffles,
+    never fact rows), then the small dimension LEFT-ANTI joins it. The
+    distinct key set is bounded by the dimension's own cardinality plus
+    stragglers, so AQE plans the join broadcast in practice."""
+    keys = fact_df.select(F.col(fact_col).alias("__k__")).distinct()
+    return dim_df.join(keys, F.col(dim_col) == F.col("__k__"), "left_anti")

@@ -174,3 +174,32 @@ def session_stats(
             (F.col("end_us") - F.col("start_us")).alias("duration_us"),
         )
     )
+
+
+def ordering_violations(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order event detection: rows whose timestamp moves BACKWARD
+    relative to the previous event in per-user sequence order — the
+    ingest-quality check that catches clock skew, replayed batches and
+    misordered log shipping before sessionization consumes the stream.
+
+    One window over the same hash(user) exchange shape as sessionize
+    (lag by sequence number); output is integer-microsecond exact:
+    (user, seq, prev_us, us) for every violating row. NULL-user rows
+    group together (window partitioning treats NULL as a key), matching
+    the oracle's PARTITION BY semantics."""
+    us = _epoch_us(ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(seq_col).asc())
+    with_prev = df.select(
+        F.col(user_col), F.col(seq_col), us.alias("__us__")
+    ).withColumn("prev_us", F.lag("__us__").over(w))
+    return (with_prev
+            .where(F.col("prev_us").isNotNull()
+                   & (F.col("__us__") < F.col("prev_us")))
+            .select(user_col, seq_col, "prev_us",
+                    F.col("__us__").alias("us")))

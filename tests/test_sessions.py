@@ -150,3 +150,16 @@ def test_hot_user_cap_is_null_safe(spark):
     assert {r["user_id"] for r in capped.collect()} == {1}
     exact = session_stats(df, max_events_per_user=None)
     assert {r["user_id"] for r in exact.collect()} == {1, None}
+
+
+def test_ordering_violations(spark):
+    from pandasschema_spark.operators.sessions import ordering_violations
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1), (1, t0 + dt.timedelta(minutes=1), 1),
+            (2, t0 - dt.timedelta(hours=1), 1),     # backward -> violation
+            (3, t0 + dt.timedelta(minutes=2), 1),   # forward again: clean
+            (10, t0, 2), (11, t0, 2)]               # equal ts: clean
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = ordering_violations(df).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 2)]
