@@ -1233,6 +1233,26 @@ def q_val_referential_bloom(spark, sf_dir):
         n_bits=4096, k=3, keep_cols=["event_id"])
 
 
+def q_heavy_hitters_by(spark, sf_dir):
+    """Per-group heavy hitters: top-3 document sources within each
+    language (count desc, source asc ties). The rank window runs over
+    per-group AGGREGATED counts — each group's task sees its distinct
+    values, never its rows."""
+    from pandasschema_spark.operators.colstats import heavy_hitters_by
+
+    return heavy_hitters_by(_t(spark, sf_dir, "documents"),
+                            "lang", "source", top_k=3)
+
+
+def q_class_balance(spark, sf_dir):
+    """Dataset class-balance check: per-event-type share in integer ppm
+    (cnt*1e6 div total) — the imbalance gate a training mix is
+    validated against. One hash agg + a broadcast single-row total."""
+    from pandasschema_spark.operators.colstats import class_balance
+
+    return class_balance(_t(spark, sf_dir, "events"), "event_type")
+
+
 def q_val_monotonic(spark, sf_dir):
     """Out-of-order event detection (clock skew / replayed batches):
     per-user lag window over sequence order flags timestamps that move
@@ -1452,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_audio_qc": q_pipeline_audio_qc,
         "val_monotonic": q_val_monotonic,
         "dim_coverage": q_dim_coverage,
+        "heavy_hitters_by": q_heavy_hitters_by,
+        "class_balance": q_class_balance,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1680,6 +1702,22 @@ FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              row_number() OVER (PARTITION BY l_partkey, l_suppkey
                                 ORDER BY l_orderkey*10 + l_linenumber) AS rn
       FROM lineitem) WHERE rn > 1
+""",
+        "heavy_hitters_by": """
+WITH c AS (SELECT lang AS grp, source AS value, count(*) AS cnt
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT grp, value, cnt,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cnt DESC, value ASC) AS rank
+      FROM c)
+SELECT grp, value, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""",
+        "class_balance": """
+WITH c AS (SELECT event_type AS value, count(*) AS cnt FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT value, cnt, total, cnt * 1000000 // total AS share_ppm FROM c, t
 """,
         "val_monotonic": """
 WITH e AS (

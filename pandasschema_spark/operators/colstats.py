@@ -174,3 +174,52 @@ def heavy_hitters(
     topk = counts.orderBy(F.desc("cnt"), F.asc("value")).limit(top_k)
     w = Window.orderBy(F.desc("cnt"), F.asc("value"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    group_col,
+    value_col,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group heavy hitters: the ``top_k`` most frequent values of
+    ``value_col`` within each ``group_col`` (count desc, value asc on
+    ties) — per-language hot tokens, per-codec hot sample rates, the
+    stratified version of the pre-salting diagnostic.
+
+    Scale shape: one map-side-combined hash agg keyed (group, value)
+    — O(distinct pairs) shuffle — then a rank window PARTITIONED BY
+    group over the already-aggregated counts (each group's task sees
+    its distinct values, not its rows). Unlike the global top-k there
+    is no single-task ordering step."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    counts = (df.select(g.alias("grp"), v.alias("value"))
+                .where(F.col("grp").isNotNull() & F.col("value").isNotNull())
+                .groupBy("grp", "value").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("value"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))
+
+
+def class_balance(
+    df: DataFrame,
+    col,
+    *,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Per-class share of a label column, integer-exact: (value, cnt,
+    total, share_ppm = cnt*denom div total) — the dataset-imbalance
+    check a training pipeline gates on ("no class above 40%", "rare
+    class at least 1%"). One hash agg + a broadcast of the single
+    total row; NULLs excluded from both cnt and total (SQL aggregate
+    semantics)."""
+    v = F.col(col) if isinstance(col, str) else col
+    counts = (df.select(v.alias("value")).where(F.col("value").isNotNull())
+                .groupBy("value").agg(F.count(F.lit(1)).alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("value", "cnt", "total",
+                    F.expr("cnt * {} div total".format(int(denom)))
+                     .alias("share_ppm")))

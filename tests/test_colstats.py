@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pandasschema_spark.operators.colstats import (
+    class_balance,
+    heavy_hitters_by,
     exact_quantiles,
     heavy_hitters,
     zscore_cutoffs,
@@ -156,3 +158,25 @@ def test_zscore_cutoff_identity_property(vals, k):
                           min(vals) - 10**12, max(vals) + 10**12}
     for x in probes:
         assert ((n * x - s) ** 2 > c) == (x <= lo or x >= hi), (x, lo, hi)
+
+
+def test_heavy_hitters_by_per_group_ranks(spark):
+    rows = ([("a", "x")] * 4 + [("a", "y")] * 4 + [("a", "z")] * 2
+            + [("b", "y")] * 3 + [("b", "z")])
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r["grp"], r["rank"]): (r["value"], r["cnt"]) for r in
+           heavy_hitters_by(df, "g", "v", top_k=2).collect()}
+    # ties (a: x=4, y=4) break value-asc; only top-2 per group survive
+    assert out == {("a", 1): ("x", 4), ("a", 2): ("y", 4),
+                   ("b", 1): ("y", 3), ("b", 2): ("z", 1)}
+
+
+def test_class_balance_shares(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] + [(None,)], "v string")
+    out = {r["value"]: (r["cnt"], r["total"], r["share_ppm"]) for r in
+           class_balance(spark.createDataFrame(
+               [("a",)] * 6 + [("b",)] * 3 + [("c",)] + [(None,)],
+               "v string"), "v").collect()}
+    assert out == {"a": (6, 10, 600000), "b": (3, 10, 300000),
+                   "c": (1, 10, 100000)}
