@@ -1233,6 +1233,27 @@ def q_val_referential_bloom(spark, sf_dir):
         n_bits=4096, k=3, keep_cols=["event_id"])
 
 
+def q_pipeline_balanced_set(spark, sf_dir):
+    """Balanced training-set assembly, ONE lazy plan composing the
+    round-4 sampler with the dedup/split stack: stratified rebalance
+    (downsample the dominant language to 40%) -> exact dedup keep-first
+    over the SURVIVORS -> deterministic train/val split. Each stage is
+    individually gated; this gates their composition (filter-then-dedup
+    interaction, salt decorrelation between the two hash rules)."""
+    from pandasschema_spark.operators.dedup import exact_duplicate_ids
+    from pandasschema_spark.operators.sampling import (assign_splits,
+                                                       stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bal = stratified_sample(docs, "doc_id", "lang", {"en": 0.4},
+                            default_fraction=1.0, salt="bal")
+    dup = exact_duplicate_ids(bal, "text", "doc_id") \
+        .select(F.col("id").alias("doc_id"))
+    kept = bal.join(F.broadcast(dup), "doc_id", "left_anti")
+    return assign_splits(kept.select("doc_id", "lang"), "doc_id",
+                         {"train": 0.9, "val": 0.1})
+
+
 def q_heavy_hitters_by(spark, sf_dir):
     """Per-group heavy hitters: top-3 document sources within each
     language (count desc, source asc ties). The rank window runs over
@@ -1474,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_coverage": q_dim_coverage,
         "heavy_hitters_by": q_heavy_hitters_by,
         "class_balance": q_class_balance,
+        "pipeline_balanced_set": q_pipeline_balanced_set,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
         "heavy_hitters": q_heavy_hitters,
@@ -1702,6 +1724,33 @@ FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              row_number() OVER (PARTITION BY l_partkey, l_suppkey
                                 ORDER BY l_orderkey*10 + l_linenumber) AS rn
       FROM lineitem) WHERE rn > 1
+""",
+        "pipeline_balanced_set": """
+WITH bal AS (
+    SELECT doc_id, lang, text FROM documents
+    WHERE CAST(concat('0x', substr(md5('bal' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000
+          < CASE lang WHEN 'en' THEN 400000 ELSE 1000000 END
+),
+norm AS (SELECT doc_id, lang,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM bal),
+dup AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS keep,
+               count(*) OVER (PARTITION BY t) AS c
+        FROM norm WHERE t IS NOT NULL
+    ) WHERE c > 1 AND doc_id <> keep
+),
+kept AS (SELECT doc_id, lang FROM norm
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+SELECT doc_id, lang,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 1000000 THEN 'val' END AS split
+FROM (SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS b
+      FROM kept)
 """,
         "heavy_hitters_by": """
 WITH c AS (SELECT lang AS grp, source AS value, count(*) AS cnt
