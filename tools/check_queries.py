@@ -1,7 +1,11 @@
 """Local mirror of the driver's correctness gate: run every
 __spark_entry__.queries() entry on Spark AND its oracle_sql() on DuckDB
 over the same sf dir, compare row multisets (columns sorted by name,
-values stringified). Usage:
+values stringified) AND canonical per-column types (Spark schema vs the
+DuckDB result's Arrow schema). The type check exists because bare str()
+comparison masked DuckDB HUGEINT vs Spark BIGINT in round 4 — three
+oracles passed locally but failed the driver's typed hasher. An uncast
+sum() in an oracle now fails HERE first. Usage:
 
     python tools/check_queries.py [sf_dir] [query ...]
 """
@@ -28,6 +32,88 @@ def norm_rows(cols, rows):
     for r in rows:
         out.append(tuple(str(r[i]) for i in order))
     return sorted(out)
+
+
+def canon_spark_type(dt):
+    """Canonical name for a Spark SQL type (mirrors canon_arrow_type)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DecimalType):
+        return "decimal({},{})".format(dt.precision, dt.scale)
+    if isinstance(dt, T.ArrayType):
+        return "array<{}>".format(canon_spark_type(dt.elementType))
+    return "other:{}".format(dt.simpleString())
+
+
+def canon_arrow_type(t):
+    """Canonical name for a pyarrow type from a DuckDB .arrow() result.
+
+    DuckDB HUGEINT surfaces as decimal128(38,0) here — exactly the
+    mismatch the driver's typed hasher flags against Spark int64.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return "decimal({},{})".format(t.precision, t.scale)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array<{}>".format(canon_arrow_type(t.value_type))
+    return "other:{}".format(t)
+
+
+def type_mismatches(spark_schema, arrow_schema):
+    """[(col, spark_type, duckdb_type)] where canonical types differ."""
+    stypes = {f.name: canon_spark_type(f.dataType) for f in spark_schema.fields}
+    out = []
+    for field in arrow_schema:
+        if field.name in stypes:
+            ot = canon_arrow_type(field.type)
+            if stypes[field.name] != ot:
+                out.append((field.name, stypes[field.name], ot))
+    return out
 
 
 def main():
@@ -77,15 +163,22 @@ def main():
                 name, len(srows), spark_t))
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otable = con.execute(oracles[name]).arrow()
+            ocols = otable.schema.names
+            orows = list(zip(*(c.to_pylist() for c in otable.columns)))
         except Exception as ex:
             print("FAIL  {:24s} duckdb error: {}".format(name, str(ex)[:300]))
             failures.append(name)
             continue
         if sorted(scols) != sorted(ocols):
             print("FAIL  {:24s} schema mismatch spark={} duckdb={}".format(name, scols, ocols))
+            failures.append(name)
+            continue
+        bad_types = type_mismatches(sdf.schema, otable.schema)
+        if bad_types:
+            print("FAIL  {:24s} type mismatch {}".format(
+                name,
+                ", ".join("{} spark={} duckdb={}".format(*m) for m in bad_types)))
             failures.append(name)
             continue
         a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
