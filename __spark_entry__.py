@@ -399,14 +399,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    # max_gram_df=None: the DuckDB oracle computes UNCAPPED exact Jaccard,
-    # so the gated query must too — otherwise the gate silently diverges
-    # at any SF where some shingle's document frequency crosses the
-    # default 10k cap. The cap (default ON for real pipelines) keeps its
-    # own coverage via the plan locks in tests/test_plan_quality.py.
+    # The skew-safe DEFAULT configuration (max_gram_df=10k) is what runs
+    # here, and the DuckDB oracle applies the IDENTICAL cap rule (gram-df
+    # count over distinct per-doc grams, doc sizes stay pre-cap) — the
+    # same oracle/cap-consistency pattern events_sessionize uses. The
+    # cap therefore binds identically in both engines at ANY SF instead
+    # of only at SFs where no shingle crosses 10k documents.
     return D.ngram_jaccard_pairs(
         _doc_corpus(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5,
-        max_gram_df=None,
+        max_gram_df=D.DEFAULT_MAX_GRAM_DF,
     )
 
 
@@ -445,11 +446,12 @@ def q_dedup_clusters(spark, sf_dir):
         F.concat("text", F.lit(" zz"), r, F.lit(" yy"), r, F.lit(" qq"), r,
                  F.lit(" rr"), r, F.lit(" ss"), r, F.lit(" tt"), r).alias("text"))
     corpus = docs.unionByName(m1).unionByName(m2)
-    # max_gram_df=None for oracle equivalence at every SF (the DuckDB
-    # recursive-CTE closure starts from UNCAPPED exact Jaccard edges);
-    # the salted suffixes above already bound the self-join fan-out.
+    # the skew-safe default cap runs here AND in the oracle's edge CTE
+    # (identical gram-df rule), so the attested configuration is the
+    # production one and the cap binds identically at every SF
     pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
-                                  threshold=0.5, max_gram_df=None)
+                                  threshold=0.5,
+                                  max_gram_df=D.DEFAULT_MAX_GRAM_DF)
     return connected_components(pairs, "id_a", "id_b")
 
 
@@ -2133,19 +2135,25 @@ g AS (
 )
 SELECT id, keep_id FROM g WHERE c > 1 AND id <> keep_id
 """,
+        # the IDENTICAL max_gram_df cap rule as ngram_jaccard_pairs'
+        # default: doc sizes n_a/n_b are PRE-cap, the inverted-index join
+        # only sees grams whose document frequency <= {cap}
         "dedup_jaccard": """
 WITH {corpus},
 grams AS (SELECT id, u.g FROM gramsets, unnest(gs) AS u(g)),
 sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+kept AS (SELECT grams.id, grams.g FROM grams JOIN gdf USING (g)
+         WHERE df <= {cap}),
 common AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
     GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
 FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-""".format(corpus=_DOC_CORPUS_SQL),
+""".format(corpus=_DOC_CORPUS_SQL, cap=D.DEFAULT_MAX_GRAM_DF),
         "dedup_minhash_lsh": """
 WITH {corpus},
 {sigs},
@@ -2192,9 +2200,12 @@ gramsets AS (
 ),
 grams AS (SELECT id, u.g FROM gramsets, unnest(gs) AS u(g)),
 sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+kept AS (SELECT grams.id, grams.g FROM grams JOIN gdf USING (g)
+         WHERE df <= {cap}),
 common AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
     GROUP BY 1, 2
 ),
 edges AS (
@@ -2209,7 +2220,7 @@ reach(a, b) AS (
     SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a WHERE e.b <> r.a
 )
 SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-""",
+""".format(cap=D.DEFAULT_MAX_GRAM_DF),
         "text_tokens": """
 SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
 """.format(toks=_TOKS),

@@ -97,6 +97,7 @@ SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS",
 ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "5"))
 MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA", "3"))
 STEAL_GATE = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "25"))
+Q_ROUNDS = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
 
 
 def warehouse_path(n_clips: int) -> str:
@@ -517,7 +518,13 @@ def main() -> None:
         viols = {s["violations"] for s in narrow.samples + wide.samples}
         assert len(viols) == 1, "legs disagree on violation count: {}".format(viols)
 
-    # per-query timings on a fresh full-width session
+    # per-query timings on a fresh full-width session. Same weather
+    # discipline as the headline: Q_ROUNDS timed samples per query with
+    # per-sample /proc/stat steal, median over samples at-or-under the
+    # pre-registered steal gate — single-shot per-query numbers made
+    # round-over-round comparisons weather-bound (r4 read 2-4x r3 across
+    # the board purely from co-tenant bursts while the gated headline
+    # IMPROVED 20%).
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, CPUS)
@@ -526,18 +533,35 @@ def main() -> None:
     from pandasschema_spark.operators.dedup import release_cached
 
     qs = E.queries()
-    q_times = {}
+    all_cpus = list(range(os.cpu_count() or CPUS))
     for name in BENCH_QUERIES:  # warm pass: parquet footers, codegen, plans
         d = qs[name](spark, SF_DIR)
         d.count()
         release_cached(d)  # each invocation attaches fresh persists
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        d = qs[name](spark, SF_DIR)
-        d.count()
-        q_times[name] = round(time.time() - t0, 3)
-        release_cached(d)
+    q_samples = {name: [] for name in BENCH_QUERIES}
+    for _ in range(Q_ROUNDS):
+        for name in BENCH_QUERIES:
+            steal0, busy0 = _cpu_ticks(all_cpus)
+            t0 = time.time()
+            d = qs[name](spark, SF_DIR)
+            d.count()
+            sec = round(time.time() - t0, 3)
+            release_cached(d)
+            steal1, busy1 = _cpu_ticks(all_cpus)
+            tot = (busy1 - busy0) + (steal1 - steal0)
+            q_samples[name].append({
+                "sec": sec,
+                "steal_pct": round(100.0 * (steal1 - steal0) / tot, 2) if tot else 0.0,
+            })
     spark.stop()
+    q_times = {}
+    q_detail = {}
+    for name, samples in q_samples.items():
+        kept = [s["sec"] for s in samples if s["steal_pct"] <= STEAL_GATE]
+        stormy = not kept
+        q_times[name] = round(_median(kept or [s["sec"] for s in samples]), 3)
+        q_detail[name] = {"samples": samples, "kept": len(kept),
+                          "steal_gate_exhausted": stormy}
 
     out = {
         "metric": "clips/sec validated (full constraint suite incl. PCM SNR + transcript oracle + violation emission)",
@@ -546,6 +570,9 @@ def main() -> None:
         "suite_sec": suite_sec,
         "n_clips": N_CLIPS,
         "queries": q_times,
+        "query_rounds": Q_ROUNDS,
+        "query_steal_gate_pct": STEAL_GATE,
+        "query_samples": q_detail,
         "sf": SF,
     }
     if scaling is not None:
@@ -732,8 +759,13 @@ normalized figure is the engine-attributable scaling.
 
 ## Per-operator timings at sf={sf} ({dir})
 
-| query | sec |
-|---|---|
+Median over {qr} interleaved samples per query; a sample is kept when
+full-width /proc/stat steal during it stays <= {gate}% (same
+pre-registered gate as the scaling rounds). kept=0 falls back to the
+median of all samples and flags the row stormy.
+
+| query | sec (median of kept) | kept samples |
+|---|---|---|
 {rows}
 
 {history}""".format(
@@ -769,8 +801,13 @@ normalized figure is the engine-attributable scaling.
         calib=s["machine_parallel_capacity"]["median"],
         norms=s["efficiency_vs_delivered"]["per_round"],
         norm=s["efficiency_vs_delivered"]["median"],
-        sf=out["sf"], dir=SF_DIR,
-        rows="\n".join("| {} | {} |".format(k, v) for k, v in out["queries"].items()),
+        sf=out["sf"], dir=SF_DIR, qr=out["query_rounds"],
+        rows="\n".join(
+            "| {} | {} | {}/{}{} |".format(
+                k, v, out["query_samples"][k]["kept"], out["query_rounds"],
+                " (stormy)" if out["query_samples"][k]["steal_gate_exhausted"]
+                else "")
+            for k, v in out["queries"].items()),
         history=render_history(),
     )
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:

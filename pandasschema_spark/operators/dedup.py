@@ -23,6 +23,7 @@ SURVEY.md §2.4). Design targets the 100 TB documents table:
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import typing
 
@@ -47,14 +48,34 @@ DEFAULT_MAX_BUCKET = 10_000
 
 
 def release_cached(df: DataFrame) -> None:
-    """Unpersist the intermediate DataFrames an operator cached for its own
-    multi-consumer plan (attached as ``df._psf_cached``). Call after the
-    downstream action completes; a no-op for un-annotated frames."""
+    """Release the intermediate resources an operator attached to its
+    result for its own multi-consumer plan (``df._psf_cached``): persisted
+    DataFrames are unpersisted, SparkContext broadcasts (the bloom screen's
+    bitmap) are destroyed. Call after the downstream action completes;
+    idempotent, and a no-op for un-annotated frames."""
     for cached in getattr(df, "_psf_cached", []) or []:
-        cached.unpersist()
+        if hasattr(cached, "destroy"):  # SparkContext broadcast
+            cached.destroy()
+        else:
+            cached.unpersist()
+    if getattr(df, "_psf_cached", None):
+        df._psf_cached = []
 
 
-def _attach_cached(out: DataFrame, deps: typing.List[DataFrame]) -> DataFrame:
+@contextlib.contextmanager
+def released(df: DataFrame):
+    """Context manager: ``with released(op(...)) as df: df.action()`` —
+    guarantees the operator's attached persists/broadcasts are freed when
+    the block exits, so long-lived sessions (notebooks, the check_queries
+    harness, streaming drivers) don't accumulate pinned storage across
+    repeated operator calls."""
+    try:
+        yield df
+    finally:
+        release_cached(df)
+
+
+def _attach_cached(out: DataFrame, deps: typing.List) -> DataFrame:
     out._psf_cached = deps
     return out
 

@@ -18,13 +18,20 @@ form — and the only one that also fixes the downstream
 aggregate-on-the-same-key stage, since the salt can be kept through it
 (partial agg per (key, salt), final per key).
 
-The salt must be row-local and spread WITHIN each key; it need NOT be
-deterministic across runs for correctness (any assignment yields the
-same join result). Default: ``monotonically_increasing_id() mod
-salt_buckets`` — O(1) per row regardless of row width (hashing every
-fact column would push each row's full payload bytes through the hash
-just to pick a bucket). Pass ``salt_cols`` for a content-derived salt
-when run-to-run stable task placement matters more.
+The salt must be row-local and spread WITHIN each key — and it MUST be
+deterministic per row, because it feeds a shuffle join key: a
+nondeterministic salt (monotonically_increasing_id, rand) re-evaluates
+differently when a map task is retried after a shuffle-fetch failure,
+so reducers holding old-attempt output plus reducers that refetch can
+lose or duplicate fact rows (the SPARK-23207 failure class). Default:
+``pmod(hash(*all fact columns), salt_buckets)`` — content-derived, so
+any retry reassigns every row to the same bucket. Pass ``salt_cols``
+(e.g. a stable row-id column) to bound the hash cost on wide rows:
+hashing a multi-MB binary payload column just to pick a bucket is the
+one real cost of the safe default. Rows that are full duplicates share
+a bucket under the default; an adversarial corpus of billions of
+IDENTICAL hot-key rows would still skew — a stable row id via
+``salt_cols`` is the fix there too.
 """
 
 from __future__ import annotations
@@ -60,11 +67,8 @@ def salted_join(
         raise ValueError("salted_join supports how='inner'|'left'")
     fact_cols = [c for c in fact.columns]
     dim_cols = [c for c in dim.columns if c != on]
-    if salt_cols is not None:
-        salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]),
-                      F.lit(salt_buckets))
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    cols = list(salt_cols) if salt_cols is not None else list(fact.columns)
+    salt = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt_buckets))
     f = fact.withColumn("__salt__", salt)
     d = dim.withColumn(
         "__salt__",

@@ -170,9 +170,15 @@ def bloom_screen_violations(
     from pyspark.sql.functions import pandas_udf
 
     miss_udf = pandas_udf(miss_bloom, "boolean")
-    return (df.select(*keep_cols, F.col(value_col))
-            .where(F.col(value_col).isNotNull())
-            .where(miss_udf(F.col(value_col).cast("string"))))
+    out = (df.select(*keep_cols, F.col(value_col))
+           .where(F.col(value_col).isNotNull())
+           .where(miss_udf(F.col(value_col).cast("string"))))
+    # the broadcast bitmap (up to ~GB) outlives this call in a long-lived
+    # session; attach it the same way dedup attaches persist handles so
+    # release_cached(out) / `with released(out):` destroys it
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [bc])
 
 
 def coverage_gaps(

@@ -88,6 +88,33 @@ def with_file_ordered_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataF
     if not chunks:
         return (tagged.withColumn(name, F.lit(0).cast("long"))
                 .drop("__mid__", "__fname__"))
+    # The delta arithmetic below is only valid if each (partition, file)
+    # chunk's mids are CONTIGUOUS and the chunks tile each partition
+    # exactly: sorted by min_mid within a pid, the first chunk must start
+    # at pid<<33 and each next chunk at prev.min + prev.cnt. Spark's
+    # default split packing guarantees this (a file's equal-size splits
+    # enter the stable length sort consecutively), but tuned
+    # maxPartitionBytes/openCostInBytes confs can co-pack two
+    # non-adjacent splits of one file into a partition, where the groupBy
+    # would silently merge them into one chunk and emit corrupt
+    # ordinals. The driver already holds (pid, cnt, min_mid) — verify
+    # the tiling and refuse loudly instead.
+    by_pid: typing.Dict[int, typing.List] = {}
+    for row in chunks:
+        by_pid.setdefault(row["__pid__"], []).append(row)
+    for p, rows in by_pid.items():
+        expect = p << 33
+        for row in sorted(rows, key=lambda r: r["__min_mid__"]):
+            if row["__min_mid__"] != expect:
+                raise RuntimeError(
+                    "with_file_ordered_row_index: non-contiguous scan chunk "
+                    "in partition {} (file {!r} starts at mid {}, expected "
+                    "{}); the source's split packing interleaves files "
+                    "within a partition — re-ingest with default "
+                    "spark.sql.files.* confs or use a persisted natural "
+                    "row key instead".format(
+                        p, row["__fname__"], row["__min_mid__"], expect))
+            expect = row["__min_mid__"] + row["__cnt__"]
     # per-chunk delta so that ordinal = delta + mid
     deltas: typing.Dict[int, typing.List[typing.Tuple[str, int]]] = {}
     acc = 0

@@ -65,19 +65,49 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(fact, dim, "k", how="full")
 
 
-def test_salted_join_spreads_hot_key(spark):
-    """The hot key's rows must land in multiple salt buckets — both the
-    default O(1) row-id salt and the opt-in content salt."""
+def test_salted_join_spreads_hot_key_deterministically(spark):
+    """The hot key's rows must land in multiple salt buckets, and the
+    salt must be DETERMINISTIC per row (it feeds a shuffle join key — a
+    retry-reassigned salt loses/duplicates rows, SPARK-23207 class): the
+    default is a content hash of all fact columns, never
+    monotonically_increasing_id/rand."""
     fact = spark.createDataFrame([(1, i) for i in range(500)], "k long, x long")
-    default_salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
-    assert fact.select(default_salt.alias("s")).distinct().count() == 8
     content_salt = F.pmod(F.hash(F.col("k"), F.col("x")), F.lit(8))
-    assert fact.select(content_salt.alias("s")).distinct().count() >= 6
-    # content salt path gives the same join answer
+    buckets = sorted(map(tuple, fact.select(content_salt.alias("s"))
+                         .groupBy("s").count().collect()))
+    assert len(buckets) >= 6  # hot key spread over most buckets
+    assert buckets == sorted(map(tuple, fact.select(content_salt.alias("s"))
+                                 .groupBy("s").count().collect()))
     dim = spark.createDataFrame([(1, "d")], "k long, label string")
-    got = salted_join(fact, dim, "k", salt_buckets=8,
-                      salt_cols=["k", "x"]).count()
-    assert got == 500
+    for kwargs in ({}, {"salt_cols": ["k", "x"]}):
+        j = salted_join(fact, dim, "k", salt_buckets=8, **kwargs)
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert "monotonically_increasing_id" not in plan
+        assert "rand(" not in plan
+        assert j.count() == 500
+
+
+def test_bloom_screen_broadcast_released(spark):
+    """The bitmap broadcast is attached to the result and destroyed by
+    release_cached / the released() context manager — long-lived sessions
+    must not accumulate executor copies of up-to-GB bitmaps."""
+    from pandasschema_spark.operators.dedup import released
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    fact = spark.createDataFrame([(1, 5), (2, 12345)], "event_id long, k long")
+    out = bloom_screen_violations(fact, "k", dim, "k", n_bits=1 << 12, k=3,
+                                  keep_cols=["event_id"])
+    handles = list(getattr(out, "_psf_cached", []))
+    assert len(handles) == 1 and hasattr(handles[0], "destroy")
+    with released(out) as df:
+        assert {r["event_id"] for r in df.collect()} == {2}
+    # destroyed + idempotent: a second release must be a no-op, and the
+    # broadcast's value is gone
+    from pandasschema_spark.operators.dedup import release_cached
+
+    release_cached(out)
+    with pytest.raises(Exception):
+        handles[0].value  # destroyed broadcasts refuse access
 
 
 def test_edit_distance_pairs_matches_python(spark):
