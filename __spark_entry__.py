@@ -1444,6 +1444,106 @@ def q_ingest_csv_ordinal(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions
+# ---------------------------------------------------------------------------
+
+
+def q_reconcile_orders(spark, sf_dir):
+    """Header-detail aggregate reconciliation (operators/reconcile.py):
+    each order's stored o_totalprice vs the sum of its lineitems'
+    extended amounts, in integer cents — the cross-table consistency
+    constraint a warehouse actually enforces. The detail side collapses
+    to O(orders) with a map-side-combined hash agg BEFORE the join, so
+    lineitem rows never meet the orders table. Emits every order whose
+    stored total mismatches the derived one (the synthetic TPC-H-ish
+    tables do not maintain the invariant exactly — the MISMATCH SET
+    itself is the deterministic, engine-portable result)."""
+    from pandasschema_spark.operators.reconcile import reconcile_header_detail
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax")) * 100).cast("long")
+    return reconcile_header_detail(
+        orders, "o_orderkey", F.round(F.col("o_totalprice") * 100),
+        li, "l_orderkey", line_cents, tol=0,
+    )
+
+
+def q_val_fd(spark, sf_dir):
+    """Functional-dependency validation (operators/colstats.py
+    fd_violations): brand -> manufacturer over the part table. The
+    synthetic part table has no mfgr column, so one is DERIVED from the
+    brand (TPC-H style: a pure function of p_brand, so the FD holds by
+    construction), then a deterministic corruption is planted (every
+    p_partkey % 97 == 0 row's mfgr overwritten) — brands now mapping to
+    >1 manufacturer are exactly the violations. One (det, dep) hash
+    agg, O(distinct pairs) shuffle, no count_distinct expansion."""
+    from pandasschema_spark.operators.colstats import fd_violations
+
+    clean_mfgr = F.concat(
+        F.lit("Manufacturer#"),
+        (F.expr("CAST(substring(p_brand, 7) AS INT)") % 5 + 1).cast("string"))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.when(F.col("p_partkey") % 97 == 0, F.lit("Manufacturer#X"))
+        .otherwise(clean_mfgr).alias("p_mfgr"))
+    return fd_violations(part, "p_brand", "p_mfgr")
+
+
+def q_drift_chi2_by(spark, sf_dir):
+    """Per-group two-sample chi-square drift (operators/drift.py
+    chi_square_two_sample_by): for each event_type, does the user-bucket
+    distribution differ between even- and odd-id events? Integer-exact
+    rational statistic (num/den) per group; the raw events shuffle once
+    in a single tagged-union agg keyed (group, bucket)."""
+    from pandasschema_spark.operators.drift import chi_square_two_sample_by
+
+    base = (_t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+            .select("event_id", "event_type",
+                    F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("ub")))
+    ref = base.where(F.col("event_id") % 2 == 0)
+    cand = base.where(F.col("event_id") % 2 == 1)
+    return chi_square_two_sample_by(ref, cand, "event_type", "ub")
+
+
+def q_audio_speech_rate(spark, sf_dir):
+    """Transcript-vs-audio speech-rate consistency (operators/audio.py
+    speech_rate): clips whose words-per-second (integer milli-wps) is
+    impossibly high — the multimodal check that catches transcripts
+    pasted onto the wrong/truncated clip. Row-local codegen projection,
+    bytes column never read; the oracle re-derives n_words AND dur_ms
+    from the sha256 closed form (functions/audio.py clip_fields)."""
+    from pandasschema_spark.operators.audio import speech_rate
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return speech_rate(df, max_mwps=100_000)
+
+
+def q_pipeline_split_balance(spark, sf_dir):
+    """Composed pipeline: deterministic split assignment (md5-bucket,
+    operators/sampling.py assign_splits) -> per-split class balance —
+    the label-leakage/imbalance audit run on every train/val cut. One
+    lazy plan: scan -> row-local split label -> (split, lang) hash agg
+    -> tiny per-split totals join; nothing row-scaled leaves the agg."""
+    from pandasschema_spark.operators.sampling import assign_splits
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("doc_id", "lang"))
+    labeled = assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    counts = (labeled.groupBy("split", "lang")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.groupBy("split").agg(F.sum("cnt").cast("long").alias("total"))
+    return (counts.join(F.broadcast(totals), "split")
+            .select("split", "lang", "cnt", "total",
+                    F.expr("cnt * 1000000 div total").alias("share_ppm")))
+
+
+# ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
 
@@ -1522,6 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "reconcile_orders": q_reconcile_orders,
+        "val_fd": q_val_fd,
+        "drift_chi2_by": q_drift_chi2_by,
+        "audio_speech_rate": q_audio_speech_rate,
+        "pipeline_split_balance": q_pipeline_split_balance,
         "audio_segment": q_audio_segment,
         "audio_wav_validate": q_audio_wav_validate,
         "audio_embed_ann": q_audio_embed_ann,
@@ -1740,6 +1845,110 @@ g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
 
 def oracle_sql() -> dict[str, str]:
     oracles = {
+        # ---- round-5 additions -------------------------------------------
+        # identical per-row cents expression, integer sum (order-free);
+        # header with no lines reconciles against 0
+        "reconcile_orders": """
+WITH derived AS (
+    SELECT l_orderkey AS key,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+               AS detail_amt
+    FROM lineitem GROUP BY 1
+),
+h AS (
+    SELECT o_orderkey AS key,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS header_amt
+    FROM orders
+)
+SELECT key, header_amt,
+       COALESCE(d.detail_amt, 0) AS detail_amt,
+       header_amt - COALESCE(d.detail_amt, 0) AS diff
+FROM h LEFT JOIN derived d USING (key)
+WHERE abs(header_amt - COALESCE(d.detail_amt, 0)) > 0
+""",
+        # same planted corruption, same FD aggregation (distinct-pair
+        # count via two-level GROUP BY, NULL-dep counts as a value)
+        "val_fd": """
+WITH p AS (
+    SELECT p_brand,
+           CASE WHEN p_partkey % 97 = 0 THEN 'Manufacturer#X'
+                ELSE 'Manufacturer#' ||
+                     CAST(CAST(substr(p_brand, 7) AS INT) % 5 + 1 AS VARCHAR)
+           END AS p_mfgr
+    FROM part
+),
+pairs AS (SELECT p_brand AS det, p_mfgr AS dep FROM p GROUP BY 1, 2)
+SELECT det, CAST(count(*) AS BIGINT) AS n_dep,
+       min(dep) AS min_dep, max(dep) AS max_dep
+FROM pairs GROUP BY det HAVING count(*) > 1
+""",
+        # integer-rational per-group two-sample chi-square: HUGEINT
+        # products, per-term floor division (// == Spark F.floor of the
+        # decimal quotient on non-negative terms), BIGINT-cast outputs
+        "drift_chi2_by": """
+WITH base AS (
+    SELECT event_id, event_type AS grp, user_id % 8 AS bucket
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+hist AS (
+    SELECT grp, bucket,
+           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+    FROM base GROUP BY 1, 2
+),
+tot AS (
+    SELECT grp, CAST(sum(a) AS HUGEINT) AS na, CAST(sum(b) AS HUGEINT) AS nb,
+           count(*) AS k
+    FROM hist GROUP BY 1
+)
+SELECT h.grp,
+       CAST(t.k AS BIGINT) AS k,
+       CAST(t.na AS BIGINT) AS n_ref,
+       CAST(t.nb AS BIGINT) AS n_cand,
+       CAST(sum((CAST(h.a AS HUGEINT) * t.nb - CAST(h.b AS HUGEINT) * t.na)
+                * (CAST(h.a AS HUGEINT) * t.nb - CAST(h.b AS HUGEINT) * t.na)
+                // (h.a + h.b)) AS BIGINT) AS chi2_num,
+       CAST(t.na * t.nb AS BIGINT) AS chi2_den
+FROM hist h JOIN tot t ON t.grp = h.grp
+GROUP BY h.grp, t.k, t.na, t.nb
+""",
+        # n_words and dur_ms re-derived from the sha256 closed form
+        # (functions/audio.py clip_fields: n_words = 3 + h[10] % 8, byte
+        # 10 = hex chars 21-22); audio_quality_clips_df injects no
+        # metadata defects so every transcript is the clean word list
+        "audio_speech_rate": """
+WITH f AS (
+    SELECT i,
+           40 + ((CAST(concat('0x', substr(sha256('42:' || i), 3, 2)) AS INT)
+                  + 256 * CAST(concat('0x', substr(sha256('42:' || i), 5, 2)) AS INT))
+                 % 161) AS dur,
+           3 + CAST(concat('0x', substr(sha256('42:' || i), 21, 2)) AS INT) % 8 AS nw
+    FROM range(0, {audio_n}) t(i)
+)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(dur AS BIGINT) AS dur_ms,
+       CAST(nw * 1000000 // dur AS BIGINT) AS rate_mwps
+FROM f WHERE nw * 1000000 // dur > 100000
+""".format(audio_n=AUDIO_N),
+        # same md5-bucket split rule as assign_splits (train 0.9 / val
+        # 0.1 -> ranges [0,900000) / [900000,1000000))
+        "pipeline_split_balance": """
+WITH labeled AS (
+    SELECT doc_id, lang,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 900000
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents WHERE lang IS NOT NULL
+),
+counts AS (SELECT split, lang, count(*) AS cnt FROM labeled GROUP BY 1, 2),
+totals AS (SELECT split, CAST(sum(cnt) AS BIGINT) AS total
+           FROM counts GROUP BY 1)
+SELECT c.split, c.lang, c.cnt, t.total,
+       CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM counts c JOIN totals t ON t.split = c.split
+""",
         # ---- round-4 additions -------------------------------------------
         # closed-form from the generation rule in _csv_gate_row: the oracle
         # derives each violation's ORDINAL from arithmetic alone, so it

