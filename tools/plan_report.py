@@ -104,6 +104,35 @@ def main() -> None:
         plan_of(zscore_outliers(ev, cents, ["event_type"],
                                 k=3, keep_cols=["event_id"]))))
 
+    from pandasschema_spark.operators.drift import chi_square_two_sample_by
+    from pandasschema_spark.operators.reconcile import reconcile_header_detail
+
+    orders = spark.read.parquet(sf_dir + "/orders.parquet")
+    line_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax")) * 100).cast("long")
+    sections.append((
+        "Header-detail reconciliation (detail aggregates BEFORE the join)",
+        "Claims: the detail-side `HashAggregate` (partial+final, map-side "
+        "combined) sits UNDER the join — lineitem rows never meet the "
+        "orders table; both join inputs are already O(keys).",
+        plan_of(reconcile_header_detail(
+            orders, "o_orderkey", F.round(F.col("o_totalprice") * 100),
+            li, "l_orderkey", line_cents))))
+
+    base = ev.where(F.col("user_id").isNotNull()).select(
+        "event_id", "event_type",
+        F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("ub"))
+    sections.append((
+        "Per-group two-sample drift (one tagged-union shuffle)",
+        "Claims: exactly ONE `Union` of the two tagged frames feeding one "
+        "(grp, bucket) `HashAggregate`; per-group totals come from a "
+        "`Window` over the aggregated histogram — the raw rows are never "
+        "scanned or shuffled twice.",
+        plan_of(chi_square_two_sample_by(
+            base.where(F.col("event_id") % 2 == 0),
+            base.where(F.col("event_id") % 2 == 1), "event_type", "ub"))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
