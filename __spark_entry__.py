@@ -1523,6 +1523,66 @@ def q_audio_speech_rate(spark, sf_dir):
     return speech_rate(df, max_mwps=100_000)
 
 
+def q_embedding_norm(spark, sf_dir):
+    """Embedding-store validation (operators/similarity.py
+    embedding_norm_violations): rows off unit norm or with the wrong
+    dimensionality, over a deterministically corrupted copy of the
+    embeddings table (vec_id % 53 scaled 1.5x -> norm2 ~2.25e6; vec_id
+    % 97 truncated to 32 dims). Gated through impl='expr' (the
+    left-fold double accumulation DuckDB's list_reduce reproduces
+    bit-for-bit); production default is the arrow batch scorer."""
+    from pandasschema_spark.operators.similarity import embedding_norm_violations
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corrupted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 53 == 0,
+               F.transform("embedding",
+                           lambda x: (x * F.lit(1.5)).cast("float")))
+        .when(F.col("vec_id") % 97 == 0, F.slice("embedding", 1, 32))
+        .otherwise(F.col("embedding")).alias("embedding"))
+    return embedding_norm_violations(
+        corrupted, expected_dim=64,
+        min_norm2_micro=990_000, max_norm2_micro=1_010_000, impl="expr")
+
+
+def q_drift_ks_by(spark, sf_dir):
+    """Per-group two-sample KS (operators/drift.py ks_two_sample_by):
+    ordered-CDF sup gap per event_type between even- and odd-id events
+    over user buckets — the order-sensitive companion of
+    drift_chi2_by, same single tagged-union shuffle, rational-integer
+    output."""
+    from pandasschema_spark.operators.drift import ks_two_sample_by
+
+    base = (_t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+            .select("event_id", "event_type",
+                    F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("ub")))
+    ref = base.where(F.col("event_id") % 2 == 0)
+    cand = base.where(F.col("event_id") % 2 == 1)
+    return ks_two_sample_by(ref, cand, "event_type", "ub")
+
+
+# 1 day: binds at every tested SF (17 stale cohorts at sf0.01, 58 at
+# sf0.1) — a threshold that flags nothing tests nothing
+FRESHNESS_LAG_US = 86_400_000_000
+
+
+def q_events_freshness(spark, sf_dir):
+    """Freshness SLO (operators/sessions.py freshness_violations): user
+    cohorts (user_id % 1000) whose newest event is older than
+    as_of - 1 day, with as_of = the table's own max timestamp (one
+    scalar agg — reproducible, no wall clock). One map-side-combined
+    max() per cohort, O(cohorts) shuffle."""
+    from pandasschema_spark.operators.sessions import _epoch_us, freshness_violations
+
+    ev = _t(spark, sf_dir, "events")
+    as_of = ev.agg(F.max(_epoch_us("ts")).alias("m")).collect()[0]["m"]
+    cohorts = ev.select("ts", F.pmod(F.col("user_id"), F.lit(1000)).alias("cohort"))
+    return freshness_violations(cohorts, "ts", "cohort",
+                                as_of_us=int(as_of), max_lag_us=FRESHNESS_LAG_US)
+
+
 def q_pipeline_split_balance(spark, sf_dir):
     """Composed pipeline: deterministic split assignment (md5-bucket,
     operators/sampling.py assign_splits) -> per-split class balance —
@@ -1627,6 +1687,9 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2_by": q_drift_chi2_by,
         "audio_speech_rate": q_audio_speech_rate,
         "pipeline_split_balance": q_pipeline_split_balance,
+        "embedding_norm": q_embedding_norm,
+        "drift_ks_by": q_drift_ks_by,
+        "events_freshness": q_events_freshness,
         "audio_segment": q_audio_segment,
         "audio_wav_validate": q_audio_wav_validate,
         "audio_embed_ann": q_audio_embed_ann,
@@ -1932,6 +1995,69 @@ SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
        CAST(nw * 1000000 // dur AS BIGINT) AS rate_mwps
 FROM f WHERE nw * 1000000 // dur > 100000
 """.format(audio_n=AUDIO_N),
+        # identical corruption + left-fold norm (list_reduce == Spark
+        # F.aggregate with 0.0 init on the first element) + floor micro
+        "embedding_norm": """
+WITH c AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 53 = 0
+                THEN list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+                WHEN vec_id % 97 = 0 THEN embedding[1:32]
+                ELSE embedding END AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id AS id, COALESCE(len(v), 0) AS dim,
+           CAST(floor(list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x),
+                                  (a, b) -> a + b) * 1000000) AS BIGINT)
+               AS norm2_micro
+    FROM c
+)
+SELECT id, CAST(dim AS INT) AS dim, norm2_micro
+FROM s
+WHERE norm2_micro IS NULL OR dim != 64
+   OR norm2_micro < 990000 OR norm2_micro > 1010000
+""",
+        # same tagged histogram as drift_chi2_by; the KS sup over ordered
+        # cumulative gaps via windows on the aggregated rows
+        "drift_ks_by": """
+WITH base AS (
+    SELECT event_id, event_type AS grp, user_id % 8 AS bucket
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+hist AS (
+    SELECT grp, bucket,
+           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT grp,
+           sum(a) OVER (PARTITION BY grp ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum_a,
+           sum(b) OVER (PARTITION BY grp ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum_b,
+           sum(a) OVER (PARTITION BY grp) AS na,
+           sum(b) OVER (PARTITION BY grp) AS nb
+    FROM hist
+)
+SELECT grp,
+       CAST(max(na) AS BIGINT) AS n_ref,
+       CAST(max(nb) AS BIGINT) AS n_cand,
+       CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
+       CAST(max(na * nb) AS BIGINT) AS ks_den
+FROM cum GROUP BY grp
+""",
+        # as_of = the table's own max timestamp (scalar subquery), 7-day
+        # SLO; NULL-only cohorts stale by definition
+        "events_freshness": """
+WITH m AS (SELECT max(epoch_us(ts)) AS as_of FROM events),
+g AS (SELECT user_id % 1000 AS cohort, max(epoch_us(ts)) AS max_us
+      FROM events GROUP BY 1)
+SELECT cohort AS grp, max_us, CAST(as_of - max_us AS BIGINT) AS lag_us
+FROM g, m
+WHERE max_us IS NULL OR max_us < as_of - {lag}
+""".format(lag=FRESHNESS_LAG_US),
         # same md5-bucket split rule as assign_splits (train 0.9 / val
         # 0.1 -> ranges [0,900000) / [900000,1000000))
         "pipeline_split_balance": """

@@ -276,3 +276,43 @@ def chi_square_two_sample_by(
                  F.first("n_cand").cast("long").alias("n_cand"),
                  F.sum(num_j).cast("long").alias("chi2_num"),
                  F.first(na * nb).cast("long").alias("chi2_den")))
+
+
+def ks_two_sample_by(
+    df_ref: DataFrame, df_cand: DataFrame, group_col: str, column: str
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic over a discrete
+    bucket column, integer-exact: for each group,
+    KS = max_j |cumA_j * nB - cumB_j * nA| / (nA * nB), emitted as the
+    rational pair (ks_num, ks_den). The numeric-drift companion of
+    chi_square_two_sample_by (chi-square ignores bucket ORDER; KS is the
+    sup over the ordered CDF gap, so it catches shifts chi-square
+    dilutes).
+
+    Scale shape: identical to the chi-square variant — the raw rows
+    shuffle ONCE through the tagged-union (group, bucket) hash agg; the
+    cumulative sums are a window over the O(groups x buckets) histogram
+    ordered by bucket within each group (aggregated rows only, never
+    data). The sup needs evaluating at every OBSERVED bucket edge only:
+    between observed buckets both CDFs are flat, so the gap cannot
+    change."""
+    from pyspark.sql import Window
+
+    hist = two_sample_counts_by(df_ref, df_cand, group_col, column)
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        F.sum("c_ref").over(w).alias("cum_a"),
+        F.sum("c_cand").over(w).alias("cum_b"),
+        F.sum("c_ref").over(wg).alias("n_ref"),
+        F.sum("c_cand").over(wg).alias("n_cand"))
+    gap = F.abs(F.col("cum_a") * F.col("n_cand")
+                - F.col("cum_b") * F.col("n_ref"))
+    return (cum.groupBy("grp")
+            .agg(F.first("n_ref").cast("long").alias("n_ref"),
+                 F.first("n_cand").cast("long").alias("n_cand"),
+                 F.max(gap).cast("long").alias("ks_num"),
+                 F.first(F.col("n_ref") * F.col("n_cand")).cast("long")
+                  .alias("ks_den")))

@@ -203,3 +203,33 @@ def ordering_violations(
                    & (F.col("__us__") < F.col("prev_us")))
             .select(user_col, seq_col, "prev_us",
                     F.col("__us__").alias("us")))
+
+
+def freshness_violations(
+    df,
+    ts_col: str,
+    group_col: str,
+    *,
+    as_of_us: int,
+    max_lag_us: int,
+):
+    """Data-freshness SLO check: groups (feeds, event types, partitions)
+    whose NEWEST record is older than ``as_of_us - max_lag_us`` — the
+    "did the upstream feed silently stop?" monitor. ``as_of_us`` is an
+    explicit parameter, never wall-clock-now, so runs are reproducible
+    and backfills can re-evaluate historical SLOs.
+
+    Output: (grp, max_us, lag_us) per stale group; groups whose newest
+    timestamp is NULL-only are emitted with max_us NULL (a feed of
+    unparseable timestamps is stale, not healthy).
+
+    Scale shape: one map-side-combined max() hash agg — O(groups)
+    shuffle, nothing row-scaled; the comparison is driver-free."""
+    g = (df.select(F.col(group_col).alias("grp"),
+                   _epoch_us(ts_col).alias("__us__"))
+         .groupBy("grp")
+         .agg(F.max("__us__").alias("max_us")))
+    return (g.where(F.col("max_us").isNull()
+                    | (F.col("max_us") < as_of_us - max_lag_us))
+            .select("grp", "max_us",
+                    (F.lit(as_of_us) - F.col("max_us")).alias("lag_us")))

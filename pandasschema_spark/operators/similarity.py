@@ -515,3 +515,80 @@ def train_ivf_centroids(
         [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
         "cell int, cvec array<float>",
     )
+
+
+def embedding_norm_violations(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: typing.Optional[int] = None,
+    min_norm2_micro: typing.Optional[int] = None,
+    max_norm2_micro: typing.Optional[int] = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Embedding-store validation: rows whose vector is NULL, has the
+    wrong dimensionality, contains non-finite entries, or whose squared
+    L2 norm falls outside [min_norm2_micro, max_norm2_micro] (norm2 as
+    floor(sum(x^2) * 1e6) — the integer-micro convention the ANN oracles
+    use). A normalized embedding store silently drifting off unit norm
+    breaks every downstream cosine ranking; this is the cheap scan-time
+    gate that catches it.
+
+    Output: (id, dim, norm2_micro) for flagged rows; NULL/non-finite
+    vectors carry dim 0 / norm2_micro NULL and are always flagged.
+
+    impl='arrow' (production): one numpy pass per Arrow batch — finite
+    check plus vectorized square-sum. impl='expr': zip-free native fold
+    (same left-to-right double accumulation as DuckDB list_reduce,
+    bit-reproducible — the oracle/determinism mode; no finite check,
+    Catalyst-interpreted per element). Both are row-local: single pruned
+    scan, no shuffle."""
+    if impl == "expr":
+        n2 = F.aggregate(
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.size(F.col(vec_col)), F.lit(0)).alias("dim"),
+            F.floor(n2 * 1e6).cast("long").alias("norm2_micro"))
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def score(batches):
+            for b in batches:
+                ids, dims, n2s = [], [], []
+                for i, v in zip(b["id"], b["vec"]):
+                    ids.append(i)
+                    if v is None:
+                        dims.append(0)
+                        n2s.append(None)
+                        continue
+                    x = np.asarray(v, dtype=np.float64)
+                    dims.append(int(x.size))
+                    if not np.all(np.isfinite(x)):
+                        n2s.append(None)
+                    else:
+                        n2s.append(int(np.floor(float(x @ x) * 1e6)))
+                yield pd.DataFrame({"id": ids, "dim": dims,
+                                    "norm2_micro": pd.array(n2s, dtype="Int64")})
+
+        out_schema = T.StructType([
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("norm2_micro", T.LongType()),
+        ])
+        base = (df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"))
+                .mapInPandas(score, out_schema))
+    cond = F.col("norm2_micro").isNull()
+    if expected_dim is not None:
+        cond = cond | (F.col("dim") != expected_dim)
+    if min_norm2_micro is not None:
+        cond = cond | (F.col("norm2_micro") < min_norm2_micro)
+    if max_norm2_micro is not None:
+        cond = cond | (F.col("norm2_micro") > max_norm2_micro)
+    return base.where(cond)

@@ -100,3 +100,66 @@ def test_speech_rate_bounds_and_nulls(spark):
     lo = {r["clip_id"]
           for r in speech_rate(df, min_mwps=1000, max_mwps=100_000).collect()}
     assert lo == {"b", "c", "d"}  # null transcript reads 0 wps, under min
+
+
+def test_embedding_norm_arrow_matches_expr_and_flags(spark):
+    from pandasschema_spark.operators.similarity import embedding_norm_violations
+
+    rows = [(0, [1.0] * 4),            # norm2 = 4e6 -> out of unit bounds
+            (1, [0.5] * 4),            # norm2 = 1e6 -> clean
+            (2, [0.5] * 3),            # wrong dim
+            (3, None),                 # null vec -> flagged
+            (4, [float("nan")] * 4)]   # non-finite -> flagged (arrow only)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(expected_dim=4, min_norm2_micro=990_000, max_norm2_micro=1_010_000)
+    arrow = {r["id"]: (r["dim"], r["norm2_micro"])
+             for r in embedding_norm_violations(df, impl="arrow", **kw).collect()}
+    assert set(arrow) == {0, 2, 3, 4}
+    assert arrow[0] == (4, 4_000_000)
+    assert arrow[3] == (0, None)
+    assert arrow[4][1] is None  # non-finite refused, not a garbage number
+    # expr mode (the oracle path) agrees on the finite rows
+    expr = {r["id"]: (r["dim"], r["norm2_micro"])
+            for r in embedding_norm_violations(
+                df.where(F.col("vec_id") < 4), impl="expr", **kw).collect()}
+    assert expr == {k: v for k, v in arrow.items() if k < 4}
+
+
+def test_ks_two_sample_by_matches_python(spark):
+    from pandasschema_spark.operators.drift import ks_two_sample_by
+
+    ref_vals = [i % 5 for i in range(300)]
+    cand_vals = [min((i * 7) % 9, 4) for i in range(200)]  # shifted mass
+    ref = spark.createDataFrame([("g", v) for v in ref_vals], "grp string, b long")
+    cand = spark.createDataFrame([("g", v) for v in cand_vals], "grp string, b long")
+    row = ks_two_sample_by(ref, cand, "grp", "b").collect()[0]
+    na, nb = len(ref_vals), len(cand_vals)
+    buckets = sorted(set(ref_vals) | set(cand_vals))
+    best = 0
+    ca = cb = 0
+    for x in buckets:
+        ca += sum(1 for v in ref_vals if v == x)
+        cb += sum(1 for v in cand_vals if v == x)
+        best = max(best, abs(ca * nb - cb * na))
+    assert (row["n_ref"], row["n_cand"]) == (na, nb)
+    assert row["ks_num"] == best and row["ks_den"] == na * nb
+    ks = row["ks_num"] / row["ks_den"]
+    assert 0 < ks <= 1
+
+
+def test_freshness_violations_semantics(spark):
+    from pandasschema_spark.operators.sessions import freshness_violations
+
+    df = spark.createDataFrame(
+        [("fresh", "2024-01-10 00:00:00"),
+         ("stale", "2024-01-01 00:00:00"),
+         ("null_ts", None)],
+        "feed string, ts string"
+    ).select("feed", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    as_of = 1704931200000000  # 2024-01-11 00:00:00 UTC in epoch us
+    out = {r["grp"]: r["lag_us"] for r in freshness_violations(
+        df, "ts", "feed", as_of_us=as_of,
+        max_lag_us=2 * 86_400_000_000).collect()}
+    assert set(out) == {"stale", "null_ts"}
+    assert out["stale"] == 10 * 86_400_000_000
+    assert out["null_ts"] is None
