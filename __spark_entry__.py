@@ -1583,6 +1583,29 @@ def q_events_freshness(spark, sf_dir):
                                 as_of_us=int(as_of), max_lag_us=FRESHNESS_LAG_US)
 
 
+def q_val_regression_diff(spark, sf_dir):
+    """Cross-run validation regression (operators/diff.py
+    violations_diff): the CI gate comparing yesterday's violation set
+    against today's after a rule change — tightening the quantity range
+    [1,25)->[1,24) introduces NEW violations (qty in [24,25)), widening
+    the returnflag list (A,N)->(A,N,R) RESOLVES the R rows. Keyed
+    (row, column, check_id) null-safe anti-joins over distinct key
+    projections; messages/values never shuffle."""
+    from pandasschema_spark.operators.diff import violations_diff
+
+    df = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_returnflag"]
+    old = Schema([
+        Column("l_quantity", [InRangeValidation(1, 25)]),
+        Column("l_returnflag", [InListValidation(["A", "N"])]),
+    ]).validate(df, columns=cols, row_key=F.expr(LINEITEM_ROW)).violations
+    new = Schema([
+        Column("l_quantity", [InRangeValidation(1, 24)]),
+        Column("l_returnflag", [InListValidation(["A", "N", "R"])]),
+    ]).validate(df, columns=cols, row_key=F.expr(LINEITEM_ROW)).violations
+    return violations_diff(old, new)
+
+
 def q_pipeline_split_balance(spark, sf_dir):
     """Composed pipeline: deterministic split assignment (md5-bucket,
     operators/sampling.py assign_splits) -> per-split class balance —
@@ -1690,6 +1713,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "drift_ks_by": q_drift_ks_by,
         "events_freshness": q_events_freshness,
+        "val_regression_diff": q_val_regression_diff,
         "audio_segment": q_audio_segment,
         "audio_wav_validate": q_audio_wav_validate,
         "audio_embed_ann": q_audio_embed_ann,
@@ -1995,6 +2019,30 @@ SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
        CAST(nw * 1000000 // dur AS BIGINT) AS rate_mwps
 FROM f WHERE nw * 1000000 // dur > 100000
 """.format(audio_n=AUDIO_N),
+        # the same two closed-form violation key sets diffed with EXCEPT
+        "val_regression_diff": """
+WITH old_v AS (
+    SELECT {row} AS row, 'l_quantity' AS "column",
+           'l_quantity#0:InRangeValidation' AS check_id
+    FROM lineitem WHERE NOT (l_quantity >= 1 AND l_quantity < 25)
+    UNION ALL
+    SELECT {row}, 'l_returnflag', 'l_returnflag#1:InListValidation'
+    FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+),
+new_v AS (
+    SELECT {row} AS row, 'l_quantity' AS "column",
+           'l_quantity#0:InRangeValidation' AS check_id
+    FROM lineitem WHERE NOT (l_quantity >= 1 AND l_quantity < 24)
+    UNION ALL
+    SELECT {row}, 'l_returnflag', 'l_returnflag#1:InListValidation'
+    FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+)
+SELECT *, 'new' AS status
+FROM (SELECT DISTINCT * FROM new_v EXCEPT SELECT DISTINCT * FROM old_v)
+UNION ALL
+SELECT *, 'resolved'
+FROM (SELECT DISTINCT * FROM old_v EXCEPT SELECT DISTINCT * FROM new_v)
+""".format(row=LINEITEM_ROW),
         # identical corruption + left-fold norm (list_reduce == Spark
         # F.aggregate with 0.0 init on the first element) + floor micro
         "embedding_norm": """

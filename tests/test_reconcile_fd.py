@@ -163,3 +163,20 @@ def test_freshness_violations_semantics(spark):
     assert set(out) == {"stale", "null_ts"}
     assert out["stale"] == 10 * 86_400_000_000
     assert out["null_ts"] is None
+
+
+def test_violations_diff_null_safe_keys(spark):
+    from pandasschema_spark.operators.diff import violations_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "c1"), (2, "a", "c1"), (None, "b", "c2"), (1, "a", "c1")],
+        "row int, column string, check_id string")
+    new = spark.createDataFrame(
+        [(2, "a", "c1"), (3, "a", "c1"), (None, "b", "c2")],
+        "row int, column string, check_id string")
+    out = {(r["row"], r["column"], r["check_id"]): r["status"]
+           for r in violations_diff(old, new).collect()}
+    # (2,a,c1) unchanged; the NULL-row frame-level warning matches itself
+    # across runs (null-safe keys) so it is neither new nor resolved;
+    # duplicates collapse before diffing
+    assert out == {(3, "a", "c1"): "new", (1, "a", "c1"): "resolved"}
