@@ -291,3 +291,54 @@ def test_heavy_hitters_no_global_sort(spark):
     li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
     plan = plan_of(heavy_hitters(li, "l_partkey", top_k=50).select("value", "cnt"))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_speech_rate_codegen_clean_and_bytes_pruned(spark):
+    """speech_rate must stay a row-local codegen projection (no HOF
+    lambdas) and must never read the dominant bytes column."""
+    import re as _re
+
+    from pandasschema_spark.operators.audio import speech_rate
+    from pandasschema_spark.sources.datagen import clips_df
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        clips_df(spark, 50, with_audio=True, partitions=2).write.parquet(d + "/t")
+        t = spark.read.parquet(d + "/t")
+        plan = plan_of(speech_rate(t, max_mwps=100_000))
+        assert "lambdafunction" not in plan.lower()
+        assert "Exchange" not in plan
+        reads = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert reads and all("bytes" not in r for r in reads), plan[:1500]
+
+
+def test_embedding_norm_arrow_no_shuffle(spark):
+    """The production (arrow) embedding-norm scan is a single pass with
+    zero exchanges — flagging must not cost a shuffle."""
+    from pandasschema_spark.operators.similarity import embedding_norm_violations
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    plan = plan_of(embedding_norm_violations(
+        emb, expected_dim=64, min_norm2_micro=990_000,
+        max_norm2_micro=1_010_000, impl="arrow"))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_reconcile_no_raw_detail_at_join(spark):
+    """Scale lock for reconcile_header_detail over real parquet: the
+    detail side's HashAggregate must sit below the join (detail rows
+    reduced to O(keys) before meeting headers)."""
+    from pandasschema_spark.operators.reconcile import reconcile_header_detail
+    from pyspark.sql import functions as _F
+
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet")
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    out = reconcile_header_detail(
+        orders, "o_orderkey", _F.round(_F.col("o_totalprice") * 100),
+        li, "l_orderkey",
+        _F.round(_F.col("l_extendedprice") * 100).cast("long"))
+    plan = plan_of(out)
+    join_pos = plan.find("Join")
+    assert join_pos >= 0
+    assert plan.find("HashAggregate", join_pos) > join_pos
