@@ -1626,6 +1626,129 @@ def q_pipeline_split_balance(spark, sf_dir):
                     F.expr("cnt * 1000000 div total").alias("share_ppm")))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of self-join (operators/joins.py asof_join): for every order,
+    the same customer's PREVIOUS order (strict: latest o_orderdate
+    strictly before this one) and the gap in days — the
+    repeat-purchase-interval feature a feature store materializes with a
+    point-in-time-correct lookup. Union-tag carry-forward window: one
+    exchange on custkey, zero row expansion (vs the range-join
+    explosion). Right side pre-deduped per (custkey, date) with
+    max(orderkey) so the carried row is deterministic; the oracle is
+    DuckDB's native ASOF LEFT JOIN over the same deduped frame."""
+    from pandasschema_spark.operators.joins import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = (orders.groupBy("o_custkey",
+                            F.col("o_orderdate").alias("prev_date"))
+             .agg(F.max("o_orderkey").cast("long").alias("prev_orderkey")))
+    res = asof_join(left, right, "o_custkey", "o_orderdate", "prev_date",
+                    strict=True)
+    return res.select(
+        "o_orderkey", "o_custkey",
+        F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        "prev_orderkey")
+
+
+def q_interval_join(spark, sf_dir):
+    """Banded point-in-interval join (operators/joins.py
+    point_in_interval_join): lineitems whose shipdate falls inside their
+    order's [orderdate, orderdate+60d) fulfillment window, counted per
+    order. Integral day domain (days since epoch), band = 64 days: the
+    interval replicates to at most 2 bands, each point lands in exactly
+    one, the (key, band) equi-join + row-local containment filter emits
+    every qualifying pair exactly once — no cartesian, no
+    broadcast-nested-loop, fan-out bounded by max_bands at any scale.
+    The oracle is the raw inequality join DuckDB can afford at sf0.01."""
+    from pandasschema_spark.operators.joins import point_in_interval_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    points = (_t(spark, sf_dir, "lineitem")
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.datediff("l_shipdate", epoch).cast("long")
+                      .alias("ship_day")))
+    intervals = (_t(spark, sf_dir, "orders")
+                 .select(F.col("o_orderkey").alias("okey"),
+                         F.datediff("o_orderdate", epoch).cast("long")
+                         .alias("start_day")))
+    intervals = intervals.withColumn(
+        "end_day", (F.col("start_day") + F.lit(60)).cast("long"))
+    pairs = point_in_interval_join(points, intervals, "okey",
+                                   "ship_day", "start_day", "end_day",
+                                   band=64)
+    return (pairs.groupBy("okey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_in_window")))
+
+
+def q_seq_gaps(spark, sf_dir):
+    """Ordinal-contiguity validation (operators/sessions.py
+    sequence_violations) over lineitem linenumbers, with a deterministic
+    planted corruption (TPC-H linenumbers are contiguous 1..n by
+    construction): rows where (31*okey + lineno) % 101 == 0 are DROPPED
+    (gaps / bad starts) and rows where (13*okey + lineno) % 103 == 0 are
+    DUPLICATED. Dup detection is exact on the (group, ordinal)
+    histogram — moment checks can't distinguish {1,5,6} from {2,3,7}."""
+    from pandasschema_spark.operators.sessions import sequence_violations
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    keep = ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 101 != 0)
+    dup = ((F.col("l_orderkey") * 13 + F.col("l_linenumber")) % 103 == 0)
+    corrupted = li.where(keep).unionByName(li.where(dup))
+    return sequence_violations(corrupted, "l_orderkey", "l_linenumber")
+
+
+def q_text_pii_scan(spark, sf_dir):
+    """PII pattern scan (operators/text.py pii_scan): per-document
+    email / IPv4 / E.164-phone / SSN-shaped match counts over the
+    documents table with deterministically planted PII (doc_id-keyed
+    suffixes), filtered to documents with >= 1 hit. One codegen-clean
+    regexp_count projection fused into the scan — counts only, the
+    matched text never leaves the executor. Patterns live in the
+    Java-regex/RE2 intersection so DuckDB's regexp_extract_all counts
+    the identical non-overlapping matches."""
+    from pandasschema_spark.operators.text import pii_scan
+
+    d = F.col("doc_id")
+    planted = (_t(spark, sf_dir, "documents")
+               .select("doc_id", F.concat(
+                   F.coalesce(F.col("text"), F.lit("")),
+                   F.when(d % 41 == 0, F.concat(
+                       F.lit(" contact user"), d.cast("string"),
+                       F.lit("@example.com now"))).otherwise(F.lit("")),
+                   F.when(d % 59 == 0, F.concat(
+                       F.lit(" host 10."), (d % 200).cast("string"),
+                       F.lit(".3."), (d % 251).cast("string"))
+                   ).otherwise(F.lit("")),
+                   F.when(d % 73 == 0, F.concat(
+                       F.lit(" id 123-45-"),
+                       F.lpad((d % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+                   F.when(d % 83 == 0, F.concat(
+                       F.lit(" tel +1415555"),
+                       F.lpad((d % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit(""))).alias("txt")))
+    return pii_scan(planted, "txt", "doc_id")
+
+
+def q_winsorized_agg(spark, sf_dir):
+    """Winsorized per-returnflag revenue (operators/colstats.py
+    winsorized_sum_by): extended prices in integer cents clamped to the
+    global exact [p1, p99] ceil-rank quantiles, then one
+    map-side-combined group agg — the robust metric gate that a handful
+    of corrupt outlier rows cannot move. Cutoffs reach the driver as two
+    O(1) literals; everything else fuses into the scan."""
+    from pandasschema_spark.operators.colstats import winsorized_sum_by
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull())
+          .select("l_returnflag",
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("cents")))
+    return winsorized_sum_by(li, "cents", ["l_returnflag"],
+                             lo_pm=10, hi_pm=990)
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -1705,6 +1828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "seq_gaps": q_seq_gaps,
+        "text_pii_scan": q_text_pii_scan,
+        "winsorized_agg": q_winsorized_agg,
         "reconcile_orders": q_reconcile_orders,
         "val_fd": q_val_fd,
         "drift_chi2_by": q_drift_chi2_by,
@@ -1932,6 +2060,131 @@ g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
 
 def oracle_sql() -> dict[str, str]:
     oracles = {
+        # ---- round-5 batch 2 ---------------------------------------------
+        # DuckDB's native ASOF LEFT JOIN over the same (custkey, date)
+        # pre-deduped right frame the Spark union-tag plan consumes; the
+        # strict '>' matches asof_join(strict=True) tie semantics
+        "asof_join": """
+WITH r AS (
+    SELECT o_custkey, o_orderdate AS prev_date,
+           CAST(max(o_orderkey) AS BIGINT) AS prev_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(date_diff('day', r.prev_date, o.o_orderdate) AS BIGINT)
+           AS gap_days,
+       r.prev_orderkey
+FROM orders o ASOF LEFT JOIN r
+  ON o.o_custkey = r.o_custkey AND o.o_orderdate > r.prev_date
+""",
+        # the raw inequality join the banded plan must equal exactly
+        "interval_join": """
+SELECT l.l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n_in_window
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+        # same planted corruption (drop %101, duplicate %103), same
+        # histogram-then-group aggregation, same kind rules
+        "seq_gaps": """
+WITH li AS (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE (l_orderkey*31 + l_linenumber) % 101 <> 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE (l_orderkey*13 + l_linenumber) % 103 = 0
+),
+h AS (SELECT l_orderkey AS grp, l_linenumber AS ord, count(*) AS c
+      FROM li GROUP BY 1, 2),
+s AS (SELECT grp,
+             CAST(sum(CASE WHEN ord IS NOT NULL THEN c ELSE 0 END)
+                  AS BIGINT) AS n_rows,
+             CAST(count(ord) AS BIGINT) AS n_distinct,
+             CAST(min(ord) AS BIGINT) AS min_ord,
+             CAST(max(ord) AS BIGINT) AS max_ord,
+             CAST(sum(CASE WHEN ord IS NULL THEN c ELSE 0 END)
+                  AS BIGINT) AS n_null
+      FROM h GROUP BY 1)
+SELECT grp, 'duplicate' AS kind, n_rows, n_distinct, min_ord, max_ord
+FROM s WHERE n_rows > n_distinct
+UNION ALL
+SELECT grp, 'gap', n_rows, n_distinct, min_ord, max_ord
+FROM s WHERE n_distinct > 0 AND max_ord - min_ord + 1 <> n_distinct
+UNION ALL
+SELECT grp, 'bad_start', n_rows, n_distinct, min_ord, max_ord
+FROM s WHERE n_distinct > 0 AND min_ord <> 1
+UNION ALL
+SELECT grp, 'null_ordinal', n_rows, n_distinct, min_ord, max_ord
+FROM s WHERE n_null > 0
+""",
+        # same planted suffixes, same Java/RE2-intersection patterns;
+        # counts = length(regexp_extract_all) == Spark regexp_count
+        "text_pii_scan": """
+WITH planted AS (
+    SELECT doc_id,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 41 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 59 = 0
+                   THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.3.' || CAST(doc_id % 251 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 73 = 0
+                   THEN ' id 123-45-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 83 = 0
+                   THEN ' tel +1415555'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS txt
+    FROM documents
+),
+counted AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+           CAST(length(regexp_extract_all(txt,
+               '(?:[0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+           CAST(length(regexp_extract_all(txt,
+               '\\+[0-9]{7,15}')) AS BIGINT) AS n_phone_e164,
+           CAST(length(regexp_extract_all(txt,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn_like
+    FROM planted
+)
+SELECT doc_id, n_email, n_ipv4, n_phone_e164, n_ssn_like,
+       CAST(n_email + n_ipv4 + n_phone_e164 + n_ssn_like AS BIGINT)
+           AS n_pii
+FROM counted
+WHERE n_email + n_ipv4 + n_phone_e164 + n_ssn_like > 0
+""",
+        # global ceil-rank [p1, p99] cutoffs (exact_quantiles form: the
+        # smallest value whose cumulative count reaches rank), then the
+        # clamped group agg — all BIGINT
+        "winsorized_agg": """
+WITH v AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS val
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT val, count(*) AS c FROM v GROUP BY 1),
+cum AS (SELECT val, c,
+               sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h),
+tot AS (SELECT sum(c) AS n FROM h),
+lo AS (SELECT min(val) AS lo_v FROM cum, tot
+       WHERE cum >= (10*n + 999)//1000),
+hi AS (SELECT min(val) AS hi_v FROM cum, tot
+       WHERE cum >= (990*n + 999)//1000)
+SELECT l_returnflag,
+       CAST(sum(greatest(lo_v, least(hi_v, val))) AS BIGINT) AS w_sum,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN val < lo_v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+       CAST(sum(CASE WHEN val > hi_v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi
+FROM v, lo, hi GROUP BY 1
+""",
         # ---- round-5 additions -------------------------------------------
         # identical per-row cents expression, integer sum (order-free);
         # header with no lines reconciles against 0

@@ -255,3 +255,47 @@ def fd_violations(
                  F.min("dep").alias("min_dep"),
                  F.max("dep").alias("max_dep"))
             .where(F.col("n_dep") > 1))
+
+
+def winsorized_sum_by(
+    df: DataFrame,
+    value_col,
+    group_cols: typing.Sequence[str],
+    *,
+    lo_pm: int = 10,
+    hi_pm: int = 990,
+    denom: int = 1000,
+) -> DataFrame:
+    """Winsorized (clamped-tail) per-group aggregate: clamp an integral
+    value column to its GLOBAL exact [lo_pm, hi_pm] quantiles (ceil-rank
+    discrete definition, see exact_quantiles) and aggregate per group —
+    the robust-sum / robust-mean building block that keeps a handful of
+    corrupt outliers from dominating a metric gate.
+
+    Output per group: (``w_sum`` clamped sum, ``n_rows``, ``n_lo`` rows
+    clamped up, ``n_hi`` rows clamped down) — all BIGINT, engine-exact.
+
+    Scale shape: exact_quantiles is one O(distinct-values) hash-agg
+    shuffle with the cumulative window over the value HISTOGRAM; the two
+    cutoffs come back to the driver as O(1) literals (no join), and the
+    clamp + group agg is a second map-side-combined pass over the raw
+    rows fused into the scan. For unbounded-cardinality columns quantize
+    first (the exact_quantiles rule). NULL values are excluded
+    (SQL aggregate semantics)."""
+    if not (0 < lo_pm <= hi_pm <= denom):
+        raise ValueError("need 0 < lo_pm <= hi_pm <= denom")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    cuts = {r["q_pm"]: int(r["value"])
+            for r in exact_quantiles(df, v, [lo_pm, hi_pm],
+                                     denom=denom).collect()}
+    lo_v, hi_v = cuts[lo_pm], cuts[hi_pm]
+    base = (df.select(*group_cols, v.cast("long").alias("__v__"))
+            .where(F.col("__v__").isNotNull()))
+    clamped = F.greatest(F.lit(lo_v), F.least(F.lit(hi_v), F.col("__v__")))
+    return (base.groupBy(*group_cols)
+            .agg(F.sum(clamped).cast("long").alias("w_sum"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("__v__") < lo_v, F.lit(1))
+                       .otherwise(F.lit(0))).cast("long").alias("n_lo"),
+                 F.sum(F.when(F.col("__v__") > hi_v, F.lit(1))
+                       .otherwise(F.lit(0))).cast("long").alias("n_hi")))

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import typing
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_SALT_BUCKETS = 16
 
@@ -75,3 +75,144 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     joined = f.join(d, [on, "__salt__"], how)
     return joined.select(*fact_cols, *dim_cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of (point-in-time) left join: attach to each left row the
+    single latest right row with ``right_ts <= left_ts`` (``<`` when
+    ``strict``) for the same ``on`` key. The time-series/feature-store
+    lookup Spark has no built-in for.
+
+    Engine extension (no reference analog — SURVEY.md §2.5). NOT a
+    range-predicate join: a sort-merge join on ``l.ts >= r.ts`` blows up
+    to O(|left| * matching prefix) intermediate rows before a
+    deduplicating aggregate. Instead the classic union-tag carry-forward
+    plan, ONE exchange + one per-partition sort and zero row expansion —
+    at 10^12 rows the shuffle moves each input row exactly once:
+
+      union(tagged left, tagged right)
+        -> window last(right_payload, ignorenulls) over
+             (partition by key order by (ts, side)
+              rows unbounded preceding .. current row)
+        -> filter side = left -> unpack
+
+    Tie handling is the side sort key: inclusive puts right rows BEFORE
+    left rows at equal ts (a right row at exactly left_ts matches),
+    strict puts them after (it does not). Rows with NULL key or ts on
+    the right are dropped (they can match nothing deterministically);
+    left rows always survive (left-join semantics, NULL payload when no
+    prior right row exists).
+
+    The right side must be unique per (key, ts) — pre-aggregate it
+    (e.g. ``groupBy(key, ts).agg(max(...))``) or the carried row at a
+    duplicated timestamp is the last in an engine-defined union order.
+    Right payload column names must not collide with left columns.
+
+    Skew note: one hot key's full history lands in one task's sort; cap
+    or bucket the key upstream (sessions._drop_hot_users pattern) when a
+    key can exceed a task's memory.
+    """
+    payload = [c for c in right.columns if c != on]
+    clash = sorted(set(payload) & set(left.columns))
+    if clash:
+        raise ValueError(
+            "asof_join right payload columns collide with left: {} "
+            "(rename before joining)".format(clash))
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    r = (right
+         .where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+         .select(F.col(on).alias("__k__"),
+                 F.col(right_ts).alias("__t__"),
+                 F.lit(r_side).alias("__s__"),
+                 F.struct(*payload).alias("__r__")))
+    r_type = r.schema["__r__"].dataType
+    l = left.select(F.col(on).alias("__k__"),
+                    F.col(left_ts).alias("__t__"),
+                    F.lit(l_side).alias("__s__"),
+                    F.lit(None).cast(r_type).alias("__r__"),
+                    F.struct(*left.columns).alias("__l__"))
+    u = l.unionByName(
+        r.withColumn("__l__",
+                     F.lit(None).cast(l.schema["__l__"].dataType)))
+    w = (Window.partitionBy("__k__").orderBy("__t__", "__s__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = u.withColumn("__m__", F.last("__r__", ignorenulls=True).over(w))
+    picked = m.where(F.col("__s__") == l_side).where(F.col("__l__").isNotNull())
+    return picked.select(
+        *[F.col("__l__.{}".format(c)).alias(c) for c in left.columns],
+        *[F.col("__m__.{}".format(c)).alias(c) for c in payload])
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    *,
+    band: int,
+    max_bands: int = 1024,
+) -> DataFrame:
+    """Point-in-interval join: all (point, interval) pairs with the same
+    ``on`` key and ``start_ts <= point_ts < end_ts``, WITHOUT the
+    cartesian/broadcast-nested-loop plan Spark picks for a raw range
+    predicate.
+
+    Engine extension (no reference analog — SURVEY.md §2.5). Timestamps
+    must be integral (epoch micros / days — cast upstream; integer math
+    keeps the banding exact across engines). Both sides map to integer
+    time bands of width ``band``; an interval replicates once per band
+    it covers (``raise_error`` if one interval would cover more than
+    ``max_bands`` — replication is the cost knob, pick
+    band ~ typical interval length), a point lands in exactly ONE band,
+    so each qualifying pair is emitted exactly once — the exact-overlap
+    filter after the (key, band) equi-join needs no dedup. Plan shape:
+    two shuffles on (key, band) + row-local filter; fan-out is bounded
+    by max_bands, never by |points| x |intervals|.
+
+    Interval payload column names must not collide with point columns.
+    NULL key/ts rows on either side cannot match and are dropped.
+    """
+    clash = sorted((set(intervals.columns) - {on})
+                   & set(points.columns))
+    if clash:
+        raise ValueError(
+            "point_in_interval_join interval payload columns collide "
+            "with points: {} (rename before joining)".format(clash))
+
+    def _fdiv(col):
+        # floor division for possibly-negative integral epochs
+        return ((col - F.pmod(col, F.lit(band))) / F.lit(band)).cast("long")
+
+    p = (points
+         .where(F.col(on).isNotNull() & F.col(point_ts).isNotNull())
+         .withColumn("__band__", _fdiv(F.col(point_ts))))
+    b0 = _fdiv(F.col(start_ts))
+    b1 = _fdiv(F.col(end_ts) - F.lit(1))
+    n_bands = b1 - b0 + F.lit(1)
+    guard = F.when(
+        n_bands > F.lit(max_bands),
+        F.raise_error(F.format_string(
+            "point_in_interval_join: interval covers %s bands > "
+            "max_bands={} — raise band width".format(max_bands),
+            n_bands.cast("string")))
+    ).otherwise(F.sequence(b0, b1))
+    i = (intervals
+         .where(F.col(on).isNotNull() & F.col(start_ts).isNotNull()
+                & F.col(end_ts).isNotNull()
+                & (F.col(end_ts) > F.col(start_ts)))
+         .withColumn("__band__", F.explode(guard)))
+    joined = p.join(i, [on, "__band__"], "inner").where(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) < F.col(end_ts)))
+    keep = list(points.columns) + [c for c in intervals.columns if c != on]
+    return joined.select(*keep)

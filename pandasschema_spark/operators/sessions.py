@@ -233,3 +233,68 @@ def freshness_violations(
                     | (F.col("max_us") < as_of_us - max_lag_us))
             .select("grp", "max_us",
                     (F.lit(as_of_us) - F.col("max_us")).alias("lag_us")))
+
+
+def sequence_violations(
+    df,
+    group_col: str,
+    ordinal_col: str,
+    *,
+    start: int = 1,
+):
+    """Per-group ordinal-contiguity validation: flag groups whose
+    ordinal column is not exactly ``start, start+1, ..., start+n-1``
+    — the detail-line / shard-index / chunk-sequence integrity check
+    (did an upload drop line 3? did a retry write line 5 twice?).
+
+    Emits one row per (group, defect kind):
+      - ``duplicate`` — some ordinal appears more than once
+      - ``gap``       — max-min+1 != #distinct (missing ordinal inside
+                        the observed span)
+      - ``bad_start`` — min(ordinal) != start (leading ordinals missing)
+    with the group's measured (n_rows, n_distinct, min_ord, max_ord) on
+    every row. Moment tricks (sum / sum-of-squares checks) are NOT
+    enough — {1,5,6} and {2,3,7} share both moments — so duplicates are
+    detected exactly, on the (group, ordinal) histogram.
+
+    Scale shape: groupBy(group, ordinal) hash agg collapses the raw rows
+    map-side (one full shuffle of distinct pairs), then the per-group
+    agg shuffles only the already-collapsed histogram — O(distinct
+    ordinals), not O(rows). The kind expansion is a row-local
+    concat-of-arrays + explode on the O(groups) aggregate (no
+    higher-order lambdas — codegen-clean, Generate node only).
+    NULL ordinals are counted as a ``duplicate``-style defect on their
+    own: they are excluded from min/max/distinct but any NULL makes the
+    group fail with kind ``null_ordinal``."""
+    g = F.col(group_col)
+    o = F.col(ordinal_col)
+    h = (df.select(g.alias("grp"), o.alias("ord"))
+         .groupBy("grp", "ord")
+         .agg(F.count(F.lit(1)).alias("c")))
+    s = (h.groupBy("grp")
+         .agg(F.sum(F.when(F.col("ord").isNotNull(), F.col("c"))
+                    .otherwise(F.lit(0))).alias("n_rows"),
+              F.count(F.col("ord")).alias("n_distinct"),
+              F.min("ord").alias("min_ord"),
+              F.max("ord").alias("max_ord"),
+              F.sum(F.when(F.col("ord").isNull(), F.col("c"))
+                    .otherwise(F.lit(0))).alias("n_null")))
+    empty = F.array().cast("array<string>")
+
+    def _kind(cond, name):
+        return F.when(cond, F.array(F.lit(name))).otherwise(empty)
+
+    kinds = F.concat(
+        _kind(F.col("n_rows") > F.col("n_distinct"), "duplicate"),
+        _kind((F.col("n_distinct") > 0)
+              & (F.col("max_ord") - F.col("min_ord") + 1
+                 != F.col("n_distinct")), "gap"),
+        _kind((F.col("n_distinct") > 0)
+              & (F.col("min_ord") != F.lit(start)), "bad_start"),
+        _kind(F.col("n_null") > 0, "null_ordinal"),
+    )
+    return (s.select("grp", F.explode(kinds).alias("kind"),
+                     F.col("n_rows").cast("long").alias("n_rows"),
+                     F.col("n_distinct").cast("long").alias("n_distinct"),
+                     F.col("min_ord").cast("long").alias("min_ord"),
+                     F.col("max_ord").cast("long").alias("max_ord")))

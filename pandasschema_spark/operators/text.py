@@ -241,3 +241,54 @@ def edit_distance_pairs(
     return (pairs.join(a, id_a).join(b, id_b)
             .select(id_a, id_b,
                     F.levenshtein("__ta__", "__tb__").alias("edit_dist")))
+
+
+#: Conservative PII detectors written in the regex intersection of Java
+#: (Spark) and RE2 (DuckDB): character classes, non-capturing groups and
+#: bounded repeats only — no backrefs, no lookaround — so both engines
+#: count the same non-overlapping leftmost matches.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone_e164": r"\+[0-9]{7,15}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: typing.Optional[typing.Dict[str, str]] = None,
+) -> DataFrame:
+    """Per-document PII pattern counts — the redaction-queue feeder of a
+    training-data pipeline: every document with at least one hit, with
+    one ``n_<name>`` count per detector plus the total.
+
+    Engine extension (no reference analog — SURVEY.md §2.5). One
+    row-local projection fused into the scan: ``regexp_count`` per
+    pattern (JVM regex, whole-stage codegen — no Python in the path,
+    no higher-order functions), filter ``n_pii > 0``. At 10^12 docs the
+    cost is the regex scan itself, embarrassingly parallel, zero
+    shuffle; the output is the (typically tiny) violation set. Detectors
+    are counts, not extractions — the PII text itself never leaves the
+    scan, so the result set is safe to persist broadly.
+
+    NULL text scans as zero hits (excluded by the n_pii > 0 filter)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("pii_scan needs at least one pattern")
+    t = F.col(text_col)
+    counts = [
+        F.when(t.isNotNull(),
+               F.regexp_count(t, F.lit(p))).otherwise(F.lit(0))
+        .cast("long").alias("n_{}".format(name))
+        for name, p in pats.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for name in pats:
+        c = F.col("n_{}".format(name))
+        total = c if total is None else total + c
+    return (out.withColumn("n_pii", total.cast("long"))
+            .where(F.col("n_pii") > 0))
