@@ -1749,6 +1749,84 @@ def q_winsorized_agg(spark, sf_dir):
                              lo_pm=10, hi_pm=990)
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """Train/eval contamination audit (operators/dedup.py
+    contamination_check): a synthetic eval split where every third
+    member keeps a training document's text verbatim (contaminated) and
+    the rest get unique synthetic text — flagged eval docs carry their
+    shared-shingle counts. Train collapses to a distinct gram INDEX
+    (with the stop-shingle df cap mirrored by the oracle); eval grams
+    semi-join it — no train-x-eval pair space ever exists. n=3 at gate
+    scale to share the proven SQL gramset mirror; production default is
+    n=8."""
+    from pandasschema_spark.operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.select("doc_id", "text")
+    ev = (docs.where(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                  F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+                  .otherwise(F.concat(F.lit("unique eval doc "),
+                                      F.col("doc_id").cast("string")))
+                  .alias("text")))
+    return contamination_check(train, ev, "text", "doc_id", n=3)
+
+
+def q_outlier_mad(spark, sf_dir):
+    """MAD-based robust outliers (operators/colstats.py mad_outliers):
+    order totals in cents with a deterministic planted corruption
+    (o_orderkey % 211 scaled 100x); |x - median| > 5 * MAD flags
+    exactly the planted rows — and, unlike a z-score gate, the planted
+    rows themselves cannot drag the cutoffs (median/MAD are
+    breakdown-robust). Ceil-rank integer medians both engines
+    reproduce bit-for-bit."""
+    from pandasschema_spark.operators.colstats import mad_outliers
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_totalprice").isNotNull())
+              .select("o_orderkey",
+                      F.when(F.col("o_orderkey") % 211 == 0, cents * 100)
+                      .otherwise(cents).alias("cents")))
+    return mad_outliers(orders, "cents", k=5, keep_cols=["o_orderkey"])
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic k-per-group examples (operators/sampling.py
+    head_per_group): 3 documents per language by md5(doc_id) order —
+    the stable per-class eyeball/golden/few-shot picker. One exchange
+    on the group key; the selection is a pure function of the data
+    (reruns and both engines agree row-for-row, unlike df.sample)."""
+    from pandasschema_spark.operators.sampling import head_per_group
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("doc_id", "lang"))
+    return head_per_group(docs, ["lang"], 3, "doc_id") \
+        .select("lang", "doc_id", "rk")
+
+
+def q_val_conditional(spark, sf_dir):
+    """ConditionalValidation (validation.py): the if-then rulebook form
+    — high-value orders (>= $3000.00 stored as 300000.0) must be
+    urgent/high priority; low-value orders pass vacuously. Compiled as
+    NOT(when) OR then fused into the same row-local codegen projection
+    as every other check; built via the serializable conditional_check
+    spec form (round-trips through schema_to_json)."""
+    from pandasschema_spark.serialize import conditional_check
+
+    orders = _t(spark, sf_dir, "orders")
+    check = conditional_check(
+        ["o_orderpriority", "o_totalprice"],
+        "o_totalprice >= 300000.0",
+        InListValidation(["1-URGENT", "2-HIGH"]),
+        "o_orderpriority",
+        message="high-value order must be urgent/high priority")
+    schema = Schema([Column("o_orderpriority", [check])])
+    return _violations(schema, orders, ["o_orderpriority"],
+                       F.col("o_orderkey"))
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -1833,6 +1911,10 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_gaps": q_seq_gaps,
         "text_pii_scan": q_text_pii_scan,
         "winsorized_agg": q_winsorized_agg,
+        "dedup_contamination": q_dedup_contamination,
+        "outlier_mad": q_outlier_mad,
+        "sample_per_group": q_sample_per_group,
+        "val_conditional": q_val_conditional,
         "reconcile_orders": q_reconcile_orders,
         "val_fd": q_val_fd,
         "drift_chi2_by": q_drift_chi2_by,
@@ -2060,6 +2142,91 @@ g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
 
 def oracle_sql() -> dict[str, str]:
     oracles = {
+        # ---- round-5 batch 3 ---------------------------------------------
+        # same synthetic eval split, same norm/toks/gramsets mirror the
+        # other dedup oracles use, same train-side df cap; semi-join via
+        # IN (SELECT ...)
+        "dedup_contamination": """
+WITH train AS (SELECT doc_id AS id, text FROM documents),
+ev AS (SELECT doc_id + 5000000 AS id,
+              CASE WHEN doc_id % 3 = 0 THEN text
+                   ELSE 'unique eval doc ' || CAST(doc_id AS VARCHAR)
+              END AS text
+       FROM documents WHERE doc_id % 7 = 0),
+tnorm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM train),
+ttoks AS (SELECT id, string_split(t, ' ') AS w FROM tnorm),
+tgsets AS (SELECT id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> array_to_string(w[i:i+2], ' '))) AS gs
+           FROM ttoks),
+tgrams AS (SELECT id, u.g FROM tgsets, unnest(gs) AS u(g)),
+tdf AS (SELECT g, count(*) AS df FROM tgrams GROUP BY g),
+idx AS (SELECT g FROM tdf WHERE df <= 10000),
+enorm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM ev),
+etoks AS (SELECT id, string_split(t, ' ') AS w FROM enorm),
+egsets AS (SELECT id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> array_to_string(w[i:i+2], ' '))) AS gs
+           FROM etoks),
+egrams AS (SELECT id, u.g FROM egsets, unnest(gs) AS u(g)),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+          FROM egrams GROUP BY id),
+shared AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared_grams
+           FROM egrams WHERE g IN (SELECT g FROM idx) GROUP BY id)
+SELECT shared.id AS eval_id, n_shared_grams, n_grams
+FROM shared JOIN sizes USING (id)
+""",
+        # same planted %211 corruption; both ceil-rank medians evaluated
+        # in SQL exactly as colstats.exact_quantiles defines them
+        "outlier_mad": """
+WITH v AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 211 = 0
+                       THEN CAST(round(o_totalprice*100) AS BIGINT)*100
+                       ELSE CAST(round(o_totalprice*100) AS BIGINT)
+                  END AS val
+           FROM orders WHERE o_totalprice IS NOT NULL),
+h AS (SELECT val, count(*) AS c FROM v GROUP BY 1),
+cum AS (SELECT val, c,
+               sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h),
+tot AS (SELECT sum(c) AS n FROM h),
+med AS (SELECT min(val) AS m FROM cum, tot WHERE cum >= (500*n+999)//1000),
+d AS (SELECT o_orderkey, val, abs(val - m) AS dev FROM v, med),
+dh AS (SELECT dev, count(*) AS c FROM d GROUP BY 1),
+dcum AS (SELECT dev, c,
+                sum(c) OVER (ORDER BY dev ROWS UNBOUNDED PRECEDING) AS cum
+         FROM dh),
+mad AS (SELECT min(dev) AS md FROM dcum, tot
+        WHERE cum >= (500*n+999)//1000)
+SELECT o_orderkey, CAST(val AS BIGINT) AS value,
+       CAST(dev AS BIGINT) AS abs_dev
+FROM d, mad WHERE dev > 5*md
+""",
+        # md5 of the id's decimal string is the shared deterministic
+        # order key; rank ties impossible (md5 of distinct ids)
+        "sample_per_group": """
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+    FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+) WHERE rk <= 3
+""",
+        # NOT(when) OR then, null condition -> vacuous pass, null value
+        # in a binding condition -> violation rendered 'nan' (CSV
+        # semantics, the documented divergence)
+        "val_conditional": """
+SELECT o_orderkey AS row, 'o_orderpriority' AS "column",
+       coalesce(CAST(o_orderpriority AS VARCHAR), 'nan') AS value,
+       'high-value order must be urgent/high priority' AS message
+FROM orders
+WHERE coalesce(o_totalprice >= 300000.0, FALSE)
+  AND NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE)
+""",
         # ---- round-5 batch 2 ---------------------------------------------
         # DuckDB's native ASOF LEFT JOIN over the same (custkey, date)
         # pre-deduped right frame the Spark union-tag plan consumes; the

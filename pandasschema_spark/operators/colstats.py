@@ -299,3 +299,44 @@ def winsorized_sum_by(
                        .otherwise(F.lit(0))).cast("long").alias("n_lo"),
                  F.sum(F.when(F.col("__v__") > hi_v, F.lit(1))
                        .otherwise(F.lit(0))).cast("long").alias("n_hi")))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col,
+    *,
+    k: int = 5,
+    keep_cols: typing.Optional[typing.Sequence[str]] = None,
+) -> DataFrame:
+    """Median-absolute-deviation outliers, integer-exact: rows with
+    ``|x - median| > k * MAD`` where MAD = median(|x - median|) — the
+    robust companion to zscore_outliers (one corrupt billion-value row
+    moves a mean/stddev gate; it cannot move the median or the MAD).
+
+    Integral values only (quantize first, the exact_quantiles rule);
+    both medians use the ceil-rank q=500/1000 discrete definition so
+    every quantity is an integer and the DuckDB oracle reproduces the
+    cutoffs bit-for-bit. ``k`` integral. Returns ``keep_cols`` +
+    (value, abs_dev) for flagged rows.
+
+    Scale shape: two exact_quantiles passes (each one O(distinct
+    values) histogram shuffle — the second histogram is over |x - med|,
+    same cardinality bound), two integer literals back to the driver,
+    then a row-local filter fused into a final scan. No joins, no
+    broadcast tables. A constant column (MAD = 0) flags every
+    row != median only when k*0 < |dev|, i.e. exact-constant columns
+    flag all deviants — the conventional MAD-gate reading."""
+    if k != int(k):
+        raise ValueError("k must be an integer for exact MAD cutoffs")
+    k = int(k)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    med = {r["q_pm"]: int(r["value"])
+           for r in exact_quantiles(df, v, [500]).collect()}[500]
+    dev = F.abs(v.cast("long") - F.lit(med))
+    mad = {r["q_pm"]: int(r["value"])
+           for r in exact_quantiles(df, dev, [500]).collect()}[500]
+    keep = list(keep_cols) if keep_cols else []
+    return (df.select(*keep, v.cast("long").alias("value"),
+                      dev.cast("long").alias("abs_dev"))
+            .where(F.col("value").isNotNull()
+                   & (F.col("abs_dev") > k * mad)))

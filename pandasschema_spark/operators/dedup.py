@@ -504,3 +504,56 @@ def simhash_candidates(
         .distinct()
     )
     return _attach_cached(out, [sigs])
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    max_gram_df: typing.Optional[int] = DEFAULT_MAX_GRAM_DF,
+) -> DataFrame:
+    """Train/eval contamination audit: eval documents sharing at least
+    one word n-gram with ANY training document — the decontamination
+    gate an LLM data pipeline runs before trusting a benchmark split.
+
+    Returns (eval_id, n_shared_grams, n_grams): the count of the eval
+    doc's distinct n-grams that also occur anywhere in the train split,
+    and its total distinct n-grams (so callers can threshold on the
+    overlap RATIO, not just presence). Only contaminated docs
+    (n_shared_grams > 0) are emitted.
+
+    Scale shape — deliberately NOT a pair join: the train side collapses
+    to its DISTINCT gram set (map-side-combined hash agg; at web scale
+    this is the precomputed shingle index), the eval grams
+    LEFT SEMI-join it on the gram, and a per-eval-doc count aggregates
+    the hits — O(|eval grams|) shuffle against an index, never
+    O(train x eval) pairs, and train doc ids never travel at all.
+    ``max_gram_df`` drops boilerplate shingles from the TRAIN index by
+    document frequency (same stop-shingle cap + rationale as
+    ngram_jaccard_pairs); an eval doc sharing ONLY boilerplate is not
+    contamination in any useful sense. Default n=8: long enough that
+    natural collisions vanish, the standard decontamination shingle.
+    """
+    train_grams = doc_grams(train, text_col, id_col, n)
+    if max_gram_df is not None:
+        # doc_grams emits each (id, gram) once (array_distinct), so
+        # count(*) IS the document frequency — same cap form as
+        # ngram_jaccard_pairs, no count_distinct partial-state cost
+        tdf = train_grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__df__"))
+        index = (tdf.where(F.col("__df__") <= max_gram_df)
+                 .select("gram"))
+    else:
+        index = train_grams.select("gram").distinct()
+    ev = doc_grams(eval_df, text_col, id_col, n)
+    sizes = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (ev.join(index, "gram", "left_semi")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+    return (shared.join(sizes, "id")
+            .select(F.col("id").alias("eval_id"),
+                    F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+                    F.col("n_grams").cast("long").alias("n_grams")))

@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import typing
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 DEFAULT_DENOM = 1_000_000
 
@@ -118,3 +118,39 @@ def assign_splits(
     for lo, hi_b, name in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi_b), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def head_per_group(
+    df: DataFrame,
+    group_cols: typing.Sequence[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic k examples per group: the rows whose
+    ``md5(id)`` sorts first within each group — "show me 3 documents
+    per language" for eyeballing, goldens, and per-class few-shot
+    pools. Same-input stability is the point: unlike ``df.sample`` or
+    a rand() order, the selection is a pure function of the data, so
+    reruns, retries and both engines agree row-for-row.
+
+    Returns the input columns plus ``rk`` (1-based rank within the
+    group). The md5 order key decorrelates the pick from ingestion
+    order and from the id's own ordering; ties are impossible (md5 of
+    distinct ids). NULL ids sort deterministically too (md5 of NULL is
+    NULL -> nulls first in both engines... excluded instead: a NULL id
+    row is dropped, document ids are required).
+
+    Scale shape: one exchange on the group key + per-group sort. A hot
+    group sorts in one task; when group row counts are unbounded,
+    pre-filter row-locally with an md5 threshold sized from approximate
+    group counts (keep ~16k candidates per group), then rank exactly —
+    the two-phase form keeps the sort bounded without changing the
+    selected set."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(*group_cols).orderBy(h)
+    return (df.where(F.col(id_col).isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .withColumn("rk", F.col("rk").cast("long")))

@@ -44,6 +44,7 @@ from .errors import PanSchArgumentError
 from .schema import Schema
 from .validation import (
     CanConvertValidation,
+    ConditionalValidation,
     CrossColumnExprValidation,
     DateFormatValidation,
     InListValidation,
@@ -166,6 +167,18 @@ def check_to_spec(v) -> dict:
                 '{"type": "cross_column_sql", "columns": [...], "sql": ...}')
         return {"type": "cross_column_sql", "columns": list(v.input_columns),
                 "sql": sql, "message": v.message}
+    if isinstance(v, ConditionalValidation):
+        when_sql = getattr(v, "source_when_sql", None)
+        if not when_sql:
+            raise PanSchArgumentError(
+                "ConditionalValidation built from a Python lambda has no "
+                "serializable source; construct it via the spec form "
+                '{"type": "conditional", "columns": [...], "when_sql": ..., '
+                '"column": ..., "then": <child spec>}')
+        return {"type": "conditional", "columns": list(v.input_columns),
+                "when_sql": when_sql, "column": v.then_column,
+                "then": check_to_spec(v.then_validation),
+                "message": v.message}
     if isinstance(v, IsDtypeValidation):
         # merge _base_spec so a custom message/mode round-trips like on
         # every other check type
@@ -184,6 +197,20 @@ def cross_column_sql_check(columns: typing.List[str], sql: str,
 
     check = CrossColumnExprValidation(columns, lambda d: F.expr(sql), message)
     check.source_sql = sql
+    return check
+
+
+def conditional_check(columns: typing.List[str], when_sql: str,
+                      then_validation, column: str,
+                      message: str = None) -> ConditionalValidation:
+    """ConditionalValidation with its condition as a SQL boolean
+    expression — the serializable if-then rulebook form ("if
+    codec='flac' then sr_hz >= 16000")."""
+    from pyspark.sql import functions as F
+
+    check = ConditionalValidation(columns, lambda d: F.expr(when_sql),
+                                  then_validation, column, message=message)
+    check.source_when_sql = when_sql
     return check
 
 
@@ -250,6 +277,11 @@ def spec_to_check(spec: dict, spark=None):
         return check
     if t == "cross_column_sql":
         return cross_column_sql_check(spec["columns"], spec["sql"], spec["message"])
+    if t == "conditional":
+        return conditional_check(spec["columns"], spec["when_sql"],
+                                 spec_to_check(spec["then"], spark),
+                                 spec["column"],
+                                 message=spec.get("message"))
     if t == "is_dtype":
         if "mode" in kw:
             raise PanSchArgumentError(

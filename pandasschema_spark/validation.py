@@ -585,6 +585,79 @@ class CrossColumnExprValidation(_SeriesValidation):
         return _leaf(self._expr_fn(df))
 
 
+class ConditionalValidation(_SeriesValidation):
+    """Engine extension: an if-then rule — rows satisfying ``when_fn``
+    must pass ``then_validation`` on ``then_column``; all other rows
+    (including rows where the condition is NULL) pass vacuously. The
+    config-language form every real rulebook needs ("if codec='flac'
+    then sr_hz >= 16000") without forking a filtered frame per rule:
+    the compiled predicate is ``NOT when OR then`` fused into the same
+    row-local codegen projection as every other check — one scan total
+    no matter how many conditional rules the schema carries.
+
+    ``when_fn(df) -> Column`` builds the condition from the live frame
+    (any columns); ``then_validation`` is any single-column validation
+    (its own native/pandas compilation strategy is reused unchanged).
+    ``when_pandas_fn`` (optional) is the condition as a pandas
+    frame -> bool Series formula for parity tests. Serializable via the
+    ``conditional`` spec form (serialize.conditional_check) when built
+    from SQL text."""
+
+    is_multi_column = True
+
+    def __init__(self, input_columns: typing.List[str],
+                 when_fn: typing.Callable[[typing.Any], SparkColumn],
+                 then_validation: "_SeriesValidation",
+                 then_column: str,
+                 message: str = None,
+                 when_pandas_fn: typing.Optional[
+                     typing.Callable[[pd.DataFrame], pd.Series]] = None,
+                 **kw):
+        if not isinstance(then_validation, _SeriesValidation):
+            raise PanSchArgumentError(
+                "then_validation must be a series validation, got {!r}"
+                .format(type(then_validation).__name__))
+        if getattr(then_validation, "is_multi_column", False):
+            raise PanSchArgumentError(
+                "then_validation must be a single-column check; nest the "
+                "condition into a CrossColumnExprValidation instead")
+        if then_column not in input_columns:
+            raise PanSchArgumentError(
+                "then_column {!r} must appear in input_columns".format(
+                    then_column))
+        self.input_columns = list(input_columns)
+        self._when_fn = when_fn
+        self.then_validation = then_validation
+        self.then_column = then_column
+        self._when_pandas_fn = when_pandas_fn
+        super().__init__(message=message, **kw)
+
+    @property
+    def default_message(self):
+        return "{} (conditional)".format(self.then_validation.message)
+
+    def pandas_validate(self, series):
+        raise PanSchArgumentError(
+            "ConditionalValidation needs multiple columns; use "
+            "compile_row_predicate")
+
+    def pandas_validate_frame(self, frame: pd.DataFrame) -> pd.Series:
+        if self._when_pandas_fn is None:
+            raise PanSchArgumentError(
+                "no when_pandas_fn supplied for ConditionalValidation")
+        cond = self._when_pandas_fn(frame).fillna(False).astype(bool)
+        inner = self.then_validation.pandas_validate(
+            frame[self.then_column]).astype(bool)
+        return ~cond | inner
+
+    def compile_row_predicate(self, df) -> SparkColumn:
+        cond = _leaf(self._when_fn(df))          # NULL condition -> pass
+        spark_type = df.schema[self.then_column].dataType
+        inner = self.then_validation.compile_predicate(
+            df[self.then_column], spark_type)    # already _leaf-coalesced
+        return ~cond | inner
+
+
 class CustomRowValidation(_SeriesValidation):
     """Engine extension: cross-column check (north star "cross-column
     checks"). ``fn`` receives a pd.DataFrame batch holding
