@@ -192,3 +192,36 @@ def streaming_rate_limit(
         .select(user_col, F.col("win.start").alias("window_start"),
                 "n_events")
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    id_cols: typing.Sequence[str],
+    ts_col: str,
+    *,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Bounded-state streaming deduplication: drop records whose
+    ``id_cols`` key was already seen within the watermark horizon —
+    the production answer to at-least-once ingest (retried producers,
+    replayed partitions) where exact global dedup would need unbounded
+    state.
+
+    Thin, documented wrapper over ``dropDuplicatesWithinWatermark``:
+    state holds one entry per key seen in the last ``delay`` of event
+    time and is evicted by the watermark, so memory is bounded by the
+    key arrival RATE, not the stream's lifetime — at 10^12 events/day
+    with a 10-minute horizon that is ~10^7 in-flight keys per shard,
+    not 10^12. The guarantee is asymmetric and stated plainly:
+    duplicates closer together than ``delay`` (the at-least-once retry
+    window) are ALWAYS dropped; duplicates farther apart MAY both
+    survive — the downstream batch keep-first pass (operators/
+    distinct.py) remains the exactness reconciler, same division of
+    labor as streaming_duplicate_violations.
+
+    The first-arrival row is kept (matching keep-first by arrival);
+    output is append-mode safe."""
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(list(id_cols)))

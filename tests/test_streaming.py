@@ -227,3 +227,51 @@ def test_streaming_rate_limit_batch_parity(spark, tmp_path_factory):
     want = {(r["user_id"], r["window_start_us"]): r["n_events"]
             for r in rate_limit_violations(df, max_events=1).collect()}
     assert got == want and len(want) == 2  # users 1 and 2 burst
+
+
+def test_streaming_dedup_within_watermark_batch_parity(spark, tmp_path_factory):
+    """Duplicates arriving within the watermark horizon are dropped
+    across micro-batches; the surviving set equals the batch
+    dropDuplicates result on the same data (all planted dups are
+    within-horizon here)."""
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    src, out, ckpt = base + "/src", base + "/out", base + "/ckpt"
+
+    rows1 = [(i, "2024-01-01 00:{:02d}:00".format(i % 10)) for i in range(20)]
+    rows1 += [(3, "2024-01-01 00:03:30"), (7, "2024-01-01 00:07:30")]  # dups
+    df1 = spark.createDataFrame(rows1, "event_id long, ts_s string") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        stream = spark.readStream.schema("event_id long, ts timestamp") \
+            .parquet(src)
+        dedup = S.streaming_dedup_within_watermark(
+            stream, ["event_id"], "ts", delay="30 minutes")
+        q = (dedup.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _run()
+    # second micro-batch replays keys 0..4 (producer retry) + new key 100
+    rows2 = [(i, "2024-01-01 00:0{}:45".format(i)) for i in range(5)]
+    rows2 += [(100, "2024-01-01 00:09:59")]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts_s string") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df2.coalesce(1).write.mode("append").parquet(src)
+    _run()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(src).dropDuplicates(["event_id"]).collect())
+    assert got == batch == sorted(set(range(20)) | {100})
+
+
+def test_streaming_dedup_requires_keys(spark, tmp_path_factory):
+    empty = str(tmp_path_factory.mktemp("sdedup_empty"))
+    stream = spark.readStream.schema("event_id long, ts timestamp") \
+        .parquet(empty)
+    with pytest.raises(ValueError):
+        S.streaming_dedup_within_watermark(stream, [], "ts")
