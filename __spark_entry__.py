@@ -1827,6 +1827,67 @@ def q_val_conditional(spark, sf_dir):
                        F.col("o_orderkey"))
 
 
+def q_join_fanout(spark, sf_dir):
+    """Pre-flight join-explosion audit (operators/joins.py join_fanout):
+    exact per-user pair cardinality of the events-history self-join —
+    the number you check BEFORE running a 100 TB sessionize/self-join to
+    find the keys that need salting or a pre-agg. Both sides collapse to
+    O(distinct users) count histograms before they meet; the estimator
+    never materializes a single joined pair."""
+    from pandasschema_spark.operators.joins import join_fanout
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return join_fanout(ev, ev, "user_id", min_pairs=2)
+
+
+def q_val_cardinality(spark, sf_dir):
+    """Cardinality / null-fraction data contracts (operators/colstats.py
+    contract_audit): one pruned scan audits four documents columns at
+    once — lang declared as a <=4-value enum (violated by construction:
+    the corpus ships 5 languages), source bounded [2, 64] with no nulls,
+    doc_id non-null, n_chars declared low-cardinality (violated: it is a
+    measurement). Exact distincts via the exploded (ordinal, value) hash
+    agg — no Expand-based multi-count_distinct."""
+    from pandasschema_spark.operators.colstats import (ColumnContract,
+                                                       contract_audit)
+
+    docs = _t(spark, sf_dir, "documents")
+    return contract_audit(docs, [
+        ColumnContract("lang", min_distinct=2, max_distinct=4,
+                       max_null_ppm=0),
+        ColumnContract("source", min_distinct=2, max_distinct=64,
+                       max_null_ppm=0),
+        ColumnContract("doc_id", min_distinct=1, max_null_ppm=0),
+        ColumnContract("n_chars", min_distinct=2, max_distinct=3),
+    ])
+
+
+def q_pipeline_decontaminated(spark, sf_dir):
+    """Composed decontamination pipeline: deterministic 90/10
+    train/eval split (md5 buckets, repartition/append-stable) ->
+    train/eval shingle contamination audit (n=8, stop-shingle df cap,
+    train collapses to a distinct gram index — never a pair join) ->
+    eval docs sharing >= half their shingles with ANY train doc are
+    dropped (catches the natural cross-split near-duplicates the corpus
+    really contains) -> per-language counts of the surviving clean eval
+    set. One lazy plan; the only driver traffic is the final O(langs)
+    rows."""
+    from pandasschema_spark.operators.dedup import contamination_check
+    from pandasschema_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    labeled = assign_splits(docs, "doc_id",
+                            {"train": 0.9, "eval": 0.1})
+    train = labeled.where(F.col("split") == "train")
+    ev = labeled.where(F.col("split") == "eval")
+    flagged = (contamination_check(train, ev, "text", "doc_id", n=8)
+               .where(F.col("n_shared_grams") * 2 >= F.col("n_grams"))
+               .select(F.col("eval_id").alias("doc_id")))
+    clean = ev.join(flagged, "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -1906,6 +1967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "join_fanout": q_join_fanout,
+        "val_cardinality": q_val_cardinality,
+        "pipeline_decontaminated": q_pipeline_decontaminated,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "seq_gaps": q_seq_gaps,
@@ -2146,6 +2210,93 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        "join_fanout": """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT l.user_id, l.n AS n_left, r.n AS n_right,
+       CAST(l.n * r.n AS BIGINT) AS pairs
+FROM c l JOIN c r USING (user_id)
+WHERE l.n * r.n >= 2
+""",
+        "val_cardinality": """
+WITH stats AS (
+    SELECT 'lang' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(lang) AS BIGINT) AS n_null,
+           CAST(2 AS BIGINT) AS min_distinct, CAST(4 AS BIGINT) AS max_distinct,
+           CAST(0 AS BIGINT) AS max_null_ppm
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(count(*) - count(source) AS BIGINT),
+           2, 64, 0 FROM documents
+    UNION ALL
+    SELECT 'doc_id', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(count(*) - count(doc_id) AS BIGINT),
+           1, NULL, 0 FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(count(*) - count(n_chars) AS BIGINT),
+           2, 3, 1000000 FROM documents
+),
+judged AS (
+    SELECT "column", n_rows, n_distinct, n_null,
+           CAST(n_null * 1000000 // n_rows AS BIGINT) AS null_ppm,
+           concat_ws(',',
+               CASE WHEN n_distinct < min_distinct
+                    THEN 'too_few_distinct' END,
+               CASE WHEN max_distinct IS NOT NULL
+                         AND n_distinct > max_distinct
+                    THEN 'too_many_distinct' END,
+               CASE WHEN n_null * 1000000 // n_rows > max_null_ppm
+                    THEN 'too_many_nulls' END) AS s
+    FROM stats)
+SELECT "column", n_rows, n_distinct, n_null, null_ppm,
+       CASE WHEN s = '' THEN 'ok' ELSE s END AS status
+FROM judged
+""",
+        "pipeline_decontaminated": """
+WITH labeled AS (
+    SELECT doc_id, text, lang,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 900000
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents),
+tnorm AS (SELECT doc_id AS id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM labeled WHERE split = 'train'),
+ttoks AS (SELECT id, string_split(t, ' ') AS w FROM tnorm),
+tgsets AS (SELECT id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 7, 1) + 1),
+                      i -> array_to_string(w[i:i+7], ' '))) AS gs
+           FROM ttoks),
+tgrams AS (SELECT id, u.g FROM tgsets, unnest(gs) AS u(g)),
+tdf AS (SELECT g, count(*) AS df FROM tgrams GROUP BY g),
+idx AS (SELECT g FROM tdf WHERE df <= 10000),
+enorm AS (SELECT doc_id AS id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM labeled WHERE split = 'eval'),
+etoks AS (SELECT id, string_split(t, ' ') AS w FROM enorm),
+egsets AS (SELECT id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 7, 1) + 1),
+                      i -> array_to_string(w[i:i+7], ' '))) AS gs
+           FROM etoks),
+egrams AS (SELECT id, u.g FROM egsets, unnest(gs) AS u(g)),
+sizes AS (SELECT id, count(*) AS n_grams FROM egrams GROUP BY id),
+shared AS (SELECT id, count(*) AS n_shared
+           FROM egrams WHERE g IN (SELECT g FROM idx) GROUP BY id),
+flagged AS (SELECT shared.id FROM shared JOIN sizes USING (id)
+            WHERE 2 * n_shared >= n_grams)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled
+WHERE split = 'eval' AND doc_id NOT IN (SELECT id FROM flagged)
+GROUP BY lang
+""",
         "dedup_contamination": """
 WITH train AS (SELECT doc_id AS id, text FROM documents),
 ev AS (SELECT doc_id + 5000000 AS id,

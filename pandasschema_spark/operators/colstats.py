@@ -340,3 +340,76 @@ def mad_outliers(
                       dev.cast("long").alias("abs_dev"))
             .where(F.col("value").isNotNull()
                    & (F.col("abs_dev") > k * mad)))
+
+
+class ColumnContract(typing.NamedTuple):
+    """Data-contract bounds for one column: distinct-cardinality window
+    plus a null-fraction ceiling (ppm). ``max_distinct=None`` = unbounded
+    above (id-like columns); ``max_null_ppm=1_000_000`` = nulls allowed."""
+    column: str
+    min_distinct: int = 1
+    max_distinct: typing.Optional[int] = None
+    max_null_ppm: int = 1_000_000
+
+
+def contract_audit(
+    df: DataFrame,
+    contracts: typing.Sequence[ColumnContract],
+) -> DataFrame:
+    """Cardinality / null-fraction data-contract audit: per contracted
+    column, exact ``n_rows``, ``n_distinct`` (non-null), ``n_null``,
+    integer ``null_ppm``, and a ``status`` string — 'ok' or the
+    comma-joined violated rules ('too_few_distinct', 'too_many_distinct',
+    'too_many_nulls'). The pre-flight check a pipeline runs before
+    trusting an enum column to broadcast, a key column to be join-safe,
+    or a feature column to be trainable.
+
+    Scale shape: ONE pruned scan for ALL contracted columns — each row
+    explodes to (column ordinal, value-as-string) pairs which collapse
+    immediately in a map-side-combined (ordinal, value) hash agg, so the
+    shuffle is O(sum of per-column distinct counts), never O(rows x
+    columns); a second O(distinct) agg folds to one row per column and
+    the contract bounds apply as a broadcast join of the O(columns) spec.
+    Deliberately NOT ``count_distinct(c1), count_distinct(c2), ...`` in
+    one agg — Spark plans multi-distinct via Expand with rows x (n+1)
+    partial-agg state and no map-side collapse per value. Values compare
+    as strings (engine casts are injective per column, so the distinct
+    COUNT is the column's own); an empty input emits no rows."""
+    if not contracts:
+        raise ValueError("contracts must be non-empty")
+    missing = [c.column for c in contracts if c.column not in df.columns]
+    if missing:
+        raise ValueError("contract columns absent from frame: {}"
+                         .format(missing))
+    arr = F.array(*[F.col(c.column).cast("string") for c in contracts])
+    pairs = df.select(F.posexplode(arr).alias("__i__", "__v__"))
+    per_val = pairs.groupBy("__i__", "__v__").agg(
+        F.count(F.lit(1)).alias("__c__"))
+    per_col = per_val.groupBy("__i__").agg(
+        F.sum("__c__").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__v__").isNotNull(), F.lit(1))
+              .otherwise(F.lit(0))).cast("long").alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("__v__").isNull(), F.col("__c__"))),
+                   F.lit(0)).cast("long").alias("n_null"))
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(i, c.column, int(c.min_distinct),
+          None if c.max_distinct is None else int(c.max_distinct),
+          int(c.max_null_ppm))
+         for i, c in enumerate(contracts)],
+        "__i__ int, column string, min_distinct long, max_distinct long, "
+        "max_null_ppm long")
+    j = per_col.join(F.broadcast(spec), "__i__")
+    null_ppm = F.expr("n_null * 1000000 div n_rows")
+    status = F.concat_ws(
+        ",",
+        F.when(F.col("n_distinct") < F.col("min_distinct"),
+               F.lit("too_few_distinct")),
+        F.when(F.col("max_distinct").isNotNull()
+               & (F.col("n_distinct") > F.col("max_distinct")),
+               F.lit("too_many_distinct")),
+        F.when(null_ppm > F.col("max_null_ppm"), F.lit("too_many_nulls")))
+    return j.select(
+        "column", "n_rows", "n_distinct", "n_null",
+        null_ppm.cast("long").alias("null_ppm"),
+        F.when(status == "", F.lit("ok")).otherwise(status).alias("status"))

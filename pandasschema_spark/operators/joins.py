@@ -77,6 +77,46 @@ def salted_join(
     return joined.select(*fact_cols, *dim_cols)
 
 
+def join_fanout(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    min_pairs: int = 2,
+    top_k: typing.Optional[int] = None,
+) -> DataFrame:
+    """Pre-flight join-explosion audit: the exact per-key output
+    cardinality ``n_left * n_right`` an inner equi-join on ``on`` would
+    produce — run BEFORE a 100 TB join to find the keys that would blow
+    it up (and to size ``salted_join``'s buckets / decide a pre-agg).
+
+    Returns (``on``, n_left, n_right, pairs) for keys present on BOTH
+    sides with ``pairs >= min_pairs``; ``top_k`` keeps the worst
+    offenders (ordered pairs desc, key asc — deterministic, planned as
+    TakeOrdered, no global sort). ``sum(pairs)`` over the unfiltered
+    frame is the exact join output row count.
+
+    Scale shape: each side collapses to its O(distinct keys) per-key
+    histogram via a map-side-combined hash agg BEFORE the sides meet —
+    the join multiplies two count tables, so the estimator's cost is
+    O(|rows|) scan + O(distinct) shuffle no matter how explosive the
+    join it predicts would be. NULL keys never join and are excluded.
+    ``pairs`` is exact in int64 while per-side per-key counts stay
+    below ~3e9 each (2^63 product bound) — past that the join it
+    models is unrunnable anyway."""
+    lc = (left.where(F.col(on).isNotNull()).groupBy(on)
+          .agg(F.count(F.lit(1)).alias("n_left")))
+    rc = (right.where(F.col(on).isNotNull()).groupBy(on)
+          .agg(F.count(F.lit(1)).alias("n_right")))
+    out = (lc.join(rc, on)
+           .select(on, "n_left", "n_right",
+                   (F.col("n_left") * F.col("n_right")).alias("pairs"))
+           .where(F.col("pairs") >= min_pairs))
+    if top_k is not None:
+        out = out.orderBy(F.col("pairs").desc(), F.col(on)).limit(top_k)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
