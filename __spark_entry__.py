@@ -1888,6 +1888,55 @@ def q_pipeline_decontaminated(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Per-row deterministic importance sampling (operators/sampling.py
+    weighted_sample): keep probability proportional to document length
+    (n_chars * 800 ppm, capped at certainty) — the quality-weighted
+    mixture sampler. Row-local md5 filter fused into the scan; zero
+    shuffle; rerunning or repartitioning never flips a row."""
+    from pandasschema_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    w = F.col("n_chars") * 800
+    return weighted_sample(docs, "doc_id", w)
+
+
+def q_agg_equi_depth(spark, sf_dir):
+    """Equi-depth decile binning (operators/colstats.py
+    equi_depth_label): lineitem prices in cents into 10 equal-frequency
+    bins by exact ceil-rank cutoffs, then per-bin (count, lo, hi) — the
+    feature bucketizer whose labels two engines reproduce bit-for-bit.
+    Cutoffs are one O(distinct) histogram shuffle + 9 driver literals;
+    the label is a row-local CASE fused into a second scan."""
+    from pandasschema_spark.operators.colstats import equi_depth_label
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull())
+          .select(F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("cents")))
+    labeled = equi_depth_label(li, "cents", 10)
+    return (labeled.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("cents").cast("long").alias("lo"),
+                 F.max("cents").cast("long").alias("hi")))
+
+
+def q_val_benford(spark, sf_dir):
+    """Benford first-digit audit (operators/colstats.py benford_audit):
+    observed vs expected leading-digit shares of order totals in cents
+    — the fabricated-numbers screen. Always 9 rows (absent digits
+    emit n=0 and read deviant); integer ppm shares against the frozen
+    BENFORD_PPM table; one 9-group map-side-combined agg plus a
+    broadcast single-row total."""
+    from pandasschema_spark.operators.colstats import benford_audit
+
+    orders = (_t(spark, sf_dir, "orders")
+              .select(F.round(F.col("o_totalprice") * 100).cast("long")
+                      .alias("cents")))
+    return benford_audit(orders, "cents", tol_ppm=20_000)
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -1967,6 +2016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sample_weighted": q_sample_weighted,
+        "agg_equi_depth": q_agg_equi_depth,
+        "val_benford": q_val_benford,
         "join_fanout": q_join_fanout,
         "val_cardinality": q_val_cardinality,
         "pipeline_decontaminated": q_pipeline_decontaminated,
@@ -2210,6 +2262,54 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        "sample_weighted": """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000
+      < greatest(0, least(1000000, n_chars * 800))
+""",
+        "agg_equi_depth": """
+WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS val
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT val, count(*) AS c FROM v GROUP BY 1),
+cum AS (SELECT val, c,
+               sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h),
+tot AS (SELECT sum(c) AS n FROM h),
+ks AS (SELECT unnest(range(1, 10)) AS k),
+cuts AS (SELECT k, min(val) AS cut FROM cum, tot, ks
+         WHERE cum >= (k*n + 9)//10 GROUP BY k),
+labeled AS (SELECT h.val, h.c,
+                   1 + (SELECT count(*) FROM cuts WHERE cut < h.val)
+                       AS bin
+            FROM h)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(min(val) AS BIGINT) AS lo, CAST(max(val) AS BIGINT) AS hi
+FROM labeled GROUP BY 1
+""",
+        "val_benford": """
+WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders),
+pos AS (SELECT cents FROM v WHERE cents > 0),
+counts AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit, count(*) AS n
+           FROM pos GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM counts),
+exp AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+                              (4, 96910), (5, 79181), (6, 66946),
+                              (7, 57991), (8, 51152), (9, 45757))
+        AS e(digit, exp_ppm)),
+j AS (SELECT e.digit, coalesce(c.n, 0) AS n,
+             CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             coalesce(coalesce(c.n, 0) * 1000000 // t, 0) AS obs
+      FROM exp e LEFT JOIN counts c ON c.digit = e.digit, tot)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+       CAST(obs AS BIGINT) AS obs_ppm, exp_ppm,
+       CASE WHEN abs(obs - exp_ppm) > 20000 THEN 'deviant'
+            ELSE 'ok' END AS status
+FROM j
+""",
         "join_fanout": """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
            FROM events WHERE user_id IS NOT NULL GROUP BY 1)

@@ -342,6 +342,104 @@ def mad_outliers(
                    & (F.col("abs_dev") > k * mad)))
 
 
+def equi_depth_label(
+    df: DataFrame,
+    value_col,
+    n_bins: int,
+    *,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth (equal-frequency) binning: add an integer 1..n_bins
+    label putting ~1/n_bins of the non-null rows in each bin — the
+    feature-binning / histogram-equalization transform (train-time
+    bucketizer, per-decile metric slices) whose cutoffs are EXACT
+    ceil-rank quantiles, so two engines (and two runs over appended
+    data with frozen cutoffs) label identically.
+
+    Cutoffs c_k = exact_quantiles(k/n_bins) for k=1..n_bins-1; a row
+    lands in the first k with value <= c_k, else n_bins — equivalently
+    1 + |{k : c_k < value}|, which is what the SQL oracle computes.
+    Duplicate cutoffs (mass concentrated on one value) leave later bins
+    legitimately empty rather than splitting a tied value
+    nondeterministically. NULL values get a NULL label.
+
+    Scale shape: one O(distinct values) histogram shuffle for the
+    cutoffs (exact_quantiles — quantize unbounded columns first, same
+    rule), n_bins-1 integer literals back to the driver, then the label
+    is a row-local CASE chain fused into the scan — the labeled frame
+    adds zero shuffles to whatever consumes it."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = exact_quantiles(df, v, list(range(1, n_bins)),
+                           denom=n_bins).collect()
+    if not rows:
+        raise ValueError("equi_depth_label: no non-null values to bin")
+    cuts = [int(r["value"]) for r in sorted(rows, key=lambda r: r["q_pm"])]
+    label = None
+    for k, c in enumerate(cuts, start=1):
+        cond = v.cast("long") <= c
+        label = F.when(cond, k) if label is None else label.when(cond, k)
+    label = label.otherwise(F.lit(n_bins))
+    return df.withColumn(
+        bin_col, F.when(v.isNull(), F.lit(None)).otherwise(label)
+        .cast("long"))
+
+
+#: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's law expected
+#: first-digit shares in ppm; the same integers appear literally in the
+#: benford_audit oracle SQL so both engines compare against one table.
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181,
+               66946, 57991, 51152, 45757)
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col,
+    *,
+    tol_ppm: int = 20_000,
+) -> DataFrame:
+    """Benford first-significant-digit audit: observed vs expected
+    leading-digit distribution of a positive integral column — the
+    classic fabricated-/corrupted-numbers screen (a synthesized or
+    truncated metric column rarely keeps Benford's log-law; a natural
+    multi-order-of-magnitude one usually does).
+
+    Output per digit 1..9: (digit, n, obs_ppm, exp_ppm, status) with
+    status 'deviant' iff |obs_ppm - exp_ppm| > tol_ppm, all integer
+    (shares floor to ppm; expected values are the frozen BENFORD_PPM
+    integers). Rows <= 0 or NULL are excluded (no leading digit);
+    digits absent from the data still emit a row (n=0 — a MISSING
+    digit is the loudest deviation), so the frame is always 9 rows.
+
+    Scale shape: leading digit is a row-local string-head projection
+    fused into the scan (integral cast → no decimal point to dodge);
+    one map-side-combined 9-group hash agg; the total joins back as a
+    broadcast single row and the expected table is a 9-row broadcast
+    literal frame. Nothing scales with |rows| but the scan."""
+    v = (F.col(value_col) if isinstance(value_col, str)
+         else value_col).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("long")
+    counts = (df.select(digit.alias("digit")).where(v > 0)
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(d, int(p)) for d, p in enumerate(BENFORD_PPM, start=1)],
+        "digit long, exp_ppm long")
+    j = (exp.join(counts, "digit", "left")
+         .select("digit", F.coalesce("n", F.lit(0)).alias("n"), "exp_ppm")
+         .crossJoin(F.broadcast(
+             counts.agg(F.sum("n").alias("__tot__")))))
+    # empty input -> NULL total; coalesce to 0 so every digit reads
+    # 'deviant' (a column with no positive values fails the audit)
+    obs = F.coalesce(F.expr("n * 1000000 div __tot__"), F.lit(0))
+    return j.select(
+        "digit", F.col("n").cast("long").alias("n"),
+        obs.cast("long").alias("obs_ppm"), "exp_ppm",
+        F.when(F.abs(obs - F.col("exp_ppm")) > tol_ppm,
+               F.lit("deviant")).otherwise(F.lit("ok")).alias("status"))
+
+
 class ColumnContract(typing.NamedTuple):
     """Data-contract bounds for one column: distinct-cardinality window
     plus a null-fraction ceiling (ppm). ``max_distinct=None`` = unbounded

@@ -84,6 +84,40 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_ppm,
+    *,
+    salt: str = "",
+    denom: int = DEFAULT_DENOM,
+) -> DataFrame:
+    """Per-row deterministic importance sampling: keep a row iff its
+    hash bucket falls below the row's OWN keep-probability
+    ``weight_ppm`` (an integer column/expression in parts-per-denom,
+    clamped to [0, denom]) — the quality-weighted mixture sampler a
+    training-data pipeline uses to keep high-scoring documents at full
+    rate and downsample the tail, generalizing ``stratified_sample``
+    from per-stratum constants to a per-row weight.
+
+    Same guarantees as the rest of the family: reproducible across
+    runs/engines, repartition-proof, append-stable (membership is a
+    pure function of id and weight), and a zero-shuffle row-local
+    codegen filter fused into the scan. Expected kept fraction is
+    ``avg(weight_ppm)/denom`` but each row's inclusion is individually
+    deterministic — rerunning never flips a row. NULL weights drop the
+    row (an unscored row has no defensible keep rate; coalesce
+    upstream to choose one)."""
+    w = F.col(weight_ppm) if isinstance(weight_ppm, str) else weight_ppm
+    # explicit NULL guard: Spark's least/greatest SKIP nulls (they pick
+    # the least non-null), so a bare clamp would keep NULL-weight rows
+    # at full rate instead of dropping them
+    thr = F.when(w.isNull(), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(denom), w.cast("long"))))
+    return df.where(
+        hash_bucket_expr(F.col(id_col), denom, salt) < thr)
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str,
