@@ -1937,6 +1937,46 @@ def q_val_benford(spark, sf_dir):
     return benford_audit(orders, "cents", tol_ppm=20_000)
 
 
+def q_corr_contract(spark, sf_dir):
+    """Per-group exact correlation contract (operators/colstats.py
+    corr2_by): quantity vs price-in-thousands per returnflag as integer
+    rationals — floor(1e6*r^2) + sign(r), no float in the comparable
+    output. One decimal(38) map-side-combined agg, O(groups) exact
+    big-int driver math; price quantized to thousands so the oracle's
+    HUGEINT mirror of num^2*1e6 stays inside 128 bits."""
+    from pandasschema_spark.operators.colstats import corr2_by
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_extendedprice").isNotNull())
+          .select("l_returnflag",
+                  F.col("l_quantity").cast("long").alias("x"),
+                  F.floor(F.col("l_extendedprice") / 1000).cast("long")
+                  .alias("y")))
+    return corr2_by(li, "x", "y", ["l_returnflag"])
+
+
+def q_val_cross_table(spark, sf_dir):
+    """Cross-table temporal consistency (operators/referential.py
+    cross_table_violations): line items shipping less than 3 days after
+    their order's date, joined fact-to-header on the order key and
+    emitted in the house violations shape. One pruned equi-join; the
+    predicate and projection fuse into the join output stage."""
+    from pandasschema_spark.operators.referential import (
+        cross_table_violations)
+
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    return cross_table_violations(
+        li, orders, "l_orderkey",
+        F.datediff("l_shipdate", "o_orderdate") < 3,
+        row_col=LINEITEM_ROW,
+        value_col="l_shipdate",
+        message="shipped less than 3 days after order")
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -2016,6 +2056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "corr_contract": q_corr_contract,
+        "val_cross_table": q_val_cross_table,
         "sample_weighted": q_sample_weighted,
         "agg_equi_depth": q_agg_equi_depth,
         "val_benford": q_val_benford,
@@ -2262,6 +2304,32 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        "corr_contract": """
+WITH v AS (SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
+                  CAST(floor(l_extendedprice/1000) AS HUGEINT) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM v GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) = 0 THEN 0
+                 ELSE (n*sxy - sx*sy)*(n*sxy - sx*sy)*1000000
+                      // ((n*sxx - sx*sx)*(n*syy - sy*sy)) END
+            AS BIGINT) AS corr2_ppm,
+       CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                 WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS sign
+FROM s
+""",
+        "val_cross_table": """
+SELECT l_orderkey*10 + l_linenumber AS row, 'l_shipdate' AS "column",
+       CAST(l_shipdate AS VARCHAR) AS value,
+       'shipped less than 3 days after order' AS message
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) < 3
+""",
         "sample_weighted": """
 SELECT doc_id, lang, n_chars
 FROM documents

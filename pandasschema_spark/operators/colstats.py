@@ -440,6 +440,65 @@ def benford_audit(
                F.lit("deviant")).otherwise(F.lit("ok")).alias("status"))
 
 
+def corr2_by(
+    df: DataFrame,
+    x_col,
+    y_col,
+    group_cols: typing.Sequence[str],
+) -> DataFrame:
+    """Per-group exact Pearson correlation as integer rationals:
+    (group, n, corr2_ppm, sign) where corr2_ppm = floor(1e6 * r^2) and
+    sign = sign(r) — the inter-column relationship contract ("quantity
+    and revenue must stay strongly positively correlated per cohort")
+    with no float in either engine's comparable output.
+
+    The float-free identity: with integral x, y and S* the integer
+    sums, num = n*Sxy - Sx*Sy, den = (n*Sxx - Sx^2)(n*Syy - Sy^2), and
+    r^2 = num^2/den exactly — so floor(num^2 * 1e6 / den) and sign(num)
+    carry the full contract (|r| >= 0.8 iff corr2_ppm >= 640000 with
+    the right sign). Constant columns (den = 0) report corr2_ppm = 0,
+    sign 0 — uncorrelatable, not an error.
+
+    Scale shape: ONE map-side-combined hash agg with decimal(38)
+    accumulators (the zscore_cutoffs pattern — products of big values
+    overflow int64 long before 10^12 rows), O(groups) rows to the
+    driver, exact Python big-int arithmetic there (never overflows),
+    and an O(groups) literal frame back. Quantize inputs so the
+    DUCKDB-side mirror stays exact too: the oracle evaluates
+    num^2 * 1e6 in HUGEINT (128-bit), so keep |n * max|x*y|| under
+    ~1e16 (e.g. dollars-in-thousands, not micro-cents) when a query is
+    oracle-gated; the Spark side itself has no such bound."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col) \
+        .cast("decimal(19,0)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col) \
+        .cast("decimal(19,0)")
+    base = (df.select(*group_cols, x.alias("__x__"), y.alias("__y__"))
+            .where(F.col("__x__").isNotNull() & F.col("__y__").isNotNull()))
+    stats = (base.groupBy(*group_cols)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("__x__").alias("sx"),
+                  F.sum("__y__").alias("sy"),
+                  F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+                  F.sum(F.col("__y__") * F.col("__y__")).alias("syy"),
+                  F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"))
+             ).collect()
+    out = []
+    for r in stats:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        c2 = 0 if den == 0 else (num * num * 1_000_000) // den
+        sign = (num > 0) - (num < 0)
+        out.append(tuple(r[g] for g in group_cols) + (n, c2, sign))
+    spark = df.sparkSession
+    gtypes = dict(zip(base.schema.names, base.schema))
+    gdef = ", ".join("{} {}".format(g, gtypes[g].dataType.simpleString())
+                     for g in group_cols)
+    return spark.createDataFrame(
+        out, gdef + ", n long, corr2_ppm long, sign long")
+
+
 class ColumnContract(typing.NamedTuple):
     """Data-contract bounds for one column: distinct-cardinality window
     plus a null-fraction ceiling (ppm). ``max_distinct=None`` = unbounded

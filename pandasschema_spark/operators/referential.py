@@ -51,6 +51,64 @@ def referential_violations(
     )
 
 
+def cross_table_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    violation_cond,
+    *,
+    row_col,
+    value_col: str,
+    message: str,
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Cross-TABLE row predicate validation: join each fact row to its
+    dimension/header row and flag pairs where ``violation_cond`` (a
+    Column predicate over the joined frame, TRUE = violation) holds —
+    the temporal/consistency checks that live across tables ("a line
+    item must not ship before its order date", "a clip must not predate
+    its session"). The cross-table sibling of CustomSeriesValidation's
+    same-row checks.
+
+    Emits the house violations shape (row, column, value, message) with
+    ``value`` the fact's ``value_col`` rendered as a string (dates
+    render ISO via cast). Division of labor, stated plainly: this is an
+    INNER join — fact rows with no dim match are referential_violations'
+    finding, not silently re-flagged here; a NULL-valued
+    ``violation_cond`` is SQL-false (no violation).
+
+    Scale shape: one equi-join on ``on`` — shuffle hash join when both
+    sides are big (both sides pruned to the columns the predicate and
+    output need before the exchange), ``broadcast_dim=True`` for a
+    true dimension; the predicate and output projection are row-local
+    and fuse into the join's output stage. Skewed fact keys: wrap with
+    salted_join's regime table upstream."""
+    need_dim = {on} | {c for c in dim.columns
+                       if c in _referenced(violation_cond, dim.columns)}
+    d = dim.select(*sorted(need_dim))
+    if broadcast_dim:
+        d = F.broadcast(d)
+    j = fact.join(d, on, "inner").where(violation_cond)
+    row = F.expr(row_col) if isinstance(row_col, str) else row_col
+    v = F.col(value_col)
+    vtype = fact.schema[value_col].dataType
+    return j.select(
+        row.cast("long").alias("row"),
+        F.lit(value_col).alias("column"),
+        value_repr(v, vtype).alias("value"),
+        F.lit(message).alias("message"))
+
+
+def _referenced(cond, candidates):
+    """Column names from ``candidates`` that appear in a predicate's
+    string form — a pruning heuristic (over-inclusion is harmless, the
+    optimizer prunes again; under-inclusion would fail analysis, so
+    fall back to all candidates if nothing matches)."""
+    s = str(cond._jc if hasattr(cond, "_jc") else cond)
+    hit = {c for c in candidates if c in s}
+    return hit or set(candidates)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-screen referential for dimensions too big to broadcast raw
 # ---------------------------------------------------------------------------
