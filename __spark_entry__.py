@@ -1977,6 +1977,19 @@ def q_val_cross_table(spark, sf_dir):
         message="shipped less than 3 days after order")
 
 
+def q_text_collocations(spark, sf_dir):
+    """Corpus collocation mining (operators/text.py collocations):
+    adjacent word pairs co-occurring at least twice with lift >= 2 over
+    independence — raw integer counts only (c_xy, c_x, c_y, N), the
+    lift gate applied as a decimal(38) cross-multiplication, so the
+    result is engine-exact with no division in either plan. Shuffles
+    carry the vocabulary and distinct bigrams, never per-token rows."""
+    from pandasschema_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, "text", min_count=2, min_lift=2)
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -2056,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_collocations": q_text_collocations,
         "corr_contract": q_corr_contract,
         "val_cross_table": q_val_cross_table,
         "sample_weighted": q_sample_weighted,
@@ -2304,6 +2318,27 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        "text_collocations": """
+WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                  AS t
+              FROM documents),
+toks AS (SELECT string_split(t, ' ') AS w FROM norm WHERE t IS NOT NULL),
+uni AS (SELECT u.x AS w, count(*) AS c
+        FROM toks, unnest(w) AS u(x) WHERE u.x <> '' GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (SELECT w[i] AS w1, w[i+1] AS w2
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+          WHERE w[i] <> '' AND w[i+1] <> ''),
+pc AS (SELECT w1, w2, count(*) AS c_xy
+       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pc.w1, pc.w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+       n_tokens
+FROM pc JOIN uni u1 ON u1.w = pc.w1
+        JOIN uni u2 ON u2.w = pc.w2, tot
+WHERE CAST(c_xy AS HUGEINT) * n_tokens
+      >= 2 * CAST(u1.c AS HUGEINT) * u2.c
+""",
         "corr_contract": """
 WITH v AS (SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
                   CAST(floor(l_extendedprice/1000) AS HUGEINT) AS y

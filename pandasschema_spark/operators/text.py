@@ -292,3 +292,66 @@ def pii_scan(
         total = c if total is None else total + c
     return (out.withColumn("n_pii", total.cast("long"))
             .where(F.col("n_pii") > 0))
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    min_lift: int = 2,
+) -> DataFrame:
+    """Corpus collocation mining: adjacent word pairs whose observed
+    co-occurrence beats independence by at least ``min_lift`` — the
+    phrase/template detector (boilerplate discovery, tokenizer-merge
+    candidates, prompt-injection template hunting) over a document
+    corpus.
+
+    Output (w1, w2, c_xy, c_x, c_y, n_tokens): the bigram occurrence
+    count, each word's unigram occurrence count, and the corpus token
+    total — RAW integer counts only, no division anywhere, so the frame
+    is engine-exact and the caller derives float PMI/lift downstream at
+    whatever precision it likes. The lift gate is applied as a
+    decimal(38) cross-multiplication (``c_xy * N >= min_lift * c_x *
+    c_y``): exact up to 10^38, no int64 product overflow at any corpus
+    size that fits this universe.
+
+    Scale shape: tokens and bigrams are codegen-clean row-local
+    projections (split + the space-pad/lookbehind regexp the shingle
+    stack already uses — no HOF lambdas); each explodes into a
+    map-side-combined hash-agg, so the shuffles carry the VOCABULARY
+    and the distinct-bigram set, never per-token rows; the two unigram
+    joins key on the word (vocabulary-sized, broadcastable for bounded
+    vocabularies) and the token total rides a broadcast single row.
+    ``min_count`` prunes the bigram tail before the joins."""
+    if min_count < 1 or min_lift < 1:
+        raise ValueError("min_count and min_lift must be >= 1")
+    norm = normalized_text_expr(F.col(text_col))
+    toks = df.select(F.explode(F.split(norm, " ")).alias("w")) \
+        .where(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    # all consecutive pairs (occurrences, NOT distinct-per-doc): the
+    # overlapping-bigram lookbehind regex over space-padded text
+    bi = df.select(F.explode(F.regexp_extract_all(
+        F.concat(F.lit(" "), norm),
+        F.lit(r"(?<= )(?=(\S+ \S+))"), 1)).alias("g"))
+    pair = (bi.select(
+                F.substring_index("g", " ", 1).alias("w1"),
+                F.substring_index("g", " ", -1).alias("w2"))
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+            .where(F.col("c_xy") >= min_count))
+    out = (pair
+           .join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c_x")), "w1")
+           .join(uni.select(F.col("w").alias("w2"),
+                            F.col("c").alias("c_y")), "w2")
+           .crossJoin(F.broadcast(total)))
+    dec = "decimal(38,0)"
+    keep = (F.col("c_xy").cast(dec) * F.col("n_tokens").cast(dec)
+            >= F.lit(min_lift).cast(dec)
+            * (F.col("c_x").cast(dec) * F.col("c_y").cast(dec)))
+    return out.where(keep).select(
+        "w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"), "n_tokens")

@@ -78,3 +78,32 @@ def test_cross_table_violations_prunes_dim(spark):
     for line in plan.splitlines():
         if "wide#" in line:
             assert "Scan ExistingRDD" in line, line
+
+
+def test_collocations_counts_and_lift_gate(spark):
+    from pandasschema_spark.operators.text import collocations
+    # "new york" is a true collocation; "the cat"/"the dog" are frequent
+    # but independent around 'the'
+    docs = ["new york new york", "I love new york", "the cat the dog",
+            "the cat the dog", "the cat the dog", None, ""]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(df, "text", min_count=2, min_lift=2).collect()}
+    ny = out[("new", "york")]
+    # occurrences, not distinct-per-doc: 3 bigram hits, 3 of each word
+    assert (ny["c_xy"], ny["c_x"], ny["c_y"]) == (3, 3, 3)
+    assert ny["n_tokens"] == 20
+    # lift = 3*20/(3*3) ~ 6.7 >= 2 passes; ('york','new') occurs once ->
+    # min_count prunes
+    assert ("york", "new") not in out
+    # ('the','cat'): lift 3*20/(6*3) = 3.3 -> present
+    tc = out[("the", "cat")]
+    assert (tc["c_xy"], tc["c_x"], tc["c_y"]) == (3, 6, 3)
+
+
+def test_collocations_guards(spark):
+    from pandasschema_spark.operators.text import collocations
+    df = spark.createDataFrame([("a b",)], "text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        collocations(df, "text", min_count=0)

@@ -342,3 +342,24 @@ def test_reconcile_no_raw_detail_at_join(spark):
     join_pos = plan.find("Join")
     assert join_pos >= 0
     assert plan.find("HashAggregate", join_pos) > join_pos
+
+
+def test_collocations_codegen_clean_one_scan_per_leg(spark):
+    """collocations' token and bigram projections must stay codegen
+    (split/regexp/substring_index — no HOF lambdas), and the lift gate
+    must compare decimal products, never divide."""
+    from pandasschema_spark.operators.text import collocations
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = collocations(docs, "text", min_count=2, min_lift=2)
+    plan = plan_of(out)
+    assert "ArrayFilter" not in plan and "lambdafunction" not in plan.lower(), \
+        "collocations fell off the codegen path:\n" + plan[:2000]
+    assert "Divide" not in plan
+    # the unigram aggregate appears three times in the logical plan (c_x
+    # join, c_y join, token total) but must EXECUTE once: the three
+    # exchange subtrees canonicalize identically, so AQE's exchange reuse
+    # replaces two with ReusedExchange — one real scan per leg
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed[:2000]
