@@ -1990,6 +1990,21 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_rank_global(spark, sf_dir):
+    """Distributed global ordinal (operators/rank.py global_ordinal):
+    row_number-over-total-order semantics via ONE rangepartitioning
+    exchange + an O(partitions) driver offset table — never the window
+    form's SinglePartition funnel. Total order = (o_totalprice,
+    o_orderkey); ordinals are a pure function of the data (retry-safe,
+    parallelism-invariant), so the frame is engine-exact against the
+    oracle's window row_number."""
+    from pandasschema_spark.operators.rank import global_ordinal
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = global_ordinal(o, ["o_totalprice", "o_orderkey"], name="ordinal")
+    return out.select("o_orderkey", "ordinal")
+
+
 # ---------------------------------------------------------------------------
 # entry / registry
 # ---------------------------------------------------------------------------
@@ -2069,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rank_global": q_rank_global,
         "text_collocations": q_text_collocations,
         "corr_contract": q_corr_contract,
         "val_cross_table": q_val_cross_table,
@@ -2318,6 +2334,16 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        # the window form IS the oracle: DuckDB runs it single-node
+        # happily at oracle scale, the engine plans the range-shuffle
+        # equivalent; NULLS FIRST pins DuckDB to Spark's asc_nulls_first
+        "rank_global": """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice ASC NULLS FIRST,
+                               o_orderkey ASC NULLS FIRST) AS BIGINT)
+           AS ordinal
+FROM orders
+""",
         "text_collocations": """
 WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                   AS t

@@ -344,6 +344,23 @@ def test_reconcile_no_raw_detail_at_join(spark):
     assert plan.find("HashAggregate", join_pos) > join_pos
 
 
+def test_global_ordinal_range_shuffle_not_single_partition(spark):
+    """global_ordinal must plan a rangepartitioning exchange — never the
+    window form's SinglePartition funnel — and the ordinal itself must be
+    a row-local projection (no Window operator anywhere)."""
+    from pandasschema_spark.operators.dedup import released
+    from pandasschema_spark.operators.rank import global_ordinal
+
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet")
+    with released(global_ordinal(
+            orders.select("o_orderkey", "o_totalprice"),
+            ["o_totalprice", "o_orderkey"], partitions=8)) as out:
+        plan = plan_of(out)
+        assert "rangepartitioning" in plan, plan[:2000]
+        assert "SinglePartition" not in plan, plan[:2000]
+        assert "Window" not in plan, plan[:2000]
+
+
 def test_collocations_codegen_clean_one_scan_per_leg(spark):
     """collocations' token and bigram projections must stay codegen
     (split/regexp/substring_index — no HOF lambdas), and the lift gate
