@@ -1990,6 +1990,19 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Per-doc repetition profile (operators/text.py doc_repetition):
+    token total, distinct-token count, most-repeated-token count, longest
+    identical-token run — the Gopher repetitious-text gate as raw
+    integers. ONE narrow zero-shuffle Arrow pass; the oracle rebuilds the
+    same stats in DuckDB with unnest + a lag/run-id window over the
+    identical normalization."""
+    from pandasschema_spark.operators.text import doc_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_repetition(docs, "text", "doc_id")
+
+
 def q_rank_global(spark, sf_dir):
     """Distributed global ordinal (operators/rank.py global_ordinal):
     row_number-over-total-order semantics via ONE rangepartitioning
@@ -2084,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_repetition": q_text_repetition,
         "rank_global": q_rank_global,
         "text_collocations": q_text_collocations,
         "corr_contract": q_corr_contract,
@@ -2334,6 +2348,31 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        # same normalization mirror as the other text oracles; max_run
+        # via lag -> run-id prefix sum -> per-run counts
+        "text_repetition": """
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+           FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS w
+       FROM d WHERE t IS NOT NULL AND t <> ''),
+pos AS (SELECT doc_id, i, w[i] AS tok
+        FROM tk, unnest(range(1, len(w) + 1)) AS r(i)),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2),
+base AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(max(c) AS BIGINT) AS top_count
+         FROM cnt GROUP BY 1),
+chg AS (SELECT doc_id, i,
+               CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok
+                    THEN 0 ELSE 1 END AS brk
+        FROM pos),
+runs AS (SELECT doc_id, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+         FROM chg),
+rl AS (SELECT doc_id, rid, count(*) AS rlen FROM runs GROUP BY 1, 2),
+mx AS (SELECT doc_id, CAST(max(rlen) AS BIGINT) AS max_run FROM rl GROUP BY 1)
+SELECT base.doc_id, n_tokens, n_types, top_count, max_run
+FROM base JOIN mx USING (doc_id)
+""",
         # the window form IS the oracle: DuckDB runs it single-node
         # happily at oracle scale, the engine plans the range-shuffle
         # equivalent; NULLS FIRST pins DuckDB to Spark's asc_nulls_first

@@ -17,9 +17,11 @@ tests/test_plan_quality.py asserts the property for these operators.
 
 from __future__ import annotations
 
+import re
 import typing
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -292,6 +294,76 @@ def pii_scan(
         total = c if total is None else total + c
     return (out.withColumn("n_pii", total.cast("long"))
             .where(F.col("n_pii") > 0))
+
+
+#: Java-regex \s (what normalized_text_expr's regexp_replace collapses):
+#: ASCII whitespace only — Python's str.split() would also split unicode
+#: spaces and silently diverge from the SQL engines on non-ASCII corpora
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def doc_repetition(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition profile (the Gopher-style repetitious-text
+    gate): ``(id, n_tokens, n_types, top_count, max_run)`` — token total,
+    distinct-token count, the most-repeated token's occurrence count, and
+    the longest run of consecutive identical tokens. All raw integers;
+    the caller derives ratio filters (``top_count/n_tokens``,
+    ``n_types/n_tokens``) downstream at its own precision.
+
+    Scale shape: the metrics are row-local, so this is ONE narrow Arrow
+    pass (``mapInPandas`` over just (id, text)) with ZERO shuffle — the
+    alternative, explode + two groupBys, ships every token of a 100 TB
+    corpus through an exchange keyed (doc, token). Inside a batch the
+    per-doc loop is a numpy/Counter kernel (same irreducible-inner-loop
+    precedent as operators/audio.py — never per-row Python at the Spark
+    layer). Tokenization mirrors normalized_text_expr byte-for-byte:
+    lowercase, ASCII-\\s collapse, trim; docs whose normalized text is
+    NULL or empty emit no row."""
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_field.name, id_field.dataType, True),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_types", T.LongType(), False),
+        T.StructField("top_count", T.LongType(), False),
+        T.StructField("max_run", T.LongType(), False),
+    ])
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        import collections
+
+        for b in batches:
+            ids, nt, ty, tc, mr = [], [], [], [], []
+            for i, t in zip(b[id_col].values, b[text_col].values):
+                if t is None:
+                    continue
+                toks = _WS_RE.split(str(t).lower().strip())
+                if toks == [""]:
+                    continue
+                counts = collections.Counter(toks)
+                ids.append(i)
+                nt.append(len(toks))
+                ty.append(len(counts))
+                tc.append(max(counts.values()))
+                if len(toks) == 1:
+                    mr.append(1)
+                else:
+                    arr = np.asarray(toks, dtype=object)
+                    # boundaries of equal-runs: positions where the token
+                    # changes, padded with the ends
+                    chg = np.flatnonzero(arr[1:] != arr[:-1])
+                    edges = np.concatenate(([-1], chg, [len(arr) - 1]))
+                    mr.append(int(np.max(np.diff(edges))))
+            yield pd.DataFrame({
+                id_field.name: ids,
+                "n_tokens": pd.Series(nt, dtype="int64"),
+                "n_types": pd.Series(ty, dtype="int64"),
+                "top_count": pd.Series(tc, dtype="int64"),
+                "max_run": pd.Series(mr, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
 def collocations(
