@@ -1990,6 +1990,23 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_val_id_conflicts(spark, sf_dir):
+    """Key-collision triage (operators/distinct.py id_conflicts): ids with
+    >1 row, split into harmless re-ingest vs label/metadata conflict by
+    DISTINCT payload counts. One narrow full-table count shuffle, then
+    broadcast join-back + Expand-free two-phase distinct counting over
+    the tiny colliding set. The oracle rebuilds each colliding row's
+    transcript/sr/dur/codec from the sha256 derivation rule
+    (sources/datagen.py, functions/audio.py clip_fields) and counts
+    distinctness closed-form — it does not assume the copies differ."""
+    from pandasschema_spark.operators.distinct import id_conflicts
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32)
+    return id_conflicts(df, "clip_id", ["transcript"],
+                        meta_cols=["sr_hz", "dur_ms", "codec"])
+
+
 def q_text_repetition(spark, sf_dir):
     """Per-doc repetition profile (operators/text.py doc_repetition):
     token total, distinct-token count, most-repeated-token count, longest
@@ -2097,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "val_id_conflicts": q_val_id_conflicts,
         "text_repetition": q_text_repetition,
         "rank_global": q_rank_global,
         "text_collocations": q_text_collocations,
@@ -2348,6 +2366,36 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        # closed-form: rebuild every colliding row's fields from the
+        # sha256 rule (dup ids = injection class 0: row i copies row
+        # i-1's id) and count distinct payloads — byte-for-byte the
+        # clip_fields derivation, verified against functions/audio.py
+        "val_id_conflicts": """
+WITH inj AS (SELECT i FROM range(997, 20000, 997) t(i) WHERE (i // 997) % 6 = 0),
+mem AS (SELECT i - 1 AS src, m.r AS rn FROM inj, unnest([i - 1, i]) AS m(r)),
+f AS (SELECT src, rn, sha256('42:' || rn) AS h FROM mem),
+fields AS (SELECT src, rn, h,
+  [8000,16000,44100,48000][1 + CAST('0x' || substr(h, 1, 2) AS INT) % 4] AS sr,
+  40 + ((CAST('0x' || substr(h, 3, 2) AS INT)
+         + 256 * CAST('0x' || substr(h, 5, 2) AS INT)) % 161) AS dur,
+  ['pcm_s16le','flac','opus','mp3'][1 + CAST('0x' || substr(h, 25, 2) AS INT) % 4] AS codec,
+  3 + CAST('0x' || substr(h, 21, 2) AS INT) % 8 AS nw
+  FROM f),
+tr AS (SELECT src, rn, sr, dur, codec,
+  array_to_string(list_transform(range(0, nw), j ->
+    ['b','d','f','g','k','l','m','n','p','r','s','t','v','w','y','z']
+      [1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
+               (j * 37) % 256) // 16]
+    || ['a','e','i','o','u','an','en','in','on','un','ar','er','ir','or','ur','ay']
+      [1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
+               (j * 37) % 256) % 16]), ' ') AS transcript
+  FROM fields)
+SELECT printf('clip_%012d', src) AS clip_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT transcript) AS BIGINT) AS n_labels,
+       CAST(count(DISTINCT sr || ':' || dur || ':' || codec) AS BIGINT) AS n_meta
+FROM tr GROUP BY 1
+""",
         # same normalization mirror as the other text oracles; max_run
         # via lag -> run-id prefix sum -> per-run counts
         "text_repetition": """

@@ -85,6 +85,69 @@ def distinct_violations(
     )
 
 
+def _payload_hash(cols) -> F.Column:
+    """md5 of the column tuple with NULLs made explicit: concat_ws SKIPS
+    nulls (('a', NULL) would collide with ('a',)), so each column is
+    coalesced to a \\x01 sentinel first and joined on \\x00."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+    return F.md5(F.concat_ws("\x00", *parts))
+
+
+def id_conflicts(
+    df: DataFrame,
+    id_col: str,
+    label_cols,
+    *,
+    meta_cols=(),
+    broadcast_dupes: bool = True,
+) -> DataFrame:
+    """Key-collision triage: for every id occurring more than once, count
+    the DISTINCT label payloads and metadata payloads colliding under it
+    — separating harmless re-ingest (``n_labels == 1``: same content
+    arrived twice) from label conflicts (``n_labels > 1``: one clip_id
+    carrying two different transcripts — training poison that the
+    row-level uniqueness check flags but cannot characterize).
+
+    Output ``(id, n_rows, n_labels[, n_meta])``, all BIGINT.
+
+    Scale shape: phase 1 is the ONLY full-table shuffle — a map-side-
+    combined per-id count (the same narrow hash-agg the uniqueness check
+    runs), filtered to ids with >1 row, which at any sane collision rate
+    is a tiny frame. Phase 2 broadcast-joins that id set back so only
+    colliding rows are rehashed; phase 3 counts distinct payloads over
+    the tiny conflict set with two-phase (id, hash) -> id aggregation —
+    never a multi-column count_distinct (whose Expand multiplies partial
+    state by rows x (n+1), the E82 rule). NULL payload values count as a
+    distinct value (the \\x01 sentinel — SQL count(distinct) would skip
+    them); rows with a NULL id are excluded (they are the notnull
+    check's finding)."""
+    label_cols = list(label_cols)
+    meta_cols = list(meta_cols)
+    if not label_cols:
+        raise ValueError("label_cols must name at least one column")
+    dups = (df.where(F.col(id_col).isNotNull())
+              .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rows"))
+              .where(F.col("n_rows") > 1))
+    if broadcast_dupes:
+        dups = F.broadcast(dups)
+    rows = df.join(dups, id_col, "inner")
+    rows = rows.select(id_col, "n_rows",
+                       _payload_hash(label_cols).alias("__lh__"),
+                       *([_payload_hash(meta_cols).alias("__mh__")]
+                         if meta_cols else []))
+    labels = (rows.groupBy(id_col, "__lh__").agg(F.count(F.lit(1)))
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_labels")))
+    out = (rows.select(id_col, "n_rows").distinct()
+               .join(labels, id_col))
+    if meta_cols:
+        meta = (rows.groupBy(id_col, "__mh__").agg(F.count(F.lit(1)))
+                    .groupBy(id_col)
+                    .agg(F.count(F.lit(1)).alias("n_meta")))
+        out = out.join(meta, id_col)
+    return out
+
+
 def distinct_violations_window_oracle(df: DataFrame, value_col: str, row_col: str) -> DataFrame:
     """Small-scale semantic spec (tests only): row_number over a window.
     NOT for production — a hot key serializes through one task."""
