@@ -1990,6 +1990,17 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_dedup_keep_latest(spark, sf_dir):
+    """Keep-latest compaction (operators/dedup.py keep_latest): the
+    latest event per user by (ts, event_id) as ONE map-side-combined
+    max(struct) hash agg — no window, no per-key sort funnel. The
+    oracle is the window form DuckDB can afford single-node."""
+    from pandasschema_spark.operators.dedup import keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return keep_latest(ev, ["user_id"], ["ts", "event_id"], ["event_type"])
+
+
 def q_val_id_conflicts(spark, sf_dir):
     """Key-collision triage (operators/distinct.py id_conflicts): ids with
     >1 row, split into harmless re-ingest vs label/metadata conflict by
@@ -2114,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_keep_latest": q_dedup_keep_latest,
         "val_id_conflicts": q_val_id_conflicts,
         "text_repetition": q_text_repetition,
         "rank_global": q_rank_global,
@@ -2366,6 +2378,16 @@ def oracle_sql() -> dict[str, str]:
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via
         # IN (SELECT ...)
+        # the window form IS the oracle (single-node affordable); DESC on
+        # both order cols mirrors lexicographic struct max
+        "dedup_keep_latest": """
+SELECT user_id, ts, event_id, event_type
+FROM (SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
         # closed-form: rebuild every colliding row's fields from the
         # sha256 rule (dup ids = injection class 0: row i copies row
         # i-1's id) and count distinct payloads — byte-for-byte the

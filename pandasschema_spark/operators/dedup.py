@@ -557,3 +557,38 @@ def contamination_check(
             .select(F.col("id").alias("eval_id"),
                     F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
                     F.col("n_grams").cast("long").alias("n_grams")))
+
+
+def keep_latest(
+    df: DataFrame,
+    key_cols: typing.Sequence[str],
+    order_cols: typing.Sequence[str],
+    payload_cols: typing.Sequence[str] = (),
+) -> DataFrame:
+    """Keep-latest compaction (SCD resolution / log de-versioning): one
+    row per key — the row with the lexicographically greatest
+    ``order_cols`` tuple — carrying ``payload_cols`` along.
+
+    The idiomatic-but-wrong form is ``row_number() OVER (PARTITION BY key
+    ORDER BY ts DESC) = 1``: a window sorts EVERY version of a hot key
+    through one task. This is instead ONE map-side-combined hash
+    aggregation — ``max(struct(order..., payload...))`` — so each mapper
+    pre-collapses its own versions and the shuffle carries one candidate
+    row per (mapper, key): the same partial-combine shape as any max().
+
+    Determinism contract: ``order_cols`` must totally order each key's
+    rows (include a unique tiebreak, e.g. the event id) — struct
+    comparison is lexicographic, so payload fields (placed after the
+    order fields) never decide a winner when the order tuple is unique.
+    Order columns should be non-null: Spark orders NULL below any value
+    inside max() while SQL engines vary — keep NULLs out of the version
+    key. NULL grouping keys form their own group (groupBy semantics)."""
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    payload_cols = list(payload_cols)
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    packed = F.max(F.struct(*[F.col(c) for c in order_cols + payload_cols]))
+    agg = df.groupBy(*key_cols).agg(packed.alias("__top__"))
+    return agg.select(
+        *key_cols,
+        *[F.col("__top__." + c).alias(c) for c in order_cols + payload_cols])
