@@ -1990,6 +1990,22 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_val_oov(spark, sf_dir):
+    """Closed-vocabulary transcript validation (operators/text.py
+    oov_scan): tokens outside the 256-word synthesis lexicon, counted by
+    ONE \\Q-quoted alternation regexp fused into the scan — zero shuffle,
+    no UDF. The oracle rebuilds ALL 20k transcripts from the sha256 rule
+    (applying the class-4 NULL and class-5 illegal-string injections) and
+    filters every token against the same lexicon literal — it computes,
+    never assumes, that non-injected rows are closed over the lexicon."""
+    from pandasschema_spark.functions.audio import LEXICON
+    from pandasschema_spark.operators.text import oov_scan
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32)
+    return oov_scan(df, "transcript", "clip_id", LEXICON)
+
+
 def q_dedup_keep_latest(spark, sf_dir):
     """Keep-latest compaction (operators/dedup.py keep_latest): the
     latest event per user by (ts, event_id) as ONE map-side-combined
@@ -2125,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "val_oov": q_val_oov,
         "dedup_keep_latest": q_dedup_keep_latest,
         "val_id_conflicts": q_val_id_conflicts,
         "text_repetition": q_text_repetition,
@@ -2373,7 +2390,43 @@ g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
 
 
 def oracle_sql() -> dict[str, str]:
+    from pandasschema_spark.functions.audio import _ONSETS, _RIMES, LEXICON
+
+    def _sql_arr(words):
+        return "[{}]".format(",".join("'{}'".format(w) for w in words))
+
     oracles = {
+        # full-data closure check: rebuild EVERY transcript from the
+        # sha256 rule (class-4 -> NULL, class-5 -> the illegal string,
+        # all else the clip_fields word formula) and filter each token
+        # against the lexicon literal — computes, never assumes, that
+        # non-injected rows are lexicon-closed
+        "val_oov": """
+WITH r AS (SELECT i, sha256('42:' || i) AS h FROM range(0, 20000) t(i)),
+cls AS (SELECT i, h,
+        CASE WHEN i > 0 AND i % 997 = 0 THEN (i // 997) % 6 END AS c FROM r),
+tr AS (SELECT i, CASE
+         WHEN c = 4 THEN NULL
+         WHEN c = 5 THEN 'ILLEGAL @ CHARS #'
+         ELSE array_to_string(list_transform(
+                range(0, 3 + CAST('0x' || substr(h, 21, 2) AS INT) % 8), j ->
+            {onsets}[1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
+                     (j * 37) % 256) // 16]
+            || {rimes}[1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
+                     (j * 37) % 256) % 16]), ' ')
+       END AS transcript
+       FROM cls),
+tok AS (SELECT i, string_split(lower(trim(transcript)), ' ') AS w
+        FROM tr WHERE transcript IS NOT NULL),
+ct AS (SELECT i, len(w) AS n_tokens,
+              len(list_filter(w, x -> NOT array_contains({lex}, x))) AS n_oov
+       FROM tok)
+SELECT printf('clip_%012d', i) AS clip_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov
+FROM ct WHERE n_oov > 0
+""".format(onsets=_sql_arr(_ONSETS), rimes=_sql_arr(_RIMES),
+           lex=_sql_arr(LEXICON)),
         # ---- round-5 batch 3 ---------------------------------------------
         # same synthetic eval split, same norm/toks/gramsets mirror the
         # other dedup oracles use, same train-side df cap; semi-join via

@@ -296,6 +296,48 @@ def pii_scan(
             .where(F.col("n_pii") > 0))
 
 
+def oov_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: typing.Iterable[str],
+    *,
+    keep_clean: bool = False,
+) -> DataFrame:
+    """Closed-vocabulary validation: ``(id, n_tokens, n_oov)`` where
+    ``n_oov`` counts whitespace tokens of ``lower(text)`` outside
+    ``vocab`` — the transcript-closure / tokenizer-coverage gate (a
+    speech corpus whose transcripts must stay inside the acoustic-model
+    lexicon, a synthetic corpus that must stay inside its template
+    vocabulary).
+
+    The vocabulary compiles into ONE ``\\Q``-quoted alternation regex
+    (token_marker_count_expr), so the whole scan is a row-local
+    codegen-clean projection fused into the file scan: zero shuffle, no
+    UDF, no explode. ``n_oov = n_tokens - n_in_vocab``. This is the
+    BOUNDED-vocab form (alternation size ~ vocabulary bytes, fine to a
+    few thousand entries); open vocabularies take the explode +
+    broadcast-anti-join route instead. Rows with NULL text drop out
+    (NULL arithmetic — a null transcript is the notnull check's
+    finding); empty text counts 0 tokens and is clean. Default output
+    is violating rows only (``n_oov > 0``); ``keep_clean=True`` keeps
+    every non-null row for profiling."""
+    words = sorted({w.lower() for w in vocab})
+    if not words:
+        raise ValueError("vocab must be non-empty")
+    text = F.col(text_col)
+    nt = F.size(tokens_expr(text)).cast("long")
+    inv = token_marker_count_expr(text, words)
+    out = df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        (nt - inv).alias("n_oov"),
+    )
+    if keep_clean:
+        return out.where(F.col("n_oov").isNotNull())
+    return out.where(F.col("n_oov") > 0)
+
+
 #: Java-regex \s (what normalized_text_expr's regexp_replace collapses):
 #: ASCII whitespace only — Python's str.split() would also split unicode
 #: spaces and silently diverge from the SQL engines on non-ASCII corpora
