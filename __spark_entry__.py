@@ -1990,6 +1990,37 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_pipeline_clean_transcripts(spark, sf_dir):
+    """Transcript-side cleaning pipeline, one lazy plan composed from
+    three gated operators: row-local validation rules (legal sr/codec,
+    positive duration, non-null pattern-clean transcript — all fused
+    into the scan) -> quarantine EVERY id collision (id_conflicts'
+    phase-1 count agg, conflicted or re-ingested alike) -> closed-
+    vocabulary OOV drop (oov_scan's alternation regex) -> per-codec
+    survivor counts. Collision ids and OOV ids broadcast as anti-join
+    sides; the only full-table shuffles are the id-count agg and the
+    final O(codecs) rollup. Oracle: survivors = all rows minus injected
+    rows minus collision sources, codecs rebuilt from the sha256 rule."""
+    from pandasschema_spark.functions.audio import LEXICON
+    from pandasschema_spark.operators.distinct import id_conflicts
+    from pandasschema_spark.operators.text import oov_scan
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32)
+    row_ok = (F.col("sr_hz").isin([8000, 16000, 44100, 48000])
+              & (F.col("dur_ms") >= 1)
+              & F.col("codec").isin(["pcm_s16le", "flac", "opus", "mp3"])
+              & F.col("transcript").isNotNull()
+              & F.col("transcript").rlike(r"^[a-z0-9 ,.'?!-]+$"))
+    collided = id_conflicts(df, "clip_id", ["transcript"]).select("clip_id")
+    oov = oov_scan(df, "transcript", "clip_id", LEXICON).select("clip_id")
+    clean = (df.where(row_ok)
+               .join(F.broadcast(collided), "clip_id", "left_anti")
+               .join(F.broadcast(oov), "clip_id", "left_anti"))
+    return clean.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"))
+
+
 def q_val_oov(spark, sf_dir):
     """Closed-vocabulary transcript validation (operators/text.py
     oov_scan): tokens outside the 256-word synthesis lexicon, counted by
@@ -2141,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
         "dedup_keep_latest": q_dedup_keep_latest,
         "val_id_conflicts": q_val_id_conflicts,
@@ -2396,6 +2428,22 @@ def oracle_sql() -> dict[str, str]:
         return "[{}]".format(",".join("'{}'".format(w) for w in words))
 
     oracles = {
+        # survivors = everything minus the injected rows (every class
+        # fails a row rule or collides) minus class-0 collision SOURCES
+        # (row i-1 shares the copied id — quarantined with it); codec
+        # rebuilt per survivor from the sha256 rule
+        "pipeline_clean_transcripts": """
+WITH r AS (SELECT i, sha256('42:' || i) AS h FROM range(0, 20000) t(i)),
+inj AS (SELECT i FROM range(997, 20000, 997) t(i)),
+srcs AS (SELECT i - 1 AS i FROM range(997, 20000, 997) t(i)
+         WHERE (i // 997) % 6 = 0),
+dropped AS (SELECT i FROM inj UNION SELECT i FROM srcs),
+keep AS (SELECT r.i,
+    ['pcm_s16le','flac','opus','mp3'][1 + CAST('0x' || substr(h, 25, 2) AS INT) % 4]
+        AS codec
+  FROM r WHERE r.i NOT IN (SELECT i FROM dropped))
+SELECT codec, CAST(count(*) AS BIGINT) AS n_clips FROM keep GROUP BY 1
+""",
         # full-data closure check: rebuild EVERY transcript from the
         # sha256 rule (class-4 -> NULL, class-5 -> the illegal string,
         # all else the clip_fields word formula) and filter each token
