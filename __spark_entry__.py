@@ -1990,6 +1990,20 @@ def q_text_collocations(spark, sf_dir):
     return collocations(docs, "text", min_count=2, min_lift=2)
 
 
+def q_events_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user ordered event types
+    (operators/sessions.py event_transitions): one hash(user) exchange +
+    lag window, O(types^2) rollup. The oracle applies the IDENTICAL
+    hot-user cap rule (<= 100k events) so the skew-safe default
+    configuration is the attested one — same pattern as the
+    events_sessionize oracle."""
+    from pandasschema_spark.operators.sessions import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id")
+
+
 def q_pipeline_clean_transcripts(spark, sf_dir):
     """Transcript-side cleaning pipeline, one lazy plan composed from
     three gated operators: row-local validation rules (legal sr/codec,
@@ -2172,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
         "dedup_keep_latest": q_dedup_keep_latest,
@@ -2428,6 +2443,18 @@ def oracle_sql() -> dict[str, str]:
         return "[{}]".format(",".join("'{}'".format(w) for w in words))
 
     oracles = {
+        # identical hot-user cap rule as the operator default (and the
+        # events_sessionize oracle); lag window mirror
+        "events_transitions": """
+WITH ok AS (SELECT user_id FROM events
+            GROUP BY user_id HAVING count(*) <= 100000),
+l AS (SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events WHERE user_id IN (SELECT user_id FROM ok))
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2
+""",
         # survivors = everything minus the injected rows (every class
         # fails a row rule or collides) minus class-0 collision SOURCES
         # (row i-1 shares the copied id — quarantined with it); codec

@@ -298,3 +298,38 @@ def sequence_violations(
                      F.col("n_distinct").cast("long").alias("n_distinct"),
                      F.col("min_ord").cast("long").alias("min_ord"),
                      F.col("max_ord").cast("long").alias("max_ord")))
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    tiebreak_col: str,
+    max_events_per_user: typing.Optional[int] = DEFAULT_MAX_EVENTS_PER_USER,
+) -> DataFrame:
+    """Per-key ordered transition counts (the Markov bigram matrix over
+    event types): ``(from_type, to_type, n)`` — the behavioral-drift /
+    anomaly-profile input (compare matrices across releases with the
+    drift operators), and the sequence analog of text collocations.
+
+    Plan shape mirrors sessionize: ONE hash(user) exchange feeds the
+    per-user ordered lag window (per-key windows scale — only a single
+    key's rows meet in a task, bounded by the hot-user cap), then the
+    transition rollup is a map-side-combined hash agg on the O(types^2)
+    matrix — tiny by construction. Ordering is total per user via
+    ``(ts, tiebreak)``; each user's first event has no predecessor and
+    contributes nothing. Hot users above ``max_events_per_user`` drop
+    wholesale up front (identical rule + shape as sessionize:
+    groupBy-count + broadcast anti-join, never a count-over-window);
+    ``None`` = exact."""
+    df = _drop_hot_users(df, user_col, max_events_per_user)
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    prev = F.lag(type_col).over(w)
+    return (df.select(F.col(user_col), prev.alias("from_type"),
+                      F.col(type_col).alias("to_type"))
+              .where(F.col("from_type").isNotNull())
+              .groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
