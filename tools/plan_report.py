@@ -133,6 +133,27 @@ def main() -> None:
             base.where(F.col("event_id") % 2 == 0),
             base.where(F.col("event_id") % 2 == 1), "event_type", "ub"))))
 
+    from pandasschema_spark.operators.dedup import keep_latest, released
+    from pandasschema_spark.operators.rank import global_ordinal
+
+    with released(global_ordinal(
+            orders.select("o_orderkey", "o_totalprice"),
+            ["o_totalprice", "o_orderkey"], partitions=8)) as go:
+        sections.append((
+            "Global ordinal (range shuffle, not a one-task window)",
+            "Claims: `Exchange rangepartitioning` + in-partition sort; the "
+            "ordinal is a row-local CASE projection over the persisted "
+            "frame — no `Window`, no `SinglePartition` funnel.",
+            plan_of(go)))
+
+    sections.append((
+        "Keep-latest compaction (max-struct hash agg)",
+        "Claims: ONE Exchange; `partial_max` of the packed "
+        "(order, payload) struct shows the map-side combine — no Window, "
+        "no per-key sort.",
+        plan_of(keep_latest(ev, ["user_id"], ["ts", "event_id"],
+                            ["event_type"]))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
