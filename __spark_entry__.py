@@ -165,6 +165,44 @@ def q_val_crosscolumn(spark, sf_dir):
     return _violations(schema, df, ["l_extendedprice"], F.expr(LINEITEM_ROW))
 
 
+def _bitmap_schema():
+    """4-check lineitem schema for the reason-code bitmap gates. Bit order
+    = schema order: 0=quantity range, 1=returnflag list, 2=discount range,
+    3=linestatus pattern."""
+    return Schema(
+        [
+            Column("l_quantity", [InRangeValidation(1, 25)]),
+            Column("l_returnflag", [InListValidation(["A", "N"])]),
+            Column("l_discount", [InRangeValidation(0, 0.05)]),
+            Column("l_linestatus", [MatchesPatternValidation("^F$")]),
+        ]
+    )
+
+
+_BITMAP_COLS = ["l_quantity", "l_returnflag", "l_discount", "l_linestatus"]
+
+
+def q_val_bitmap(spark, sf_dir):
+    """Per-row reason-code bitmap (Schema.validate_bitmap): one codegen'd
+    projection, 12 bytes/row out, zero shuffle — the 10^12-row triage fast
+    path next to the exploded violations frame."""
+    df = _t(spark, sf_dir, "lineitem")
+    return _bitmap_schema().validate_bitmap(
+        df, columns=_BITMAP_COLS, row_key=F.expr(LINEITEM_ROW)
+    )
+
+
+def q_val_bitmap_hist(spark, sf_dir):
+    """Failure-combination histogram: groupBy(bitmap).count() over the
+    unfiltered bitmap — co-failure patterns from one map-side-combined
+    agg over an int64 key (bitmap 0 row = the clean-row count)."""
+    df = _t(spark, sf_dir, "lineitem")
+    bm = _bitmap_schema().validate_bitmap(
+        df, columns=_BITMAP_COLS, row_key=F.expr(LINEITEM_ROW), keep_clean=True
+    )
+    return bm.groupBy("bitmap").agg(F.count("*").alias("n_rows"))
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2186,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "val_bitmap": q_val_bitmap,
+        "val_bitmap_hist": q_val_bitmap_hist,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3371,6 +3411,30 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # mirrors _bitmap_schema() bit-for-bit: bit order = schema check
+        # order; popcount cast to INT to match Spark's bit_count type
+        "val_bitmap": """
+WITH b AS (
+  SELECT l_orderkey*10 + l_linenumber AS row,
+         CASE WHEN NOT (l_quantity >= 1 AND l_quantity < 25) THEN 1 ELSE 0 END
+       + CASE WHEN l_returnflag NOT IN ('A','N') THEN 2 ELSE 0 END
+       + CASE WHEN NOT (l_discount >= 0 AND l_discount < 0.05) THEN 4 ELSE 0 END
+       + CASE WHEN NOT regexp_matches(l_linestatus, '^F$') THEN 8 ELSE 0 END AS bm
+  FROM lineitem)
+SELECT row, CAST(bm AS BIGINT) AS bitmap,
+       CAST(bit_count(CAST(bm AS BIGINT)) AS INTEGER) AS n_fail
+FROM b WHERE bm <> 0
+""",
+        "val_bitmap_hist": """
+WITH b AS (
+  SELECT CASE WHEN NOT (l_quantity >= 1 AND l_quantity < 25) THEN 1 ELSE 0 END
+       + CASE WHEN l_returnflag NOT IN ('A','N') THEN 2 ELSE 0 END
+       + CASE WHEN NOT (l_discount >= 0 AND l_discount < 0.05) THEN 4 ELSE 0 END
+       + CASE WHEN NOT regexp_matches(l_linestatus, '^F$') THEN 8 ELSE 0 END AS bm
+  FROM lineitem)
+SELECT CAST(bm AS BIGINT) AS bitmap, CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY 1
 """,
         "val_inrange": """
 SELECT l_orderkey*10 + l_linenumber AS row, 'l_quantity' AS "column",

@@ -195,6 +195,68 @@ class Schema:
         warehouse scale pass a persisted natural key column name/expr
         (e.g. a clip ordinal) to avoid the extra scan.
         """
+        frame_warnings, row_checks, global_checks, early = self._compile_checks(df, columns)
+        if early:
+            return ValidationResult(frame_warnings, None)
+
+        if not row_checks and not global_checks:
+            return ValidationResult(frame_warnings, _compiler.empty_violations(df.sparkSession))
+
+        keyed, row_col = self._with_row_key(df, row_key)
+
+        violations = _compiler.build_row_violations(keyed, row_checks, row_col)
+        for g_seq, check_id, df_name, warn_name, v, allow_empty in global_checks:
+            violations = violations.unionByName(
+                self._plan_global(keyed, row_col, g_seq, check_id, df_name, warn_name, v, allow_empty)
+            )
+        return ValidationResult(frame_warnings, violations)
+
+    # ------------------------------------------------------------------
+    def validate_bitmap(
+        self,
+        df: DataFrame,
+        columns: typing.List[str] = None,
+        row_key: typing.Union[str, SparkColumn, None] = None,
+        keep_clean: bool = False,
+    ) -> DataFrame:
+        """Per-row reason-code bitmap: (row, bitmap, n_fail), bit i = check i
+        of the schema fails (check order = the ``seq`` ordinal ``validate``
+        emits). The 10^12-row triage fast path: one codegen'd projection,
+        12 bytes/row out, zero shuffle; feed ``groupBy('bitmap').count()``
+        for the failure-combination histogram. Row-local checks only —
+        raises on global checks (uniqueness/referential need a shuffle and
+        have no row-local bit) and on any frame-level precheck warning,
+        instead of silently dropping bits.
+        """
+        frame_warnings, row_checks, global_checks, early = self._compile_checks(df, columns)
+        if early or frame_warnings:
+            raise PanSchArgumentError(
+                "validate_bitmap precheck failed: "
+                + "; ".join(w.message for w in frame_warnings)
+            )
+        if global_checks:
+            raise PanSchArgumentError(
+                "validate_bitmap covers row-local checks only; schema has global "
+                "checks: {}".format([c[1] for c in global_checks])
+            )
+        keyed, row_col = self._with_row_key(df, row_key)
+        return _compiler.build_violation_bitmap(keyed, row_checks, row_col, keep_clean=keep_clean)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _with_row_key(df, row_key):
+        if row_key is None:
+            return with_row_index(df, ROW_IDX_COL), ROW_IDX_COL
+        if isinstance(row_key, str):
+            return df, row_key
+        return df.withColumn(ROW_IDX_COL, row_key), ROW_IDX_COL
+
+    # ------------------------------------------------------------------
+    def _compile_checks(self, df, columns):
+        """Pairing + per-check compilation shared by validate/validate_bitmap.
+
+        Returns (frame_warnings, row_checks, global_checks, early_return).
+        """
         frame_warnings: typing.List[ValidationWarning] = []
         df_cols = list(df.columns)
 
@@ -207,7 +269,7 @@ class Schema:
                         )
                     )
                 )
-                return ValidationResult(frame_warnings, None)
+                return frame_warnings, [], [], True
             columns_to_pair = self.columns
         else:
             if set(columns).issubset(self.get_column_names()):
@@ -268,26 +330,7 @@ class Schema:
                     )
                 seq += 1
 
-        if not row_checks and not global_checks:
-            return ValidationResult(frame_warnings, _compiler.empty_violations(df.sparkSession))
-
-        # -- row identity ---------------------------------------------------
-        if row_key is None:
-            keyed = with_row_index(df, ROW_IDX_COL)
-            row_col = ROW_IDX_COL
-        elif isinstance(row_key, str):
-            keyed, row_col = df, row_key
-        else:
-            keyed = df.withColumn(ROW_IDX_COL, row_key)
-            row_col = ROW_IDX_COL
-
-        # -- compile --------------------------------------------------------
-        violations = _compiler.build_row_violations(keyed, row_checks, row_col)
-        for g_seq, check_id, df_name, warn_name, v, allow_empty in global_checks:
-            violations = violations.unionByName(
-                self._plan_global(keyed, row_col, g_seq, check_id, df_name, warn_name, v, allow_empty)
-            )
-        return ValidationResult(frame_warnings, violations)
+        return frame_warnings, row_checks, global_checks, False
 
     # ------------------------------------------------------------------
     @staticmethod
