@@ -56,7 +56,12 @@ def _violations(schema: Schema, df: DataFrame, cols, row_key) -> DataFrame:
 # validation-check queries (reference operator parity, SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
 
-LINEITEM_ROW = "l_orderkey*10 + l_linenumber"  # l_linenumber <= 7 -> unique
+# NOT unique: the synthetic lineitem duplicates (orderkey, linenumber)
+# pairs (11,785 collisions at sf0.01). Fine for multiset-compared
+# violation outputs (each physical row emits one output row in both
+# engines); NEVER use as a ranking/exemplar key — gate those on a table
+# with a real key (orders.o_orderkey).
+LINEITEM_ROW = "l_orderkey*10 + l_linenumber"
 
 
 def q_val_inrange(spark, sf_dir):
@@ -201,6 +206,28 @@ def q_val_bitmap_hist(spark, sf_dir):
         df, columns=_BITMAP_COLS, row_key=F.expr(LINEITEM_ROW), keep_clean=True
     )
     return bm.groupBy("bitmap").agg(F.count("*").alias("n_rows"))
+
+
+def q_violations_digest(spark, sf_dir):
+    """Bounded per-check digest (totals + 5 lowest-row exemplars) — the
+    shippable summary of a 10^12-row validation run; the violations
+    themselves never shuffle (batch-local pre-reduce, tagged-union pass).
+    Gated on orders: the exemplar rank needs a UNIQUE row key and the
+    synthetic lineitem's (orderkey, linenumber) pairs collide."""
+    from pandasschema_spark.operators.digest import violations_digest
+
+    df = _t(spark, sf_dir, "orders")
+    schema = Schema(
+        [
+            Column("o_totalprice", [InRangeValidation(1000, 300000)]),
+            Column("o_orderstatus", [InListValidation(["F", "O"])]),
+            Column("o_orderpriority", [MatchesPatternValidation("^[12]-")]),
+        ]
+    )
+    res = schema.validate(
+        df, columns=["o_totalprice", "o_orderstatus", "o_orderpriority"], row_key="o_orderkey"
+    )
+    return violations_digest(res.violations, k=5)
 
 
 def q_val_trailing_ws(spark, sf_dir):
@@ -2226,6 +2253,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "val_bitmap": q_val_bitmap,
         "val_bitmap_hist": q_val_bitmap_hist,
+        "violations_digest": q_violations_digest,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3411,6 +3439,32 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # the digest's exemplar rule (k lowest rows per check) and exact
+        # totals, over the same 4-check schema as the bitmap gates;
+        # check_id strings mirror the engine's "{col}#{seq}:{Type}" format
+        "violations_digest": """
+WITH v AS (
+  SELECT o_orderkey AS row, 'o_totalprice' AS "column",
+         CAST(o_totalprice AS VARCHAR) AS value,
+         'was not in the range [1000, 300000)' AS message,
+         'o_totalprice#0:InRangeValidation' AS check_id
+  FROM orders WHERE NOT (o_totalprice >= 1000 AND o_totalprice < 300000)
+  UNION ALL
+  SELECT o_orderkey, 'o_orderstatus', o_orderstatus,
+         'is not in the list of legal options (F, O)',
+         'o_orderstatus#1:InListValidation'
+  FROM orders WHERE o_orderstatus NOT IN ('F','O')
+  UNION ALL
+  SELECT o_orderkey, 'o_orderpriority', o_orderpriority,
+         'does not match the pattern "^[12]-"',
+         'o_orderpriority#2:MatchesPatternValidation'
+  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[12]-')),
+c AS (SELECT check_id, CAST(count(*) AS BIGINT) AS total_fails FROM v GROUP BY 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY check_id ORDER BY row) AS rn FROM v)
+SELECT r.check_id, r."column", r.message, c.total_fails,
+       CAST(r.rn AS BIGINT) AS rn, r.row, r.value
+FROM r JOIN c USING (check_id) WHERE r.rn <= 5
 """,
         # mirrors _bitmap_schema() bit-for-bit: bit order = schema check
         # order; popcount cast to INT to match Spark's bit_count type
