@@ -230,6 +230,16 @@ def q_violations_digest(spark, sf_dir):
     return violations_digest(res.violations, k=5)
 
 
+def q_agg_distinct_kmv(spark, sf_dir):
+    """KMV distinct-cardinality sketch: deterministic (md5 k-set) so the
+    ESTIMATE itself is oracle-gated; no full distinct shuffle — batch-local
+    pre-reduce + one tiny exchange of fixed-width hex strings."""
+    from pandasschema_spark.operators.sketch import kmv_distinct
+
+    df = _t(spark, sf_dir, "orders")
+    return kmv_distinct(df, ["o_orderkey", "o_custkey", "o_orderpriority"], k=1024)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2254,6 +2264,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_bitmap": q_val_bitmap,
         "val_bitmap_hist": q_val_bitmap_hist,
         "violations_digest": q_violations_digest,
+        "agg_distinct_kmv": q_agg_distinct_kmv,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3439,6 +3450,38 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # rebuilds the identical md5 k-set per column; lexicographic order
+        # on 16-hex-char strings == numeric order; the estimate is exact
+        # HUGEINT floor division of the same closed form the driver
+        # computes in Python ints
+        "agg_distinct_kmv": """
+WITH k_ok AS (SELECT h FROM (SELECT DISTINCT substr(md5(CAST(o_orderkey AS VARCHAR)),1,16) AS h
+                             FROM orders WHERE o_orderkey IS NOT NULL) ORDER BY h LIMIT 1024),
+k_ck AS (SELECT h FROM (SELECT DISTINCT substr(md5(CAST(o_custkey AS VARCHAR)),1,16) AS h
+                        FROM orders WHERE o_custkey IS NOT NULL) ORDER BY h LIMIT 1024),
+k_pr AS (SELECT h FROM (SELECT DISTINCT substr(md5(CAST(o_orderpriority AS VARCHAR)),1,16) AS h
+                        FROM orders WHERE o_orderpriority IS NOT NULL) ORDER BY h LIMIT 1024)
+SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_kept,
+       CASE WHEN count(*) >= 1024 THEN max(h) END AS kth_min,
+       CAST(CASE WHEN count(*) < 1024 THEN count(*)
+            ELSE (1023::HUGEINT * 18446744073709551616::HUGEINT)
+                 // greatest(CAST('0x' || max(h) AS UBIGINT), 1) END AS BIGINT) AS est_distinct
+FROM k_ok
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CASE WHEN count(*) >= 1024 THEN max(h) END,
+       CAST(CASE WHEN count(*) < 1024 THEN count(*)
+            ELSE (1023::HUGEINT * 18446744073709551616::HUGEINT)
+                 // greatest(CAST('0x' || max(h) AS UBIGINT), 1) END AS BIGINT)
+FROM k_ck
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CASE WHEN count(*) >= 1024 THEN max(h) END,
+       CAST(CASE WHEN count(*) < 1024 THEN count(*)
+            ELSE (1023::HUGEINT * 18446744073709551616::HUGEINT)
+                 // greatest(CAST('0x' || max(h) AS UBIGINT), 1) END AS BIGINT)
+FROM k_pr
 """,
         # the digest's exemplar rule (k lowest rows per check) and exact
         # totals, over the same 4-check schema as the bitmap gates;

@@ -1,0 +1,86 @@
+"""KMV distinct sketch: exact small-cardinality branch, estimator accuracy,
+batch-size invariance, null handling."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from pandasschema_spark.operators.sketch import kmv_distinct
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        Row(
+            uid=i % 5000,          # 5000 distinct
+            cat="c{}".format(i % 7),  # 7 distinct
+            maybe=(None if i % 3 == 0 else i % 11),
+        )
+        for i in range(20000)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _by_col(df):
+    return {r["column"]: r for r in df.collect()}
+
+
+def test_exact_branch_small_cardinality(frame):
+    got = _by_col(kmv_distinct(frame, ["cat", "maybe"], k=64))
+    assert got["cat"]["n_kept"] == 7
+    assert got["cat"]["est_distinct"] == 7
+    assert got["cat"]["kth_min"] is None
+    # nulls excluded: the 11 mod-11 residues all appear among i%3!=0 rows
+    assert got["maybe"]["est_distinct"] == 11 and got["maybe"]["n_kept"] == 11
+
+
+def test_estimator_within_kmv_error(frame):
+    got = _by_col(kmv_distinct(frame, ["uid"], k=256))
+    r = got["uid"]
+    assert r["n_kept"] == 256
+    assert r["kth_min"] is not None and len(r["kth_min"]) == 16
+    # stderr ~ 1/sqrt(k-2) ~ 6.3%; 4 sigma deterministic bound
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_estimator_matches_closed_form(frame):
+    """The k-set and estimate are a pure function of the data: recompute
+    them in plain Python from the same md5 rule."""
+    k = 128
+    hs = sorted({hashlib.md5(str(u).encode()).hexdigest()[:16] for u in range(5000)})
+    h_k = int(hs[k - 1], 16)
+    expected = (k - 1) * (1 << 64) // h_k
+    got = _by_col(kmv_distinct(frame, ["uid"], k=k))["uid"]
+    assert got["kth_min"] == hs[k - 1]
+    assert got["est_distinct"] == expected
+
+
+def test_batch_size_invariance(frame, spark):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    base = {r["column"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+            for r in kmv_distinct(frame, ["uid", "cat"], k=64).collect()}
+    spark.conf.set(key, "7")
+    try:
+        small = {r["column"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+                 for r in kmv_distinct(frame, ["uid", "cat"], k=64).collect()}
+        assert small == base
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([Row(x=None), Row(x=None)], "x: int")
+    got = _by_col(kmv_distinct(df, ["x"], k=8))
+    assert got["x"]["n_kept"] == 0 and got["x"]["est_distinct"] == 0
+
+
+def test_k_guard(frame):
+    with pytest.raises(ValueError):
+        kmv_distinct(frame, ["uid"], k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(frame, [], k=16)
