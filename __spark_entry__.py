@@ -240,6 +240,17 @@ def q_agg_distinct_kmv(spark, sf_dir):
     return kmv_distinct(df, ["o_orderkey", "o_custkey", "o_orderpriority"], k=1024)
 
 
+def q_table_checksum(spark, sf_dir):
+    """Order/partitioning/engine-independent table fingerprint: mod-2^32
+    md5-chunk sums per column from ONE map-side-combined agg row — the
+    cheap 'did the migration copy every row' primitive; the gate itself
+    is the cross-engine reproduction."""
+    from pandasschema_spark.operators.checksum import table_checksum
+
+    df = _t(spark, sf_dir, "orders")
+    return table_checksum(df, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2265,6 +2276,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_bitmap_hist": q_val_bitmap_hist,
         "violations_digest": q_violations_digest,
         "agg_distinct_kmv": q_agg_distinct_kmv,
+        "table_checksum": q_table_checksum,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3451,6 +3463,20 @@ SELECT doc_id, lang FROM (
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
 """,
+        # the commutative fingerprint re-derived independently: same md5
+        # chunk sums mod 2^32 (DuckDB HUGEINT sum, Spark decimal(38) sum +
+        # driver mod — both exact integers)
+        "table_checksum": "\nUNION ALL\n".join(
+            """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(COALESCE(sum(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)),1,8) AS BIGINT)),0)
+            % 4294967296 AS BIGINT) AS sum_lo,
+       CAST(COALESCE(sum(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)),9,8) AS BIGINT)),0)
+            % 4294967296 AS BIGINT) AS sum_hi
+FROM orders""".format(c=c)
+            for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
+        ),
         # rebuilds the identical md5 k-set per column; lexicographic order
         # on 16-hex-char strings == numeric order; the estimate is exact
         # HUGEINT floor division of the same closed form the driver
