@@ -1031,6 +1031,20 @@ def q_val_crosscolumn_native(spark, sf_dir):
     return _violations(schema, df, ["l_extendedprice"], F.expr(LINEITEM_ROW))
 
 
+def q_audio_triage(spark, sf_dir):
+    """One-pass defect routing: 4 verdicts from a single corpus decode
+    (the scan IS the cost at 100 TB), 1 label/clip, histogram = one
+    map-side-combined agg with min-id exemplars."""
+    from pandasschema_spark.operators.audio import defect_triage
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    t = defect_triage(df)
+    return t.groupBy("label").agg(
+        F.count("*").alias("n_clips"), F.min("clip_id").alias("first_clip")
+    )
+
+
 def q_audio_stats(spark, sf_dir):
     """Per-clip PCM statistics over the audio-defect injection table; the
     oracle-facing projection keeps the closed-form columns (sample/byte
@@ -2277,6 +2291,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_digest": q_violations_digest,
         "agg_distinct_kmv": q_agg_distinct_kmv,
         "table_checksum": q_table_checksum,
+        "audio_triage": q_audio_triage,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -4188,6 +4203,18 @@ SELECT l_orderkey*10 + l_linenumber, 'l_extendedprice',
        CAST(l_extendedprice AS VARCHAR), 'unit price above 2000'
 FROM lineitem WHERE NOT (l_extendedprice <= l_quantity * 2000.0)
 """,
+        # labels re-derived from the injection classes with the triage
+        # precedence (silent > clipped > truncated > half_silent > ok);
+        # zero-padded clip ids make min(i) == min(clip_id)
+        "audio_triage": """
+{fields},
+lab AS (SELECT i, CASE cls WHEN 0 THEN 'silent' WHEN 1 THEN 'clipped'
+                           WHEN 3 THEN 'truncated' WHEN 2 THEN 'half_silent'
+                           ELSE 'ok' END AS label FROM g)
+SELECT label, CAST(count(*) AS BIGINT) AS n_clips,
+       'clip_' || lpad(CAST(min(i) AS VARCHAR), 12, '0') AS first_clip
+FROM lab GROUP BY label
+""".format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_stats": """
 {fields}
 SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,

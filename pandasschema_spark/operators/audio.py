@@ -157,6 +157,68 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, FRAME_STATS_SCHEMA)
 
 
+TRIAGE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("label", T.StringType(), False),
+])
+
+#: defect-label precedence (first match wins); a clip that is both silent
+#: and length-inconsistent reads 'silent' — the upstream fix differs
+TRIAGE_LABELS = ("silent", "clipped", "truncated", "half_silent", "ok")
+
+
+def defect_triage(df: DataFrame, *, id_col: str = "clip_id",
+                  bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                  dur_col: str = "dur_ms", frame_ms: int = 10,
+                  half_silent_ppm: int = 250_000) -> DataFrame:
+    """Per-clip defect label in ONE pass over the corpus bytes:
+    ``silent`` (peak 0), ``clipped`` (any |s| >= 32767), ``truncated``
+    (decoded samples != sr*dur//1000), ``half_silent`` (strict-zero
+    10 ms-frame silence ratio >= ``half_silent_ppm``), else ``ok`` —
+    precedence in that order (TRIAGE_LABELS).
+
+    This is the routing head of an audio QC pipeline: where audio_stats /
+    frame_silence / the length check each re-read the corpus, triage
+    computes all four verdicts from a single decode (at 100 TB the scan
+    IS the cost), emits 1 label/clip, and the label histogram is one
+    map-side-combined agg. All comparisons are integer-exact (same ppm
+    rule as frame_silence), so labels are engine-reproducible.
+    """
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            durs = b[dur_col].to_numpy()
+            out = {"clip_id": [], "label": []}
+            for j in range(len(b)):
+                s = _decode(raws[j])
+                n = int(s.size)
+                expected = int(srs[j]) * int(durs[j]) // 1000
+                a = np.abs(s) if n else None
+                if n == 0 or int(a.max()) == 0:
+                    label = "silent"
+                elif int(a.max()) >= CLIP_MAG:
+                    label = "clipped"
+                elif n != expected:
+                    label = "truncated"
+                else:
+                    fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                    nf = n // fl
+                    if nf:
+                        fr = a[: nf * fl].reshape(nf, fl).max(axis=1)
+                        ppm = 1_000_000 * int((fr < 1).sum()) // nf
+                    else:
+                        ppm = 0
+                    label = "half_silent" if ppm >= half_silent_ppm else "ok"
+                out["clip_id"].append(ids[j])
+                out["label"].append(label)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col, sr_col, dur_col).mapInPandas(gen, TRIAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # segmentation: fixed-duration training windows
 # ---------------------------------------------------------------------------

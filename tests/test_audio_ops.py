@@ -421,3 +421,30 @@ def test_decode_pcm_odd_length_truncates(spark):
         "clip_id string, bytes binary, sr_hz int")
     (row,) = audio_stats(df).collect()
     assert row["n_samples"] == 3 and row["len_bytes"] == 7
+
+
+def test_defect_triage_labels(spark, quality_df):
+    """One-pass triage reproduces the injection classes with the
+    documented precedence; clean rows read ok."""
+    from pandasschema_spark.operators.audio import defect_triage
+
+    got = {r["clip_id"]: r["label"] for r in defect_triage(quality_df).collect()}
+    assert len(got) == N
+    expected_cls = {0: "silent", 1: "clipped", 2: "half_silent", 3: "truncated"}
+    for i in range(N):
+        cid = "clip_{:012d}".format(i)
+        cls = audio_injected_class(i)
+        want = expected_cls.get(cls, "ok")
+        assert got[cid] == want, (i, cls, got[cid], want)
+
+
+def test_defect_triage_degenerate_rows(spark):
+    """NULL / sub-sample payloads label silent instead of raising."""
+    from pandasschema_spark.operators.audio import defect_triage
+
+    df = spark.createDataFrame(
+        [("a", None, 8000, 40), ("b", b"\x01", 8000, 40)],
+        "clip_id: string, bytes: binary, sr_hz: int, dur_ms: int",
+    )
+    got = {r["clip_id"]: r["label"] for r in defect_triage(df).collect()}
+    assert got == {"a": "silent", "b": "silent"}
