@@ -251,6 +251,15 @@ def q_table_checksum(spark, sf_dir):
     return table_checksum(df, ["o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+def q_table_checksum_by(spark, sf_dir):
+    """Bucketed fingerprint: bisect WHICH slice of the keyspace diverged
+    between two copies — one groupBy(md5-bucket) agg, fully in-plan."""
+    from pandasschema_spark.operators.checksum import table_checksum_by
+
+    df = _t(spark, sf_dir, "orders")
+    return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2292,6 +2301,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_kmv": q_agg_distinct_kmv,
         "table_checksum": q_table_checksum,
         "audio_triage": q_audio_triage,
+        "table_checksum_by": q_table_checksum_by,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3478,6 +3488,21 @@ SELECT doc_id, lang FROM (
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
 """,
+        # bucketed fingerprint: identical md5 bucket rule + chunk sums,
+        # grouped — bucket sums roll up to the table_checksum sums
+        "table_checksum_by": "\nUNION ALL\n".join(
+            """
+SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+           AS bucket,
+       '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(COALESCE(sum(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)),1,8) AS BIGINT)),0)
+            % 4294967296 AS BIGINT) AS sum_lo,
+       CAST(COALESCE(sum(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)),9,8) AS BIGINT)),0)
+            % 4294967296 AS BIGINT) AS sum_hi
+FROM orders GROUP BY 1""".format(c=c)
+            for c in ["o_orderstatus", "o_totalprice"]
+        ),
         # the commutative fingerprint re-derived independently: same md5
         # chunk sums mod 2^32 (DuckDB HUGEINT sum, Spark decimal(38) sum +
         # driver mod — both exact integers)

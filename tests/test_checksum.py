@@ -61,3 +61,34 @@ def test_empty_table(spark):
 def test_cols_guard(frame):
     with pytest.raises(ValueError):
         table_checksum(frame, [])
+
+
+def test_bucketed_rolls_up_to_table_checksum(frame):
+    from pandasschema_spark.operators.checksum import table_checksum_by
+
+    per = table_checksum_by(frame, "k", ["k", "s"], buckets=8).collect()
+    table = {r["column"]: r for r in table_checksum(frame, ["k", "s"]).collect()}
+    roll = {}
+    for r in per:
+        c = r["column"]
+        n, nn, lo, hi = roll.get(c, (0, 0, 0, 0))
+        roll[c] = (n + r["n_rows"], nn + r["n_nulls"], lo + r["sum_lo"], hi + r["sum_hi"])
+    for c, (n, nn, lo, hi) in roll.items():
+        t = table[c]
+        assert n == t["n_rows"] and nn == t["n_nulls"]
+        assert lo % (1 << 32) == t["sum_lo"] and hi % (1 << 32) == t["sum_hi"]
+
+
+def test_bucketed_localizes_divergence(frame):
+    from pyspark.sql import functions as F
+    from pandasschema_spark.operators.checksum import table_checksum_by
+
+    mutated = frame.withColumn(
+        "s", F.when(F.col("k") == 77, F.lit("tampered")).otherwise(F.col("s"))
+    )
+    a = {(r["bucket"], r["column"]): (r["sum_lo"], r["sum_hi"])
+         for r in table_checksum_by(frame, "k", ["s"], buckets=8).collect()}
+    b = {(r["bucket"], r["column"]): (r["sum_lo"], r["sum_hi"])
+         for r in table_checksum_by(mutated, "k", ["s"], buckets=8).collect()}
+    diff = [key for key in a if a[key] != b.get(key)]
+    assert len(diff) == 1  # exactly the bucket holding k=77
