@@ -260,6 +260,17 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_stats_coercion(spark, sf_dir):
+    """Type-coercion audit: which columns LOOK like ints/decimals/dates/
+    JSON (anchored shape regexes shared literally with the oracle — never
+    TRY_CAST, whose edge semantics differ between engines); one scan, one
+    map-side-combined agg row, long form via row-local struct explode."""
+    from pandasschema_spark.operators.profile import coercion_profile
+
+    df = _t(spark, sf_dir, "events")
+    return coercion_profile(df, ["props", "event_type", "user_id", "value"])
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2302,6 +2313,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
+        "stats_coercion": q_stats_coercion,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3488,6 +3500,27 @@ SELECT doc_id, lang FROM (
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
 """,
+        # the same anchored shape regexes as COERCION_PATTERNS, applied to
+        # each engine's own string rendering (both renderings of a double
+        # are decimal_like and nothing else, so counts agree)
+        "stats_coercion": "\nUNION ALL\n".join(
+            """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(coalesce(sum(CASE WHEN {c} IS NOT NULL
+                AND length(CAST({c} AS VARCHAR)) = 0 THEN 1 END), 0) AS BIGINT) AS n_empty,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(CAST({c} AS VARCHAR),
+                '^[+-]?[0-9]+$') THEN 1 END), 0) AS BIGINT) AS n_int_like,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(CAST({c} AS VARCHAR),
+                '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$')
+                THEN 1 END), 0) AS BIGINT) AS n_decimal_like,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(CAST({c} AS VARCHAR),
+                '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 1 END), 0) AS BIGINT) AS n_date_like,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(CAST({c} AS VARCHAR),
+                '^[\\[{{].*[\\]}}]$') THEN 1 END), 0) AS BIGINT) AS n_json_like
+FROM events""".format(c=c)
+            for c in ["props", "event_type", "user_id", "value"]
+        ),
         # bucketed fingerprint: identical md5 bucket rule + chunk sums,
         # grouped — bucket sums roll up to the table_checksum sums
         "table_checksum_by": "\nUNION ALL\n".join(

@@ -74,3 +74,62 @@ def column_profile(
         for c in columns
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+#: coercion-profile patterns — shared LITERALLY with the DuckDB oracle
+#: (plain anchored character-class regexes that mean the same thing in
+#: Java regex and RE2); "would CAST succeed" is deliberately NOT the
+#: definition (TRY_CAST edge semantics differ between engines — '1e5',
+#: whitespace, '2024-02-30' — a gate must not depend on them)
+COERCION_PATTERNS = {
+    "int_like": r"^[+-]?[0-9]+$",
+    "decimal_like": r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$",
+    "date_like": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "json_like": r"^[\[{].*[\]}]$",
+}
+
+
+def coercion_profile(df: DataFrame, cols: typing.Sequence[str]) -> DataFrame:
+    """Schema-inference audit: per column, how many values LOOK like an
+    int / decimal / date / JSON document, plus null and empty counts —
+    (column, n_rows, n_nulls, n_empty, n_int_like, n_decimal_like,
+    n_date_like, n_json_like). The "95% of this string column is integers
+    — the 5% are the bug" signal that decides whether a CanConvert gate
+    is worth adding, computed for every column in ONE scan + ONE
+    map-side-combined aggregate row (row-local rlike predicates, no UDF),
+    then a row-local struct explode to long form. Values are profiled on
+    their string rendering, so numeric columns audit their formatting.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("__p{}_null".format(i)))
+        aggs.append(
+            F.sum(F.when(s.isNotNull() & (F.length(s) == 0), 1).otherwise(0)).alias(
+                "__p{}_empty".format(i)
+            )
+        )
+        for name, pat in COERCION_PATTERNS.items():
+            aggs.append(
+                F.sum(F.when(s.rlike(pat), 1).otherwise(0)).alias("__p{}_{}".format(i, name))
+            )
+    g = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(cols):
+        fields = [
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__p{}_null".format(i)).cast("long").alias("n_nulls"),
+            F.col("__p{}_empty".format(i)).cast("long").alias("n_empty"),
+        ]
+        for name in COERCION_PATTERNS:
+            fields.append(F.col("__p{}_{}".format(i, name)).cast("long").alias("n_" + name))
+        structs.append(F.struct(*fields))
+    out_cols = ["column", "n_rows", "n_nulls", "n_empty"] + [
+        "n_" + n for n in COERCION_PATTERNS
+    ]
+    return g.select(F.explode(F.array(*structs)).alias("v")).select(
+        *["v." + c for c in out_cols]
+    )

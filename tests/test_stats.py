@@ -95,3 +95,36 @@ def test_population_stability_index(spark):
     # one-sided empty category goes through the epsilon floor, not a crash
     skew = spark.createDataFrame([(9,)] * 50, "v int")
     assert population_stability_index(ref2, skew, "v").drifted
+
+
+def test_coercion_profile_counts(spark):
+    from pandasschema_spark.operators.profile import coercion_profile
+
+    df = spark.createDataFrame(
+        [
+            ("1", '{"a": 2}', "x"),
+            ("2.5", None, ""),
+            ("-3", "[1, 2]", "2024-01-02"),
+            ("+4e2", "{}", "not-a-date"),
+            (None, "{broken", "2024-13-99"),
+        ],
+        "a: string, b: string, c: string",
+    )
+    got = {r["column"]: r.asDict() for r in coercion_profile(df, ["a", "b", "c"]).collect()}
+    assert got["a"] == {"column": "a", "n_rows": 5, "n_nulls": 1, "n_empty": 0,
+                        "n_int_like": 2, "n_decimal_like": 4, "n_date_like": 0,
+                        "n_json_like": 0}
+    assert got["b"]["n_json_like"] == 3  # {"a": 2}, [1, 2], {} — not {broken
+    assert got["b"]["n_nulls"] == 1
+    # date_like is a SHAPE check by design (2024-13-99 matches)
+    assert got["c"]["n_date_like"] == 2
+    assert got["c"]["n_empty"] == 1
+
+
+def test_coercion_profile_non_string_columns(spark):
+    from pandasschema_spark.operators.profile import coercion_profile
+
+    df = spark.createDataFrame([(1, 2.5), (22, None)], "i: bigint, d: double")
+    got = {r["column"]: r.asDict() for r in coercion_profile(df, ["i", "d"]).collect()}
+    assert got["i"]["n_int_like"] == 2 and got["i"]["n_decimal_like"] == 2
+    assert got["d"]["n_int_like"] == 0 and got["d"]["n_decimal_like"] == 1
