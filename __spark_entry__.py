@@ -271,6 +271,17 @@ def q_stats_coercion(spark, sf_dir):
     return coercion_profile(df, ["props", "event_type", "user_id", "value"])
 
 
+def q_val_timeline(spark, sf_dir):
+    """Zero-filled 10-minute event timeline — the collection-outage
+    detector (sf0.01 has real holes; sf0.1 attests the dense-count path);
+    events reduce to one map-side-combined bucket count, spine is a
+    distributed range, fill join broadcasts the counts."""
+    from pandasschema_spark.operators.sessions import timeline_completeness
+
+    df = _t(spark, sf_dir, "events")
+    return timeline_completeness(df, "ts", bucket_s=600)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2314,6 +2325,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
         "stats_coercion": q_stats_coercion,
+        "val_timeline": q_val_timeline,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3499,6 +3511,18 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # integer epoch-second buckets (floor to 600) — no timestamp
+        # rendering/timezone semantics cross the engine boundary; the
+        # spine is the same closed range both sides
+        "val_timeline": """
+WITH c AS (SELECT epoch_us(ts) // 600000000 * 600 AS bucket_start,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+lim AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM c),
+spine AS (SELECT unnest(range(lo, hi + 600, 600)) AS bucket_start FROM lim)
+SELECT s.bucket_start, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN c USING (bucket_start)
 """,
         # the same anchored shape regexes as COERCION_PATTERNS, applied to
         # each engine's own string rendering (both renderings of a double

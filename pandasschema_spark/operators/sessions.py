@@ -333,3 +333,55 @@ def event_transitions(
               .where(F.col("from_type").isNotNull())
               .groupBy("from_type", "to_type")
               .agg(F.count(F.lit(1)).alias("n")))
+
+
+def timeline_completeness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 600,
+    max_buckets: int = 10_000_000,
+) -> DataFrame:
+    """Zero-filled event timeline: (bucket_start epoch-seconds, n_events)
+    for EVERY ``bucket_s``-second bucket between the first and last event
+    — the data-outage detector (a bucket with n_events = 0 inside the
+    span is a collection hole that per-row validation can never see,
+    because the missing rows aren't there to fail a check).
+
+    Scale shape: the events reduce to one map-side-combined
+    groupBy(bucket) count (output = #non-empty buckets, not rows); the
+    spine is a distributed ``spark.range`` over the span (never an
+    explode of one driver row), and the fill join broadcasts the count
+    side. Span and bucket count are O(1) driver math from a single
+    min/max agg row; ``max_buckets`` guards a pathological span/bucket
+    combination loudly instead of materializing a runaway spine. Buckets
+    are integer epoch seconds (floor to ``bucket_s``) — no timestamp
+    rendering or timezone semantics cross any engine boundary.
+    """
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")  # NTZ-safe (see _epoch_us)
+    b = (sec - (sec % F.lit(bucket_s))).alias("bucket_start")
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(b)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    lim = counts.agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")).collect()[0]
+    spark = df.sparkSession
+    if lim["lo"] is None:
+        return spark.createDataFrame([], "bucket_start: bigint, n_events: bigint")
+    lo, hi = int(lim["lo"]), int(lim["hi"])
+    n_buckets = (hi - lo) // bucket_s + 1
+    if n_buckets > max_buckets:
+        raise ValueError(
+            "timeline spans {} buckets > max_buckets={}; raise bucket_s "
+            "or max_buckets".format(n_buckets, max_buckets)
+        )
+    spine = spark.range(lo, hi + bucket_s, bucket_s).select(F.col("id").alias("bucket_start"))
+    return (
+        spine.join(F.broadcast(counts), "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

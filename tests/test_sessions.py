@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pandasschema_spark import Column, Schema
@@ -163,3 +165,27 @@ def test_ordering_violations(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
     out = ordering_violations(df).collect()
     assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 2)]
+
+
+def test_timeline_completeness_zero_fill(spark):
+    from pandasschema_spark.operators.sessions import timeline_completeness
+
+    df = spark.createDataFrame(
+        [(i,) for i in (0, 5, 65, 250, 251, None)], "s: long"
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    got = {r["bucket_start"]: r["n_events"]
+           for r in timeline_completeness(df, bucket_s=60).collect()}
+    # span 0..240, five 60 s buckets; 120 and 180 are holes
+    assert got == {0: 2, 60: 1, 120: 0, 180: 0, 240: 2}
+
+
+def test_timeline_completeness_guards(spark):
+    from pandasschema_spark.operators.sessions import timeline_completeness
+
+    df = spark.createDataFrame([(0,), (10_000_000,)], "s: long").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        timeline_completeness(df, bucket_s=1, max_buckets=1000)
+    empty = spark.createDataFrame([], "ts: timestamp")
+    assert timeline_completeness(empty).count() == 0
