@@ -282,6 +282,28 @@ def q_val_timeline(spark, sf_dir):
     return timeline_completeness(df, "ts", bucket_s=600)
 
 
+def q_embedding_validate(spark, sf_dir):
+    """Embedding QC (wrong dim / NaN / zero vector) over deterministically
+    injected defects — codegen-clean NaN detection via Spark's
+    NaN-is-largest array_max ordering, no HOF lambdas, zero shuffle."""
+    from pandasschema_spark.operators.similarity import embedding_validate
+
+    df = _t(spark, sf_dir, "embeddings")
+    nan_f = F.lit(float("nan")).cast("float")
+    injected = df.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.slice("embedding", 1, 63))
+        .when(
+            F.col("vec_id") % 11 == 0,
+            F.concat(F.slice("embedding", 1, 63), F.array(nan_f)),
+        )
+        .when(F.col("vec_id") % 13 == 0, F.array_repeat(F.lit(0.0).cast("float"), 64))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return embedding_validate(injected, dim=64)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2326,6 +2348,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum_by": q_table_checksum_by,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
+        "embedding_validate": q_embedding_validate,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3511,6 +3534,24 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # identical injection CASE order (7 wins over 11/13 on shared
+        # multiples); DuckDB detects NaN via isnan filter where Spark
+        # uses NaN-is-largest array_max — same boolean either way
+        "embedding_validate": """
+WITH e AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 7 = 0 THEN embedding[1:63]
+         WHEN vec_id % 11 = 0 THEN list_append(embedding[1:63], 'NaN'::FLOAT)
+         WHEN vec_id % 13 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+         ELSE embedding END AS emb
+  FROM embeddings),
+f AS (SELECT vec_id, CAST(len(emb) AS INT) AS n_dims,
+        coalesce(len(list_filter(emb, x -> isnan(x))) > 0, false) AS has_nan,
+        coalesce(list_min(emb) = 0 AND list_max(emb) = 0 AND len(emb) > 0, false) AS is_zero
+      FROM e)
+SELECT vec_id, n_dims, has_nan, is_zero
+FROM f WHERE n_dims <> 64 OR has_nan OR is_zero
 """,
         # integer epoch-second buckets (floor to 600) — no timestamp
         # rendering/timezone semantics cross the engine boundary; the

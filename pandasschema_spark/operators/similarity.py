@@ -592,3 +592,40 @@ def embedding_norm_violations(
     if max_norm2_micro is not None:
         cond = cond | (F.col("norm2_micro") > max_norm2_micro)
     return base.where(cond)
+
+
+def embedding_validate(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding QC gate: (id, n_dims, has_nan, is_zero) for every vector
+    that is the wrong dimension, carries a NaN, or is all-zero — the three
+    defects that silently poison ANN/cosine math downstream (a NaN
+    contaminates every dot product it meets; a zero vector has no
+    direction to normalize).
+
+    Row-local and codegen-clean by construction: NO higher-order array
+    functions (F.exists/F.filter lambdas are CodegenFallback) — NaN
+    detection exploits Spark's NaN-is-largest ordering (``array_max`` of
+    a NaN-bearing array IS NaN), zero detection is array_min=array_max=0,
+    dimension is ``size``. One pruned scan -> fused projection -> filter;
+    zero shuffle, embeddings never leave their partitions.
+    """
+    emb = F.col(emb_col)
+    n_dims = F.coalesce(F.size(emb), F.lit(-1))  # NULL embedding -> -1, never filter-silent
+    has_nan = F.coalesce(F.isnan(F.array_max(emb)), F.lit(False))
+    is_zero = F.coalesce(
+        (F.array_min(emb) == 0) & (F.array_max(emb) == 0) & (n_dims > 0), F.lit(False)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_dims.alias("n_dims"),
+            has_nan.alias("has_nan"),
+            is_zero.alias("is_zero"),
+        )
+        .where((F.col("n_dims") != dim) | F.col("has_nan") | F.col("is_zero"))
+    )

@@ -83,3 +83,31 @@ def test_half_bucket_fraction_rounds_up(spark):
         == sorted(r["k"] for r in want.collect())
     lab = assign_splits(df, "k", {"tiny": frac}, denom=denom)
     assert lab.where(F.col("split") == "tiny").count() == want.count()
+
+
+def test_embedding_validate_defects(spark):
+    from pandasschema_spark.operators.similarity import embedding_validate
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0]),                       # wrong dim
+        (3, [float("nan"), 1.0]),         # NaN
+        (4, [0.0, 0.0]),                  # zero vector
+        (5, None),                        # null embedding -> size -1 != dim
+        (6, [0.0, 5.0]),                  # min 0 but not zero vector -> clean
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    got = {r["vec_id"]: (r["n_dims"], r["has_nan"], r["is_zero"])
+           for r in embedding_validate(df, dim=2).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2] == (1, False, False)
+    assert got[3][1] is True
+    assert got[4] == (2, False, True)
+
+
+def test_embedding_validate_plan_codegen_clean(spark):
+    from pandasschema_spark.operators.similarity import embedding_validate
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id: bigint, embedding: array<float>")
+    plan = embedding_validate(df, dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "CodegenFallback" not in plan
