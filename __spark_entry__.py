@@ -304,6 +304,16 @@ def q_embedding_validate(spark, sf_dir):
     return embedding_validate(injected, dim=64)
 
 
+def q_text_chunks(spark, sf_dir):
+    """Training-window prep: overlapping 200-char windows, 150 stride —
+    row-local sequence explode + substring, text never leaves its
+    partition (the text analogue of audio segment/hop)."""
+    from pandasschema_spark.operators.text import text_chunks
+
+    df = _t(spark, sf_dir, "documents")
+    return text_chunks(df, "text", "doc_id", size=200, stride=150)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2349,6 +2359,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
+        "text_chunks": q_text_chunks,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -3534,6 +3545,22 @@ SELECT doc_id, lang FROM (
     FROM documents
 ) WHERE b < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
                       WHEN 'es' THEN 500000 ELSE 100000 END
+""",
+        # same window rule: full windows at i*stride for len>=size, whole
+        # short doc as chunk 0, empties drop; substr is char-based in
+        # both engines
+        "text_chunks": """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+k AS (SELECT doc_id, text,
+             CASE WHEN n >= 200 THEN (n - 200) // 150 + 1 ELSE 1 END AS nc
+      FROM d),
+c AS (SELECT doc_id, unnest(range(nc)) AS ci, text FROM k)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * 150 AS BIGINT) AS chunk_start,
+       substr(text, CAST(ci*150 + 1 AS INT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(ci*150 + 1 AS INT), 200)) AS BIGINT) AS n_chars
+FROM c
 """,
         # identical injection CASE order (7 wins over 11/13 on shared
         # multiples); DuckDB detects NaN via isnan filter where Spark

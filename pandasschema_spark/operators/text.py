@@ -469,3 +469,56 @@ def collocations(
         "w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
         F.col("c_x").cast("long").alias("c_x"),
         F.col("c_y").cast("long").alias("c_y"), "n_tokens")
+
+
+def text_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    size: int = 2048,
+    stride: int = None,
+) -> DataFrame:
+    """Fixed-size overlapping character windows — the text analogue of
+    audio ``segment`` for training-window prep: (id, chunk_idx,
+    chunk_start, chunk_text, n_chars).
+
+    Chunk rule (mirrors segment's hop form): documents with
+    len >= ``size`` emit ``(len - size) // stride + 1`` windows starting
+    at ``i * stride`` (the tail past the last full window is dropped,
+    exactly like audio frames); shorter non-empty documents emit their
+    whole text as chunk 0 (a short document is still a training row —
+    the same fallback convention as the n-gram shingles); NULL/empty
+    text emits nothing.
+
+    Scale shape: row-local explode of an integer ``sequence`` (a regular
+    codegen expression, not a lambda HOF) + substring — the planned row
+    expansion IS the output; no shuffle, text never leaves its
+    partition, and the parquet scan prunes to (id, text).
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    stride = size if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    text = F.col(text_col)
+    n = F.length(text)
+    n_chunks = F.when(n >= size, (n - size) / stride + 1).otherwise(
+        F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    out = (
+        df.select(F.col(id_col), text.alias("__t"), n_chunks.alias("__k"))
+        .where(F.col("__k") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("__k") - 1)).alias("chunk_idx"),
+            F.col("__t"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+            F.substring(F.col("__t"), F.col("chunk_idx") * stride + 1, size).alias("chunk_text"),
+        )
+    )
+    return out.withColumn("n_chars", F.length("chunk_text").cast("long"))

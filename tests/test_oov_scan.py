@@ -1,6 +1,7 @@
 """oov_scan: closed-vocabulary token validation, codegen-clean."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from pandasschema_spark.operators.text import oov_scan
 
@@ -45,3 +46,32 @@ def test_guard_and_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrayFilter" not in plan and "lambdafunction" not in plan.lower()
+
+
+def test_text_chunks_window_rule(spark):
+    from pandasschema_spark.operators.text import text_chunks
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None)], "id: bigint, text: string"
+    )
+    got = [tuple(r) for r in text_chunks(df, "text", "id", size=4, stride=3)
+           .orderBy("id", "chunk_idx").collect()]
+    assert got == [
+        (1, 0, 0, "abcd", 4),
+        (1, 1, 3, "defg", 4),
+        (1, 2, 6, "ghij", 4),
+        (2, 0, 0, "abc", 3),
+    ]
+    # exact-fit: len == size -> one chunk; len == size+stride -> two
+    df2 = spark.createDataFrame([(1, "aaaa"), (2, "aaaaaaa")], "id: bigint, text: string")
+    counts = {r["id"]: r["n"] for r in text_chunks(df2, "text", "id", size=4, stride=3)
+              .groupBy("id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 1, 2: 2}
+
+
+def test_text_chunks_plan_no_shuffle(spark):
+    from pandasschema_spark.operators.text import text_chunks
+
+    df = spark.createDataFrame([(1, "abcd")], "id: bigint, text: string")
+    plan = text_chunks(df, "text", "id", size=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "CodegenFallback" not in plan
