@@ -260,6 +260,28 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_table_diff(spark, sf_dir):
+    """Keyed snapshot diff (the listing step after the checksum proof):
+    right = orders with deterministic planted drift (%101 keys removed,
+    %103 keys' status mutated, %107 keys re-added shifted +1e9) — the
+    diff must name exactly those keys; payloads reduce to md5-chunk
+    digests before the one hash(key) exchange."""
+    from pandasschema_spark.operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice")
+    right = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 107 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("long"))
+    )
+    return table_diff(o, right, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
 def q_stats_coercion(spark, sf_dir):
     """Type-coercion audit: which columns LOOK like ints/decimals/dates/
     JSON (anchored shape regexes shared literally with the oracle — never
@@ -2356,6 +2378,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
+        "table_diff": q_table_diff,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3642,6 +3665,28 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # independent derivation: the oracle diffs the two snapshots by a
+        # FULL OUTER value compare (keys are unique per side here), NOT by
+        # mirroring the engine's digest-sum mechanics — the gate attests
+        # the semantics, not the implementation
+        "table_diff": """
+WITH l AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s,
+                  o_totalprice AS v FROM orders),
+r AS (
+    SELECT k, CASE WHEN k % 103 = 0 THEN 'X' ELSE s END AS s, v
+    FROM l WHERE k % 101 != 0
+    UNION ALL
+    SELECT k + 1000000000, s, v FROM l WHERE k % 107 = 0
+)
+SELECT COALESCE(l.k, r.k) AS o_orderkey,
+       CAST(CASE WHEN l.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_left,
+       CAST(CASE WHEN r.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_right,
+       CASE WHEN r.k IS NULL THEN 'removed'
+            WHEN l.k IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM l FULL JOIN r ON l.k = r.k
+WHERE l.k IS NULL OR r.k IS NULL OR l.s != r.s OR l.v != r.v
+""",
         # rebuilds the identical md5 k-set per column; lexicographic order
         # on 16-hex-char strings == numeric order; the estimate is exact
         # HUGEINT floor division of the same closed form the driver

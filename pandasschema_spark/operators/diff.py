@@ -45,3 +45,80 @@ def violations_diff(
     newly = anti(n, o).withColumn("status", F.lit("new"))
     resolved = anti(o, n).withColumn("status", F.lit("resolved"))
     return newly.unionByName(resolved)
+
+
+_MOD = 1 << 32
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: typing.Sequence[str],
+    compare_cols: typing.Sequence[str],
+) -> DataFrame:
+    """Keyed snapshot diff: (key_cols..., n_left, n_right, status) — one
+    row per key whose row multiset differs between the two tables;
+    status is 'removed' (left only), 'added' (right only), or 'changed'
+    (present in both but payload or copy-count differs). Keys equal on
+    both sides emit nothing, so the output is O(divergence), not O(rows).
+
+    The listing step after :mod:`..operators.checksum`'s equality proof:
+    ``table_checksum`` says WHETHER two copies match, ``table_checksum_by``
+    bisects WHERE, ``table_diff`` names the keys. Payload columns never
+    shuffle — each row reduces to the two 32-bit md5-prefix chunks of its
+    null-sentineled payload rendering (the checksum rule), and the ONE
+    exchange carries (keys, side, 2 x decimal). Per-key comparison is the
+    mod-2^32 SUM of digests per side, so it is multiset-exact w.h.p.
+    (~1-2^-64 per key) and order-independent; a key duplicated twice on
+    one side and once on the other reads 'changed' even with identical
+    payloads. NULL key values group together (groupBy semantics), so a
+    NULL-keyed row compares against its counterpart instead of reading
+    forever-added + forever-removed as a FULL OUTER join would.
+
+    Scale shape: two pruned scans -> union tag -> ONE map-side-combined
+    hash(keys) aggregate -> row-local status CASE. No reference analog
+    (SURVEY.md §2.5 E106).
+    """
+    keys = list(key_cols)
+    cols = list(compare_cols)
+    if not keys or not cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+        h = F.md5(F.concat_ws("\x00", *parts).cast("binary"))
+        return df.select(
+            *keys,
+            F.lit(tag).alias("__side"),
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)").alias("__lo"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("decimal(38,0)").alias("__hi"),
+        )
+
+    u = _side(left, 0).unionByName(_side(right, 1))
+    mod = F.lit(_MOD).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def _s(side: int, col: str) -> F.Column:
+        return F.pmod(
+            F.coalesce(F.sum(F.when(F.col("__side") == side, F.col(col))), zero), mod
+        )
+
+    g = u.groupBy(*keys).agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).cast("long").alias("n_left"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).cast("long").alias("n_right"),
+        _s(0, "__lo").alias("__lo_l"),
+        _s(1, "__lo").alias("__lo_r"),
+        _s(0, "__hi").alias("__hi_l"),
+        _s(1, "__hi").alias("__hi_r"),
+    )
+    differs = (
+        (F.col("n_left") != F.col("n_right"))
+        | (F.col("__lo_l") != F.col("__lo_r"))
+        | (F.col("__hi_l") != F.col("__hi_r"))
+    )
+    status = (
+        F.when(F.col("n_right") == 0, F.lit("removed"))
+        .when(F.col("n_left") == 0, F.lit("added"))
+        .otherwise(F.lit("changed"))
+    )
+    return g.filter(differs).select(*keys, "n_left", "n_right", status.alias("status"))
