@@ -260,6 +260,33 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_val_repair(spark, sf_dir):
+    """Row-local auto-repair audit: planted defects (%89 padded
+    priority, %97 out-of-range totalprice, %101 lowercased status) must
+    be counted per rule by the one-agg summary; the repair projection
+    itself is zero-shuffle (pytest plan-locked, idempotence-locked)."""
+    from pandasschema_spark.operators.repair import RepairRule, repair_summary
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = o.select(
+        F.when(k % 89 == 0, F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" ")))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(k % 97 == 0, F.col("o_totalprice") + 500000.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 101 == 0, F.lower(F.col("o_orderstatus")))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    return repair_summary(
+        dirty,
+        (
+            RepairRule("o_orderpriority", "trim"),
+            RepairRule("o_totalprice", "clamp", lo=1.0, hi=500000.0),
+            RepairRule("o_orderstatus", "case_to_list", allowed=("O", "F", "P")),
+        ),
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Keyed snapshot diff (the listing step after the checksum proof):
     right = orders with deterministic planted drift (%101 keys removed,
@@ -2379,6 +2406,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
         "table_diff": q_table_diff,
+        "val_repair": q_val_repair,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3665,6 +3693,36 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # mirrors the planted-defect injection, then counts each rule's
+        # would-change predicate over the staged (trim-sees-raw) frame
+        "val_repair": """
+WITH inj AS (
+  SELECT CASE WHEN o_orderkey % 89 = 0
+              THEN '  ' || o_orderpriority || ' ' ELSE o_orderpriority END AS p,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN o_totalprice + 500000.0 ELSE o_totalprice END AS v,
+         CASE WHEN o_orderkey % 101 = 0
+              THEN lower(o_orderstatus) ELSE o_orderstatus END AS s
+  FROM orders)
+SELECT 'o_orderpriority:trim' AS rule, 'o_orderpriority' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p IS NOT NULL AND p != trim(p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_applied
+FROM inj
+UNION ALL
+SELECT 'o_totalprice:clamp', 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v IS NOT NULL AND (v < 1.0 OR v > 500000.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM inj
+UNION ALL
+SELECT 'o_orderstatus:case_to_list', 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s IS NOT NULL AND s != (
+                  CASE WHEN lower(s) = 'o' THEN 'O'
+                       WHEN lower(s) = 'f' THEN 'F'
+                       WHEN lower(s) = 'p' THEN 'P' ELSE s END)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM inj
+""",
         # independent derivation: the oracle diffs the two snapshots by a
         # FULL OUTER value compare (keys are unique per side here), NOT by
         # mirroring the engine's digest-sum mechanics — the gate attests
