@@ -260,6 +260,34 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+FILE_AUDIT_DIR = "/tmp/psf_file_audit_gate"
+FILE_AUDIT_SIZES = (1200, 1800, 900)  # part-001 carries extra poison
+
+
+def q_ingest_file_audit(spark, sf_dir):
+    """Per-source-file bad-shard audit: three closed-form CSV shards,
+    bad rows planted at i%17==3 everywhere plus i%5==0 in part-001 only
+    — the audit must show part-001's elevated bad_ppm; oracle re-derives
+    every per-file count from the generation rule alone."""
+    import shutil
+
+    from pandasschema_spark.operators.profile import file_audit
+
+    shutil.rmtree(FILE_AUDIT_DIR, ignore_errors=True)
+    os.makedirs(FILE_AUDIT_DIR)
+    lo = 0
+    for fidx, n in enumerate(FILE_AUDIT_SIZES):
+        with open(os.path.join(FILE_AUDIT_DIR, "part-{:03d}.csv".format(fidx)), "w") as fh:
+            fh.write("clip_id,sr_hz\n")
+            for i in range(lo, lo + n):
+                bad = i % 17 == 3 or (fidx == 1 and i % 5 == 0)
+                fh.write("clip{},{}\n".format(i, 12345 if bad else 16000))
+        lo += n
+    df = spark.read.options(header=True).csv(FILE_AUDIT_DIR)
+    return file_audit(
+        df, ~F.col("sr_hz").isin("8000", "16000", "44100", "48000"))
+
+
 def q_val_repair(spark, sf_dir):
     """Row-local auto-repair audit: planted defects (%89 padded
     priority, %97 out-of-range totalprice, %101 lowercased status) must
@@ -2407,6 +2435,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum_by": q_table_checksum_by,
         "table_diff": q_table_diff,
         "val_repair": q_val_repair,
+        "ingest_file_audit": q_ingest_file_audit,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3693,6 +3722,22 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # closed-form: per-file counts derived from the shard-generation
+        # rule alone (sizes + %17/%5 plants) — any provenance-grouping
+        # drift in the engine hash-fails
+        "ingest_file_audit": """
+WITH files(f, lo, hi) AS (VALUES ('part-000.csv', 0, 1200),
+                                 ('part-001.csv', 1200, 3000),
+                                 ('part-002.csv', 3000, 3900)),
+r AS (SELECT range AS i FROM range(0, 3900)),
+j AS (SELECT f, CASE WHEN i % 17 = 3 OR (f = 'part-001.csv' AND i % 5 = 0)
+                     THEN 1 ELSE 0 END AS bad
+      FROM files JOIN r ON i >= lo AND i < hi)
+SELECT f AS source_file, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bad) AS BIGINT) AS n_bad,
+       CAST(sum(bad) * 1000000 // count(*) AS BIGINT) AS bad_ppm
+FROM j GROUP BY f
+""",
         # mirrors the planted-defect injection, then counts each rule's
         # would-change predicate over the staged (trim-sees-raw) frame
         "val_repair": """

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import typing
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column as SparkColumn, DataFrame, functions as F
 
 from ..validation import is_numeric_spark_type
 
@@ -132,4 +132,46 @@ def coercion_profile(df: DataFrame, cols: typing.Sequence[str]) -> DataFrame:
     ]
     return g.select(F.explode(F.array(*structs)).alias("v")).select(
         *["v." + c for c in out_cols]
+    )
+
+
+def file_audit(
+    df: DataFrame,
+    bad_pred: SparkColumn,
+    *,
+    file_col: typing.Optional[str] = None,
+    basename_only: bool = True,
+) -> DataFrame:
+    """Per-source-file quality audit: (source_file, n_rows, n_bad,
+    bad_ppm) — the bad-shard detector. A corrupt upstream writer usually
+    poisons whole FILES (a truncated shard, one exporter running an old
+    version), and per-row validation totals hide that structure; grouping
+    the violation predicate by provenance names the offending shard
+    directly, which is the delete/re-export decision a 100 TB ingest
+    actually takes.
+
+    ``bad_pred`` is any row-local boolean (a compiled schema bitmap != 0,
+    a single check, a coercion-shape predicate). Provenance comes from
+    ``file_col`` if given, else ``input_file_name()`` (valid only on
+    frames still backed by a file scan — raises at analysis time
+    otherwise, never silently empty). ``basename_only`` strips the
+    directory so output is stable across mount points / bucket prefixes.
+
+    Scale shape: ONE scan with the predicate fused in -> ONE
+    map-side-combined groupBy(file) agg -> O(files) rows; bad_ppm is
+    integer math (n_bad * 1e6 // n_rows). No skew beyond file sizes
+    themselves — exactly the thing the audit reports.
+    """
+    src = F.col(file_col) if file_col else F.input_file_name()
+    if basename_only:
+        src = F.element_at(F.split(src, "/"), -1)
+    g = df.groupBy(src.alias("source_file")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(bad_pred, 1).otherwise(0)).cast("long").alias("n_bad"),
+    )
+    return g.select(
+        "source_file",
+        "n_rows",
+        "n_bad",
+        F.expr("CAST((n_bad * 1000000) DIV n_rows AS BIGINT)").alias("bad_ppm"),
     )
