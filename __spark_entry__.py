@@ -260,6 +260,38 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+LAYOUT_GATE_DIR = "/tmp/psf_layout_gate"
+
+
+def q_layout_audit(spark, sf_dir):
+    """Clustering-quality audit over four deterministically written
+    parquet files (two disjoint, one straddling both, one far away):
+    per-file value ranges + interval-overlap counts; the oracle counts
+    overlaps by an independent self-join over the same planted ranges
+    (the engine uses an O(F log F) bisect sweep, never pairwise)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandasschema_spark.operators.layout import layout_audit
+
+    shutil.rmtree(LAYOUT_GATE_DIR, ignore_errors=True)
+    os.makedirs(LAYOUT_GATE_DIR)
+    spans = {
+        "f0.parquet": range(0, 1000),
+        "f1.parquet": range(1000, 2000),
+        "f2.parquet": range(500, 1501),
+        "f3.parquet": range(3000, 3500),
+    }
+    for name, vals in spans.items():
+        pq.write_table(
+            pa.table({"v": pa.array(list(vals), pa.int64())}),
+            os.path.join(LAYOUT_GATE_DIR, name),
+        )
+    return layout_audit(spark.read.parquet(LAYOUT_GATE_DIR), "v")
+
+
 FILE_AUDIT_DIR = "/tmp/psf_file_audit_gate"
 FILE_AUDIT_SIZES = (1200, 1800, 900)  # part-001 carries extra poison
 
@@ -2436,6 +2468,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "val_repair": q_val_repair,
         "ingest_file_audit": q_ingest_file_audit,
+        "layout_audit": q_layout_audit,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3722,6 +3755,23 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # ranges fixed by the gate's own file writes; the OVERLAP count is
+        # derived independently by a pairwise self-join (engine: bisect
+        # sweep)
+        "layout_audit": """
+WITH f(source_file, n_rows, min_v, max_v) AS (VALUES
+  ('f0.parquet', 1000, 0, 999),
+  ('f1.parquet', 1000, 1000, 1999),
+  ('f2.parquet', 1001, 500, 1500),
+  ('f3.parquet', 500, 3000, 3499))
+SELECT a.source_file, CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(a.min_v AS BIGINT) AS min_v, CAST(a.max_v AS BIGINT) AS max_v,
+       CAST((SELECT count(*) FROM f b
+             WHERE b.source_file != a.source_file
+               AND b.min_v <= a.max_v AND b.max_v >= a.min_v)
+            AS BIGINT) AS n_overlaps
+FROM f a
+""",
         # closed-form: per-file counts derived from the shard-generation
         # rule alone (sizes + %17/%5 plants) — any provenance-grouping
         # drift in the engine hash-fails
