@@ -260,6 +260,19 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_audio_pack_audit(spark, sf_dir):
+    """Length-bucket batch-packing waste over the 20k metadata clips
+    (ladder 50/100/150 ms; durations run 40-200 ms plus the %997 cls-2
+    zero-duration injection, so every rung AND the overflow set bind):
+    metadata-only scan, row-local CASE ladder, one agg; the oracle
+    re-derives every duration from the sha256 clip_fields rule."""
+    from pandasschema_spark.operators.audio import pack_audit
+    from pandasschema_spark.sources.datagen import clips_df
+
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False)
+    return pack_audit(df, (50, 100, 150), dur_col="dur_ms")
+
+
 LAYOUT_GATE_DIR = "/tmp/psf_layout_gate"
 
 
@@ -2469,6 +2482,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_repair": q_val_repair,
         "ingest_file_audit": q_ingest_file_audit,
         "layout_audit": q_layout_audit,
+        "audio_pack_audit": q_audio_pack_audit,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3755,6 +3769,31 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # every duration re-derived from the sha256 clip_fields rule incl.
+        # the %997 cls-2 zero-duration injection; ladder + integer pad math
+        # mirrored
+        "audio_pack_audit": """
+WITH f AS (
+  SELECT i,
+    40 + ((CAST(concat('0x', substr(sha256('42:' || i), 3, 2)) AS INT)
+           + 256 * CAST(concat('0x', substr(sha256('42:' || i), 5, 2)) AS INT)) % 161) AS dur0,
+    CASE WHEN i > 0 AND i % 997 = 0 THEN (i // 997) % 6 ELSE -1 END AS cls
+  FROM range(0, 20000) t(i)),
+d AS (SELECT CASE WHEN cls = 2 THEN 0 ELSE dur0 END AS dur FROM f),
+b AS (SELECT dur,
+             CASE WHEN dur <= 50 THEN 50 WHEN dur <= 100 THEN 100
+                  WHEN dur <= 150 THEN 150 ELSE NULL END AS bucket_ms FROM d),
+g AS (SELECT bucket_ms, CAST(count(*) AS BIGINT) AS n_clips,
+             CAST(sum(dur) AS BIGINT) AS sum_dur_ms
+      FROM b GROUP BY bucket_ms)
+SELECT CAST(bucket_ms AS BIGINT) AS bucket_ms, n_clips, sum_dur_ms,
+       CASE WHEN bucket_ms IS NOT NULL
+            THEN CAST(bucket_ms * n_clips - sum_dur_ms AS BIGINT) END AS pad_ms,
+       CASE WHEN bucket_ms IS NOT NULL
+            THEN CAST(((bucket_ms * n_clips - sum_dur_ms) * 1000000)
+                      // (bucket_ms * n_clips) AS BIGINT) END AS pad_ppm
+FROM g
+""",
         # ranges fixed by the gate's own file writes; the OVERLAP count is
         # derived independently by a pairwise self-join (engine: bisect
         # sweep)

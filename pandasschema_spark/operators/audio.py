@@ -773,3 +773,58 @@ def speech_rate(
     if max_mwps is not None:
         cond = cond | (F.col("rate_mwps") > max_mwps)
     return out.where(cond)
+
+
+def pack_audit(
+    df: DataFrame,
+    ladder: typing.Sequence[int],
+    *,
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Length-bucket batch-packing audit: (bucket_ms, n_clips,
+    sum_dur_ms, pad_ms, pad_ppm) per ladder rung — how much compute a
+    pad-to-bucket training batcher would burn on silence. Each clip
+    lands in the smallest rung >= its duration; clips longer than the
+    top rung report under bucket_ms=NULL (the overflow set a chunker —
+    :func:`segment` — must handle first, so its pad columns are NULL,
+    never a fake zero). NULL durations are excluded (missing metadata is
+    the notnull check's finding, not a packing decision).
+
+    pad_ms = bucket_ms * n_clips - sum_dur_ms; pad_ppm = the padded
+    fraction of the bucket's total padded samples, exact integer DIV.
+    Metadata-only: ONE pruned scan (dur column, bytes never read), a
+    row-local CASE ladder label, ONE map-side-combined agg; O(rungs)
+    output. The ladder itself is the tuning knob the audit feeds: high
+    pad_ppm on a rung means split that rung.
+    """
+    rungs = sorted(set(int(x) for x in ladder))
+    if not rungs or rungs[0] <= 0:
+        raise ValueError("ladder must be positive rungs")
+    d = F.col(dur_col)
+    label = F.lit(None).cast("long")
+    for r in reversed(rungs):
+        label = F.when(d <= r, F.lit(r).cast("long")).otherwise(label)
+    g = (
+        df.where(d.isNotNull())
+        .groupBy(label.alias("bucket_ms"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum(d).cast("long").alias("sum_dur_ms"),
+        )
+    )
+    return g.select(
+        "bucket_ms",
+        "n_clips",
+        "sum_dur_ms",
+        F.when(
+            F.col("bucket_ms").isNotNull(),
+            F.col("bucket_ms") * F.col("n_clips") - F.col("sum_dur_ms"),
+        ).alias("pad_ms"),
+        F.when(
+            F.col("bucket_ms").isNotNull(),
+            F.expr(
+                "CAST(((bucket_ms * n_clips - sum_dur_ms) * 1000000)"
+                " DIV (bucket_ms * n_clips) AS BIGINT)"
+            ),
+        ).alias("pad_ppm"),
+    )
