@@ -260,6 +260,37 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+JSONL_GATE_DIR = "/tmp/psf_jsonl_gate"
+JSONL_GATE_SIZES = (700, 500)
+
+
+def q_ingest_jsonl_badrecords(spark, sf_dir):
+    """Dead-letter JSONL ingestion: two closed-form shards with planted
+    truncated lines (i%23==7) and null required fields (i%19==5); the
+    rejects — with read-order ordinals and raw line payloads — must
+    match the generation rule exactly (malformed wins when both rules
+    hit: the record never parses)."""
+    import shutil
+
+    from pandasschema_spark.sources.ingest import jsonl_bad_records
+
+    shutil.rmtree(JSONL_GATE_DIR, ignore_errors=True)
+    os.makedirs(JSONL_GATE_DIR)
+    i = 0
+    for fidx, n in enumerate(JSONL_GATE_SIZES):
+        with open(os.path.join(JSONL_GATE_DIR, "part-{:03d}.jsonl".format(fidx)), "w") as fh:
+            for _ in range(n):
+                if i % 23 == 7:
+                    fh.write('{{"clip_id": "c{}",\n'.format(i))
+                elif i % 19 == 5:
+                    fh.write('{{"clip_id": "c{}", "sr": null}}\n'.format(i))
+                else:
+                    fh.write('{{"clip_id": "c{}", "sr": 16000}}\n'.format(i))
+                i += 1
+    return jsonl_bad_records(
+        spark, JSONL_GATE_DIR, "clip_id STRING, sr INT", required=("sr",))
+
+
 def q_audio_pack_audit(spark, sf_dir):
     """Length-bucket batch-packing waste over the 20k metadata clips
     (ladder 50/100/150 ms; durations run 40-200 ms plus the %997 cls-2
@@ -2483,6 +2514,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_file_audit": q_ingest_file_audit,
         "layout_audit": q_layout_audit,
         "audio_pack_audit": q_audio_pack_audit,
+        "ingest_jsonl_badrecords": q_ingest_jsonl_badrecords,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3769,6 +3801,21 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # rejects (ordinal, reason, raw line) re-derived from the shard
+        # generation rule alone; malformed wins when both plants hit
+        "ingest_jsonl_badrecords": """
+WITH r AS (SELECT range AS i FROM range(0, 1200)),
+m AS (
+  SELECT i, 'malformed' AS reason,
+         '{"clip_id": "c' || i || '",' AS line
+  FROM r WHERE i % 23 = 7
+  UNION ALL
+  SELECT i, 'missing:sr',
+         '{"clip_id": "c' || i || '", "sr": null}'
+  FROM r WHERE i % 23 != 7 AND i % 19 = 5
+)
+SELECT CAST(i AS BIGINT) AS row_ord, reason, line FROM m
+""",
         # every duration re-derived from the sha256 clip_fields rule incl.
         # the %997 cls-2 zero-duration injection; ladder + integer pad math
         # mirrored

@@ -22,6 +22,8 @@ audio warehouse are assigned at generation, never re-derived).
 
 from __future__ import annotations
 
+import typing
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.rowindex import with_file_ordered_row_index
@@ -45,3 +47,63 @@ def read_jsonl_with_ordinal(spark: SparkSession, path: str, *,
                             **options) -> DataFrame:
     """JSON-lines -> DataFrame with a read-order ordinal column."""
     return with_file_ordered_row_index(spark.read.options(**options).json(path), ordinal_col)
+
+
+def jsonl_bad_records(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    required: typing.Sequence[str] = (),
+    ordinal_col: str = ORDINAL_COL,
+) -> DataFrame:
+    """Dead-letter queue for JSONL ingestion: (row_ord, reason, line) per
+    rejected line — 'malformed' when the line is not parseable JSON for
+    ``schema`` (unparseable JSON or a value violating a declared type —
+    Spark marks the whole record corrupt for either), 'missing:<field>'
+    when it parses clean but a required field is absent or JSON null.
+    Clean lines emit nothing.
+
+    ``spark.read.json`` in PERMISSIVE mode silently nulls what it cannot
+    parse — at 10^12 rows that is data loss without a paper trail. This
+    reader keeps each raw line (spark.read.text), parses row-locally with
+    ``from_json`` (one codegen projection, no UDF), and emits the
+    rejects WITH their read-order ordinals so the offending line in the
+    offending file is addressable. The raw line travels only for
+    rejected rows (project-then-filter keeps the clean path narrow).
+
+    ``schema`` is a DDL string (e.g. ``"a INT, b STRING"``). Reasons for
+    multiple missing fields emit one row per field — a dead-letter queue
+    wants every defect, not the first.
+    """
+    from pyspark.sql import functions as F
+
+    # PERMISSIVE from_json yields an all-null struct (never a NULL
+    # struct) for garbage, so malformed-ness needs the corrupt-record
+    # channel: a sidecar field the parser fills ONLY on parse failure
+    corrupt = "__corrupt"
+    full = "{}, {} STRING".format(schema, corrupt)
+    lines = with_file_ordered_row_index(spark.read.text(path), ordinal_col)
+    parsed = lines.select(
+        ordinal_col,
+        F.col("value").alias("line"),
+        F.from_json(
+            F.col("value"), full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col("j")[corrupt].isNotNull()
+    malformed = parsed.where(bad).select(
+        ordinal_col, F.lit("malformed").alias("reason"), "line"
+    )
+    outs = [malformed]
+    for fld in required:
+        outs.append(
+            parsed.where(~bad & F.col("j")[fld].isNull()).select(
+                ordinal_col, F.lit("missing:{}".format(fld)).alias("reason"), "line"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
