@@ -260,6 +260,16 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_sketch_cms(spark, sf_dir):
+    """Count-min frequency sketch over events.event_type (width 64 x
+    depth 4): because rows hash with md5 the COUNTER TABLE itself is
+    engine-reproducible — the oracle rebuilds the identical sparse
+    counters, not just sanctioned estimates."""
+    from pandasschema_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(_t(spark, sf_dir, "events"), "event_type", width=64, depth=4)
+
+
 JSONL_GATE_DIR = "/tmp/psf_jsonl_gate"
 JSONL_GATE_SIZES = (700, 500)
 
@@ -2515,6 +2525,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_audit": q_layout_audit,
         "audio_pack_audit": q_audio_pack_audit,
         "ingest_jsonl_badrecords": q_ingest_jsonl_badrecords,
+        "sketch_cms": q_sketch_cms,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3801,6 +3812,17 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # identical md5 chunk rule (bloom/bucket convention) rebuilds the
+        # sparse counter table bit-for-bit
+        "sketch_cms": """
+WITH e AS (SELECT event_type AS v FROM events WHERE event_type IS NOT NULL),
+d AS (SELECT CAST(range AS INT) AS r FROM range(0, 4)),
+b AS (SELECT r,
+             CAST(CAST(concat('0x', substr(md5(v), 1 + 8*r, 8)) AS BIGINT) % 64
+                  AS INT) AS b
+      FROM e, d)
+SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+""",
         # rejects (ordinal, reason, raw line) re-derived from the shard
         # generation rule alone; malformed wins when both plants hit
         "ingest_jsonl_badrecords": """

@@ -116,3 +116,73 @@ def kmv_distinct(df: DataFrame, cols: typing.Sequence[str], k: int = 1024) -> Da
             est = (k - 1) * (1 << 64) // h_k
             out.append((c, int(r["n_kept"]), r["h_max"], est))
     return spark.createDataFrame(out, OUT_SCHEMA)
+
+
+def cms_sketch(
+    df: DataFrame, col: str, *, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of a column: (r, b, cnt) counter triples — the
+    fixed-size frequency summary next to :func:`kmv_distinct`'s
+    cardinality one. Row r's hash is md5-hex chunk ``[8r:8r+8]`` mod
+    ``width`` (the bloom-screen chunk rule, referential.py — md5 keeps
+    the sketch bit-identical across engines/partitionings, so the
+    SKETCH ITSELF is oracle-gateable, not just its answers). depth <= 4
+    (md5 yields four 32-bit chunks; more rows of a 128-bit digest would
+    correlate).
+
+    Only buckets that received mass emit (sparse form); absent (r, b)
+    means 0. Estimate for a key = min over r of counter[r][h_r(key)]
+    (:func:`cms_estimate`) — always >= the true count, within
+    eps = e/width of the total mass w.h.p.
+
+    Scale shape: NULLs drop, a row-local projection computes the depth
+    bucket ids, explode to (r, b) collapses IMMEDIATELY in a
+    map-side-combined hash agg — the exchange carries O(partitions x
+    depth x width) counters, never rows. State is depth x width
+    regardless of data size: the summary you can afford to keep per
+    shard, per day, per source, and merge by addition later (sum
+    sketches = sketch of the union — same additivity the table
+    checksum exploits).
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError("depth must be in [1, 4] (md5 has four 32-bit chunks)")
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    h = F.md5(F.col(col).cast("string").cast("binary"))
+    structs = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(
+                F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("long"),
+                F.lit(width),
+            ).cast("int").alias("b"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*structs)).alias("v"))
+        .groupBy(F.col("v.r").alias("r"), F.col("v.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: typing.Sequence[str], *, width: int, depth: int = 4
+) -> typing.Dict[str, int]:
+    """Point-frequency estimates from a collected sketch: key -> min
+    over rows of its counter (0 when a bucket never emitted). Driver
+    math over O(depth x width) collected counters — the sketch is the
+    small thing; never joins the data."""
+    import hashlib
+
+    counters = {(r["r"], r["b"]): r["cnt"] for r in sketch.collect()}
+    out = {}
+    for key in keys:
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        est = min(
+            counters.get((r, int(hx[8 * r: 8 * r + 8], 16) % width), 0)
+            for r in range(depth)
+        )
+        out[key] = int(est)
+    return out

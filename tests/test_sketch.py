@@ -84,3 +84,72 @@ def test_k_guard(frame):
         kmv_distinct(frame, ["uid"], k=1)
     with pytest.raises(ValueError):
         kmv_distinct(frame, [], k=16)
+
+
+class TestCms:
+    def test_matches_hashlib_closed_form(self, spark):
+        import hashlib
+        from collections import Counter
+
+        from pandasschema_spark.operators.sketch import cms_sketch
+
+        vals = ["a", "b", "a", "c", None, "a", "b"]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = {(r["r"], r["b"]): r["cnt"]
+               for r in cms_sketch(df, "v", width=16, depth=4).collect()}
+        want = Counter()
+        for v in vals:
+            if v is None:
+                continue
+            hx = hashlib.md5(v.encode()).hexdigest()
+            for r in range(4):
+                want[(r, int(hx[8 * r: 8 * r + 8], 16) % 16)] += 1
+        assert got == dict(want)
+
+    def test_estimate_overcounts_never_under(self, spark):
+        from collections import Counter
+
+        from pandasschema_spark.operators.sketch import cms_estimate, cms_sketch
+
+        vals = [str(i % 37) for i in range(1000)] + ["hot"] * 200
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        sk = cms_sketch(df, "v", width=64, depth=4)
+        truth = Counter(vals)
+        est = cms_estimate(sk, list(truth) + ["absent"], width=64, depth=4)
+        for k, t in truth.items():
+            assert est[k] >= t
+        assert est["hot"] == 200 or est["hot"] > 200
+        # absent key can only collide upward, never go negative
+        assert est["absent"] >= 0
+
+    def test_sketches_merge_by_addition(self, spark):
+        from pandasschema_spark.operators.sketch import cms_sketch
+
+        a = spark.createDataFrame([("x",), ("y",)], "v string")
+        b = spark.createDataFrame([("x",), ("z",)], "v string")
+        both = a.unionByName(b)
+        sa = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(a, "v", width=8, depth=2).collect()}
+        sb = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(b, "v", width=8, depth=2).collect()}
+        su = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(both, "v", width=8, depth=2).collect()}
+        merged = dict(sa)
+        for k, v in sb.items():
+            merged[k] = merged.get(k, 0) + v
+        assert merged == su
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from pandasschema_spark.operators.sketch import cms_sketch
+
+        df = spark.createDataFrame([("x",)], "v string")
+        with _pytest.raises(ValueError):
+            cms_sketch(df, "v", depth=5)
+        with _pytest.raises(ValueError):
+            cms_sketch(df, "v", width=0)
+
+    def test_single_exchange(self, spark):
+        from pandasschema_spark.operators.sketch import cms_sketch
+
+        df = spark.createDataFrame([("x",)], "v string")
+        plan = cms_sketch(df, "v")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2 and "Join" not in plan
