@@ -260,6 +260,66 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_schema_diff(spark, sf_dir):
+    """DDL drift pre-flight: orders vs a structurally drifted projection
+    (o_orderpriority dropped, o_ingest_ts added, o_totalprice re-typed to
+    decimal) — pure driver metadata, zero jobs; the oracle is the
+    closed-form expected drift set."""
+    from pandasschema_spark.operators.diff import schema_diff
+
+    o = _t(spark, sf_dir, "orders")
+    drifted = o.drop("o_orderpriority").withColumn(
+        "o_ingest_ts", F.lit("2026-01-01").cast("date")
+    ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
+    return schema_diff(o, drifted)
+
+
+def q_pipeline_reconcile(spark, sf_dir):
+    """Migration-reconciliation composition, the way it runs at 100 TB:
+    (1) bucketed checksums on both snapshots name the DIRTY md5 buckets
+    (16-row comparison, scan-priced), (2) table_diff runs ONLY over rows
+    whose keys hash into those buckets — at a real divergence rate the
+    listing step scans a fraction of the keyspace. Planted drift is the
+    same %101/%103/%107 rule as table_diff, so the restricted diff must
+    equal the full one (the oracle is the full FULL-OUTER derivation:
+    any bucket the bisect misses hash-fails the gate)."""
+    from pandasschema_spark.operators.checksum import table_checksum_by
+    from pandasschema_spark.operators.diff import table_diff
+    from pandasschema_spark.operators.sampling import hash_bucket_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice")
+    right = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 107 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("long"))
+    )
+    buckets = 16
+    cols = ["o_orderstatus", "o_totalprice"]
+    cs_l = table_checksum_by(o, "o_orderkey", cols, buckets=buckets)
+    cs_r = table_checksum_by(right, "o_orderkey", cols, buckets=buckets)
+    joined = cs_l.alias("l").join(
+        cs_r.alias("r"), ["bucket", "column"], "full_outer")
+    dirty = sorted(
+        r["bucket"]
+        for r in joined.where(
+            ~F.col("l.n_rows").eqNullSafe(F.col("r.n_rows"))
+            | ~F.col("l.sum_lo").eqNullSafe(F.col("r.sum_lo"))
+            | ~F.col("l.sum_hi").eqNullSafe(F.col("r.sum_hi"))
+        ).select("bucket").distinct().collect()
+    )
+    bexpr = hash_bucket_expr(F.col("o_orderkey"), buckets)
+    return table_diff(
+        o.where(bexpr.isin(dirty)),
+        right.where(bexpr.isin(dirty)),
+        ["o_orderkey"], cols,
+    )
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min frequency sketch over events.event_type (width 64 x
     depth 4): because rows hash with md5 the COUNTER TABLE itself is
@@ -2526,6 +2586,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pack_audit": q_audio_pack_audit,
         "ingest_jsonl_badrecords": q_ingest_jsonl_badrecords,
         "sketch_cms": q_sketch_cms,
+        "pipeline_reconcile": q_pipeline_reconcile,
+        "schema_diff": q_schema_diff,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3812,6 +3874,35 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # closed-form expected drift (the gate fixes the drifted
+        # projection's shape by construction)
+        "schema_diff": """
+SELECT * FROM (VALUES
+  ('o_orderpriority', 'removed', 'string', NULL),
+  ('o_ingest_ts', 'added', NULL, 'date'),
+  ('o_totalprice', 'type_changed', 'double', 'decimal(18,2)'))
+AS t("column", status, left_type, right_type)
+""",
+        # the composed bisect-then-list pipeline must reproduce the FULL
+        # diff: same independent FULL-OUTER derivation as table_diff
+        "pipeline_reconcile": """
+WITH l AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s,
+                  o_totalprice AS v FROM orders),
+r AS (
+    SELECT k, CASE WHEN k % 103 = 0 THEN 'X' ELSE s END AS s, v
+    FROM l WHERE k % 101 != 0
+    UNION ALL
+    SELECT k + 1000000000, s, v FROM l WHERE k % 107 = 0
+)
+SELECT COALESCE(l.k, r.k) AS o_orderkey,
+       CAST(CASE WHEN l.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_left,
+       CAST(CASE WHEN r.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_right,
+       CASE WHEN r.k IS NULL THEN 'removed'
+            WHEN l.k IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM l FULL JOIN r ON l.k = r.k
+WHERE l.k IS NULL OR r.k IS NULL OR l.s != r.s OR l.v != r.v
+""",
         # identical md5 chunk rule (bloom/bucket convention) rebuilds the
         # sparse counter table bit-for-bit
         "sketch_cms": """

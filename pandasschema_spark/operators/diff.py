@@ -122,3 +122,31 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return g.filter(differs).select(*keys, "n_left", "n_right", status.alias("status"))
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """DDL drift between two snapshots: (column, status, left_type,
+    right_type) for every column present in only one side ('added' /
+    'removed') or present in both with different types ('type_changed').
+    Identical columns emit nothing. Pure driver metadata — no job runs,
+    so it is the zero-cost pre-flight before :func:`table_diff` (a
+    keyed value diff over structurally divergent snapshots would
+    otherwise fail mid-shuffle on the first unresolvable column).
+
+    Types compare by Catalyst ``simpleString`` (decimal precision/scale
+    and nested element types count; nullability deliberately does not —
+    parquet writers flip it too freely to be a drift signal).
+    """
+    lt = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rt = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    rows = []
+    for c in sorted(set(lt) | set(rt)):
+        if c not in rt:
+            rows.append((c, "removed", lt[c], None))
+        elif c not in lt:
+            rows.append((c, "added", None, rt[c]))
+        elif lt[c] != rt[c]:
+            rows.append((c, "type_changed", lt[c], rt[c]))
+    return left.sparkSession.createDataFrame(
+        rows, "column string, status string, left_type string, right_type string"
+    )

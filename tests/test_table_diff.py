@@ -100,3 +100,33 @@ def test_single_exchange_plan(snapshots):
     plan = table_diff(left, right, ["k"], ["s", "v"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # AQE pair for one logical exchange
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestSchemaDiff:
+    def test_drift_matrix(self, spark):
+        from pandasschema_spark.operators.diff import schema_diff
+
+        left = spark.createDataFrame([(1, "a", 2.0)], "k int, gone string, t double")
+        right = spark.createDataFrame([(1, "b", 3)], "k int, new string, t int")
+        out = sorted(tuple(r) for r in schema_diff(left, right).collect())
+        assert out == [
+            ("gone", "removed", "string", None),
+            ("new", "added", None, "string"),
+            ("t", "type_changed", "double", "int"),
+        ]
+
+    def test_identical_schemas_empty(self, spark):
+        from pandasschema_spark.operators.diff import schema_diff
+
+        df = spark.createDataFrame([(1,)], "k int")
+        assert schema_diff(df, df).count() == 0
+
+    def test_decimal_precision_counts(self, spark):
+        from pandasschema_spark.operators.diff import schema_diff
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame([(1,)], "k int")
+        l = base.select(F.col("k").cast("decimal(10,2)").alias("d"))
+        r = base.select(F.col("k").cast("decimal(12,2)").alias("d"))
+        out = [tuple(x) for x in schema_diff(l, r).collect()]
+        assert out == [("d", "type_changed", "decimal(10,2)", "decimal(12,2)")]
