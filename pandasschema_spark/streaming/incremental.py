@@ -225,3 +225,23 @@ def streaming_dedup_within_watermark(
         raise ValueError("id_cols must be non-empty")
     return (stream.withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(list(id_cols)))
+
+
+def streaming_cms_sketch(
+    stream: DataFrame, col: str, *, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Streaming count-min sketch: the same md5-chunk counters as the
+    batch :func:`..operators.sketch.cms_sketch`, maintained incrementally
+    — state is the (r, b) counter grid, bounded at depth x width forever,
+    which is the entire point of sketching a stream (an exact frequency
+    table grows with the key space; the sketch never does). Because the
+    counters are pure additions over deterministic hashes, the streaming
+    result after any prefix equals the batch sketch of the same prefix
+    (pytest-locked parity), and sketches from different streams/days
+    still merge by addition downstream."""
+    from ..operators.sketch import cms_sketch as _batch
+
+    # the batch builder's projection is already incremental-safe: a
+    # groupBy-count over row-local hashes (no windows, no ordering), so
+    # structured streaming runs the identical plan in update mode
+    return _batch(stream, col, width=width, depth=depth)

@@ -275,3 +275,25 @@ def test_streaming_dedup_requires_keys(spark, tmp_path_factory):
         .parquet(empty)
     with pytest.raises(ValueError):
         S.streaming_dedup_within_watermark(stream, [], "ts")
+
+
+def test_streaming_cms_batch_parity(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cms"))
+    src = base + "/src"
+    rows = [(i, str(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    # several files -> several micro-batch candidates
+    df.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    sk = S.streaming_cms_sketch(stream, "v", width=32, depth=4)
+    q = (
+        sk.writeStream.format("memory").queryName("cms_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["r"], r["b"]): r["cnt"] for r in spark.sql("SELECT * FROM cms_out").collect()}
+    from pandasschema_spark.operators.sketch import cms_sketch
+
+    want = {(r["r"], r["b"]): r["cnt"]
+            for r in cms_sketch(df, "v", width=32, depth=4).collect()}
+    assert got == want
