@@ -260,6 +260,32 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+SHARD_BAL_DIR = "/tmp/psf_shard_bal_gate"
+SHARD_BAL_SIZES = (600, 900, 600)  # part-001's label mix is skewed
+
+
+def q_ingest_shard_balance(spark, sf_dir):
+    """Per-shard label-distribution audit: part-001 writes classes i%2
+    while the others write i%3 — every row is individually valid, only
+    the shard-level mix is wrong; obs/exp ppm re-derived closed-form."""
+    import shutil
+
+    from pandasschema_spark.operators.profile import shard_balance
+
+    shutil.rmtree(SHARD_BAL_DIR, ignore_errors=True)
+    os.makedirs(SHARD_BAL_DIR)
+    i = 0
+    for fidx, n in enumerate(SHARD_BAL_SIZES):
+        with open(os.path.join(SHARD_BAL_DIR, "part-{:03d}.csv".format(fidx)), "w") as fh:
+            fh.write("clip_id,cls\n")
+            for _ in range(n):
+                cls = i % 2 if fidx == 1 else i % 3
+                fh.write("clip{},c{}\n".format(i, cls))
+                i += 1
+    df = spark.read.options(header=True).csv(SHARD_BAL_DIR)
+    return shard_balance(df, "cls")
+
+
 def q_schema_diff(spark, sf_dir):
     """DDL drift pre-flight: orders vs a structurally drifted projection
     (o_orderpriority dropped, o_ingest_ts added, o_totalprice re-typed to
@@ -2588,6 +2614,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "pipeline_reconcile": q_pipeline_reconcile,
         "schema_diff": q_schema_diff,
+        "ingest_shard_balance": q_ingest_shard_balance,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3874,6 +3901,25 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # per-(file, class) counts re-derived from the shard-generation
+        # rule; obs = within-file share, exp = global share, BIGINT DIV
+        "ingest_shard_balance": """
+WITH files(f, lo, hi) AS (VALUES ('part-000.csv', 0, 600),
+                                 ('part-001.csv', 600, 1500),
+                                 ('part-002.csv', 1500, 2100)),
+r AS (SELECT range AS i FROM range(0, 2100)),
+rows_t AS (SELECT f, 'c' || CAST(CASE WHEN f = 'part-001.csv' THEN i % 2
+                                      ELSE i % 3 END AS VARCHAR) AS value
+           FROM files JOIN r ON i >= lo AND i < hi),
+g AS (SELECT f, value, CAST(count(*) AS BIGINT) AS n FROM rows_t GROUP BY 1, 2),
+pf AS (SELECT f, sum(n) AS file_n FROM g GROUP BY 1),
+gc AS (SELECT value, sum(n) AS cls_n FROM g GROUP BY 1),
+t AS (SELECT sum(n) AS tot_n FROM g)
+SELECT g.f AS source_file, g.value, g.n,
+       CAST((g.n * 1000000) // pf.file_n AS BIGINT) AS obs_ppm,
+       CAST((gc.cls_n * 1000000) // t.tot_n AS BIGINT) AS exp_ppm
+FROM g JOIN pf ON g.f = pf.f JOIN gc ON g.value = gc.value, t
+""",
         # closed-form expected drift (the gate fixes the drifted
         # projection's shape by construction)
         "schema_diff": """

@@ -175,3 +175,49 @@ def file_audit(
         "n_bad",
         F.expr("CAST((n_bad * 1000000) DIV n_rows AS BIGINT)").alias("bad_ppm"),
     )
+
+
+def shard_balance(
+    df: DataFrame,
+    class_col: str,
+    *,
+    file_col: typing.Optional[str] = None,
+    basename_only: bool = True,
+) -> DataFrame:
+    """Per-shard class-distribution audit: (source_file, value, n,
+    obs_ppm, exp_ppm) — one row per (file, class), where ``obs_ppm`` is
+    the class's share WITHIN the file and ``exp_ppm`` its global share.
+    A shard whose rows are all individually valid but whose label mix is
+    skewed (an exporter that filtered one class, a range-partitioned
+    dump) shows obs_ppm far from exp_ppm; :func:`file_audit` cannot see
+    this because no single row violates anything.
+
+    Scale shape: ONE groupBy(file, class) exchange over the data; the
+    per-file totals and global class totals then derive from that
+    O(files x classes) aggregate — never a second data scan — and join
+    back broadcast. NULL classes are excluded (the notnull check's
+    finding). Integer ppm via BIGINT DIV, engine-reproducible.
+    """
+    src = F.col(file_col) if file_col else F.input_file_name()
+    if basename_only:
+        src = F.element_at(F.split(src, "/"), -1)
+    g = (
+        df.where(F.col(class_col).isNotNull())
+        .groupBy(src.alias("source_file"), F.col(class_col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_file = g.groupBy("source_file").agg(F.sum("n").cast("long").alias("file_n"))
+    global_cls = g.groupBy("value").agg(F.sum("n").cast("long").alias("cls_n"))
+    total = g.agg(F.sum("n").cast("long").alias("tot_n"))
+    return (
+        g.join(F.broadcast(per_file), "source_file")
+        .join(F.broadcast(global_cls), "value")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source_file",
+            "value",
+            "n",
+            F.expr("CAST((n * 1000000) DIV file_n AS BIGINT)").alias("obs_ppm"),
+            F.expr("CAST((cls_n * 1000000) DIV tot_n AS BIGINT)").alias("exp_ppm"),
+        )
+    )

@@ -56,3 +56,33 @@ def test_single_agg_plan(shard_df):
     plan = file_audit(shard_df, F.col("v").isNull())._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # one logical exchange (AQE pair)
     assert "Join" not in plan
+
+
+class TestShardBalance:
+    def test_skewed_shard_surfaces(self, spark):
+        from pandasschema_spark.operators.profile import shard_balance
+
+        rows = []
+        for i in range(300):
+            rows.append(("ok.csv", str(i % 3)))          # uniform thirds
+        for i in range(300):
+            rows.append(("skew.csv", str(i % 2)))        # no class '2'
+        rows.append(("ok.csv", None))                     # excluded
+        df = spark.createDataFrame(rows, "f string, cls string")
+        out = {(r["source_file"], r["value"]): r
+               for r in shard_balance(df, "cls", file_col="f").collect()}
+        # within-file shares
+        assert out[("ok.csv", "0")]["obs_ppm"] == 1000000 // 3
+        assert out[("skew.csv", "0")]["obs_ppm"] == 500000
+        assert ("skew.csv", "2") not in out  # absent class emits no row
+        # global shares: class 2 has 100 of 600
+        assert out[("ok.csv", "2")]["exp_ppm"] == 100 * 1000000 // 600
+        assert sum(1 for _ in out) == 5
+
+    def test_single_data_exchange(self, spark):
+        from pandasschema_spark.operators.profile import shard_balance
+
+        df = spark.createDataFrame([("f", "a")], "f string, cls string")
+        plan = shard_balance(df, "cls", file_col="f")._jdf.queryExecution().executedPlan().toString()
+        # all joins broadcast; the only hash exchange keys (file, class)
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
