@@ -260,6 +260,17 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_val_suggest(spark, sf_dir):
+    """Validation-rule mining over events: the oracle COMPUTES the same
+    decisions (cardinality cap, all-match shapes, exact ranges,
+    null-ness) instead of assuming which suggestions fire, so the gate
+    binds at any SF / data shape."""
+    from pandasschema_spark.operators.suggest import suggest_rules
+
+    return suggest_rules(
+        _t(spark, sf_dir, "events"), ["event_type", "value", "user_id"])
+
+
 SHARD_BAL_DIR = "/tmp/psf_shard_bal_gate"
 SHARD_BAL_SIZES = (600, 900, 600)  # part-001's label mix is skewed
 
@@ -2615,6 +2626,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_reconcile": q_pipeline_reconcile,
         "schema_diff": q_schema_diff,
         "ingest_shard_balance": q_ingest_shard_balance,
+        "val_suggest": q_val_suggest,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3901,6 +3913,49 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # computes every suggestion decision from the data (never assumes
+        # which rules fire); param renderings shared: sorted comma join,
+        # '[min, max]' with each engine's shortest-roundtrip numerics
+        "val_suggest": """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(event_type) AS nn_et, count(DISTINCT event_type) AS nd_et,
+         sum(CASE WHEN regexp_matches(event_type, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS int_et,
+         sum(CASE WHEN regexp_matches(event_type, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                  THEN 1 ELSE 0 END) AS date_et,
+         count(value) AS nn_v, min(value) AS mn_v, max(value) AS mx_v,
+         count(user_id) AS nn_u, min(user_id) AS mn_u, max(user_id) AS mx_u
+  FROM events)
+SELECT * FROM (
+  SELECT 'event_type' AS "column", 'notnull' AS "check", '' AS param
+  FROM s WHERE nn_et = n AND nn_et > 0
+  UNION ALL
+  SELECT 'event_type', 'inlist',
+         (SELECT string_agg(v, ', ' ORDER BY v)
+          FROM (SELECT DISTINCT event_type AS v FROM events
+                WHERE event_type IS NOT NULL) t)
+  FROM s WHERE nd_et BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'event_type', 'matches_int', '^[+-]?[0-9]+$'
+  FROM s WHERE int_et = nn_et AND nn_et > 0
+  UNION ALL
+  SELECT 'event_type', 'dateformat', '%Y-%m-%d'
+  FROM s WHERE date_et = nn_et AND nn_et > 0
+  UNION ALL
+  SELECT 'value', 'notnull', '' FROM s WHERE nn_v = n AND nn_v > 0
+  UNION ALL
+  SELECT 'value', 'inrange',
+         '[' || CAST(mn_v AS VARCHAR) || ', ' || CAST(mx_v AS VARCHAR) || ']'
+  FROM s WHERE nn_v > 0
+  UNION ALL
+  SELECT 'user_id', 'notnull', '' FROM s WHERE nn_u = n AND nn_u > 0
+  UNION ALL
+  SELECT 'user_id', 'inrange',
+         '[' || CAST(mn_u AS VARCHAR) || ', ' || CAST(mx_u AS VARCHAR) || ']'
+  FROM s WHERE nn_u > 0
+) q
+""",
         # per-(file, class) counts re-derived from the shard-generation
         # rule; obs = within-file share, exp = global share, BIGINT DIV
         "ingest_shard_balance": """
