@@ -260,6 +260,17 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_val_null_bursts(spark, sf_dir):
+    """Field-outage profile: per-day null rates of events.value with
+    signed excess vs the whole-table rate — the missing-VALUES
+    complement of val_timeline's missing-ROWS detector; integer epoch
+    buckets (the NTZ-safe second rule), BIGINT DIV ppm."""
+    from pandasschema_spark.operators.profile import null_bursts
+
+    return null_bursts(_t(spark, sf_dir, "events"), "ts", ["value"],
+                       bucket_s=86400)
+
+
 def q_val_suggest(spark, sf_dir):
     """Validation-rule mining over events: the oracle COMPUTES the same
     decisions (cardinality cap, all-match shapes, exact ranges,
@@ -2627,6 +2638,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": q_schema_diff,
         "ingest_shard_balance": q_ingest_shard_balance,
         "val_suggest": q_val_suggest,
+        "val_null_bursts": q_val_null_bursts,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3913,6 +3925,27 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # integer epoch-second buckets (// floors; values non-negative so
+        # Spark's truncating DIV agrees); ppm and signed excess in BIGINT
+        "val_null_bursts": """
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, value
+           FROM events WHERE ts IS NOT NULL),
+g AS (SELECT sec - (sec % 86400) AS bucket_start_s,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null
+      FROM e GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tnn
+      FROM e)
+SELECT CAST(bucket_start_s AS BIGINT) AS bucket_start_s,
+       'value' AS "column", n_rows, n_null,
+       CAST((n_null * 1000000) // n_rows AS BIGINT) AS null_ppm,
+       CAST((n_null * 1000000) // n_rows - (tnn * 1000000) // tn AS BIGINT)
+           AS excess_ppm
+FROM g, t
+""",
         # computes every suggestion decision from the data (never assumes
         # which rules fire); param renderings shared: sorted comma join,
         # '[min, max]' with each engine's shortest-roundtrip numerics

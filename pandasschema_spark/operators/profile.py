@@ -221,3 +221,72 @@ def shard_balance(
             F.expr("CAST((cls_n * 1000000) DIV tot_n AS BIGINT)").alias("exp_ppm"),
         )
     )
+
+
+def null_bursts(
+    df: DataFrame,
+    ts_col: str,
+    cols: typing.Sequence[str],
+    *,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Field-outage profile: (column, bucket_start_s, n_rows, n_null,
+    null_ppm, excess_ppm) per time bucket — a column going dark while
+    rows keep flowing. timeline_completeness (sessions.py) catches
+    missing ROWS; this catches missing VALUES: an upstream producer that
+    dropped one field emits perfectly valid-looking traffic whose
+    per-bucket null rate for that field jumps. ``excess_ppm`` = the
+    bucket's null_ppm minus the column's whole-table null_ppm (signed —
+    cleaner-than-usual buckets read negative), so the burst stands out
+    without anyone knowing the "normal" rate in advance.
+
+    Scale shape: ONE scan -> ONE map-side-combined groupBy(bucket) agg
+    carrying 2 counters per audited column -> row-local struct explode
+    to long form -> the global rates join back as ONE broadcast row.
+    Integer epoch buckets via the NTZ-safe epoch rule (sessions._epoch_us
+    — DuckDB double-epoch casts ROUND where Spark truncates; only
+    integer microseconds agree). Rows with NULL timestamps are excluded
+    (they have no bucket; the notnull check owns them).
+    """
+    from .sessions import _epoch_us
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    # integer epoch seconds, then integer modulo — the double-division
+    # floor form misbuckets timestamps within ~0.2us below a boundary
+    # (quotient rounds up to the boundary integer before floor sees it)
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")
+    bucket = (sec - (sec % F.lit(bucket_s))).cast("long")
+    base = df.where(F.col(ts_col).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias("__nn{}".format(i))
+        )
+    g = base.groupBy(bucket.alias("bucket_start_s")).agg(*aggs)
+    tot = base.agg(*aggs).select(
+        *[F.col("__n").alias("__tn")]
+        + [F.col("__nn{}".format(i)).alias("__tnn{}".format(i)) for i in range(len(cols))]
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col("__nn{}".format(i)).alias("n_null"),
+            F.expr("CAST((__nn{i} * 1000000) DIV __n AS BIGINT)".format(i=i)).alias("null_ppm"),
+            (
+                F.expr("CAST((__nn{i} * 1000000) DIV __n AS BIGINT)".format(i=i))
+                - F.expr("CAST((__tnn{i} * 1000000) DIV __tn AS BIGINT)".format(i=i))
+            ).alias("excess_ppm"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(F.col("bucket_start_s"), F.explode(F.array(*structs)).alias("v"))
+        .select("bucket_start_s", "v.column", "v.n_rows", "v.n_null",
+                "v.null_ppm", "v.excess_ppm")
+    )

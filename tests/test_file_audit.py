@@ -86,3 +86,49 @@ class TestShardBalance:
         plan = shard_balance(df, "cls", file_col="f")._jdf.queryExecution().executedPlan().toString()
         # all joins broadcast; the only hash exchange keys (file, class)
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestNullBursts:
+    def test_burst_surfaces(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandasschema_spark.operators.profile import null_bursts
+
+        rows = []
+        # day 0: clean; day 1: field v dark for every row
+        for i in range(100):
+            rows.append(("2026-01-01 00:00:{:02d}".format(i % 60), 1.0))
+        for i in range(100):
+            rows.append(("2026-01-02 00:00:{:02d}".format(i % 60), None))
+        rows.append((None, 5.0))  # NULL ts excluded
+        df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz"))
+        out = {r["bucket_start_s"]: r
+               for r in null_bursts(df, "ts", ["v"], bucket_s=86400).collect()}
+        day0 = 1767225600  # 2026-01-01 epoch
+        assert out[day0]["null_ppm"] == 0
+        assert out[day0 + 86400]["null_ppm"] == 1000000
+        # global rate is 500000 -> symmetric signed excess
+        assert out[day0]["excess_ppm"] == -500000
+        assert out[day0 + 86400]["excess_ppm"] == 500000
+        assert sum(r["n_rows"] for r in out.values()) == 200
+
+    def test_single_data_exchange(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandasschema_spark.operators.profile import null_bursts
+
+        df = spark.createDataFrame([("2026-01-01 00:00:00", 1.0)], "ts string, v double")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        plan = null_bursts(df, "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+        from pandasschema_spark.operators.profile import null_bursts
+
+        df = spark.createDataFrame([("x",)], "ts string")
+        with _pytest.raises(ValueError):
+            null_bursts(df, "ts", [])
+        with _pytest.raises(ValueError):
+            null_bursts(df, "ts", ["ts"], bucket_s=0)
