@@ -260,6 +260,47 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_pipeline_repair_validate(spark, sf_dir):
+    """The repair loop end-to-end: inject four defect classes (%89
+    padded priority, %97 out-of-range price, %101 lowercased status —
+    all REPAIRABLE — plus %113 'BOGUS' priority, which no row-local fix
+    can invent a value for), auto-repair, then run the schema; exactly
+    the unrepairable class must survive into summary(). One lazy plan:
+    the repair projection fuses into the validation scan."""
+    from pandasschema_spark.operators.repair import RepairRule, repair
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = o.select(
+        "o_orderkey",
+        F.when(k % 113 == 0, F.lit("BOGUS"))
+        .when(k % 89 == 0, F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" ")))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(k % 97 == 0, F.col("o_totalprice") + 500000.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 101 == 0, F.lower(F.col("o_orderstatus")))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    fixed = repair(
+        dirty,
+        (
+            RepairRule("o_orderpriority", "trim"),
+            RepairRule("o_totalprice", "clamp", lo=1.0, hi=500000.0),
+            RepairRule("o_orderstatus", "case_to_list", allowed=("O", "F", "P")),
+        ),
+    )
+    schema = Schema([
+        Column("o_orderpriority",
+               [MatchesPatternValidation(r"^[1-5]-[A-Z ]+$")]),
+        Column("o_totalprice", [InRangeValidation(1.0, 500000.5)]),
+        Column("o_orderstatus", [InListValidation(["O", "F", "P"])]),
+    ])
+    res = schema.validate(
+        fixed, columns=["o_orderpriority", "o_totalprice", "o_orderstatus"],
+        row_key="o_orderkey")
+    return res.summary()
+
+
 def q_val_null_bursts(spark, sf_dir):
     """Field-outage profile: per-day null rates of events.value with
     signed excess vs the whole-table rate — the missing-VALUES
@@ -2639,6 +2680,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_shard_balance": q_ingest_shard_balance,
         "val_suggest": q_val_suggest,
         "val_null_bursts": q_val_null_bursts,
+        "pipeline_repair_validate": q_pipeline_repair_validate,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3925,6 +3967,17 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # only the unrepairable class survives repair: closed-form %113
+        # count, summary() emits no row for clean checks at any SF
+        "pipeline_repair_validate": """
+SELECT * FROM (
+  SELECT 'o_orderpriority#0:MatchesPatternValidation' AS check_id,
+         'o_orderpriority' AS "column",
+         'does not match the pattern "^[1-5]-[A-Z ]+$"' AS message,
+         count(*) AS fail_count
+  FROM orders WHERE o_orderkey % 113 = 0
+) WHERE fail_count > 0
+""",
         # integer epoch-second buckets (// floors; values non-negative so
         # Spark's truncating DIV agrees); ppm and signed excess in BIGINT
         "val_null_bursts": """
