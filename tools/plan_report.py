@@ -154,6 +154,29 @@ def main() -> None:
         plan_of(keep_latest(ev, ["user_id"], ["ts", "event_id"],
                             ["event_type"]))))
 
+    from pandasschema_spark.operators.diff import table_diff
+    from pandasschema_spark.operators.repair import RepairRule, repair
+
+    o3 = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    sections.append((
+        "Keyed snapshot diff (digest-sum agg, no join)",
+        "Claims: the two sides Union into ONE `HashAggregate` keyed on the "
+        "join keys (partial+final = map-side combined digest sums); no "
+        "`SortMergeJoin`/`BroadcastHashJoin` anywhere — payloads reduce to "
+        "md5-chunk decimals before the exchange.",
+        plan_of(table_diff(
+            o3, o3.where(F.col("o_orderkey") % 2 == 0),
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"]))))
+
+    sections.append((
+        "Auto-repair fused into the validation scan",
+        "Claims: repair CASE projections, the compiled violations explode, "
+        "and the scan share one `WholeStageCodegen` span — zero Exchange "
+        "before the summary agg.",
+        plan_of(repair(o3, (
+            RepairRule("o_orderstatus", "case_to_list", allowed=("O", "F", "P")),
+            RepairRule("o_totalprice", "clamp", lo=1.0, hi=500000.0))))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
