@@ -18,7 +18,13 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    # sentinel literals (\x00/\x01 null-safe separators) appear verbatim
+    # in plan dumps; escape them so PLANS.md stays a text file
+    return "".join(
+        ch if ch == "\n" or 32 <= ord(ch) else "\\x{:02x}".format(ord(ch))
+        for ch in raw
+    )
 
 
 def main() -> None:
