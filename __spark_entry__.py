@@ -260,6 +260,22 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_val_interval_overlap(spark, sf_dir):
+    """Per-customer overlapping 30-day order windows: running-max-end
+    window over ONE hash(custkey) exchange (each offender emitted once —
+    never the O(k^2) pairwise self-join); half-open semantics, hot-key
+    cap mirrored identically in the oracle."""
+    from pandasschema_spark.operators.sessions import interval_overlap_violations
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("int").alias("start_day"),
+    ).withColumn("end_day", (F.col("start_day") + 30).cast("int"))
+    return interval_overlap_violations(
+        o, "o_custkey", "start_day", "end_day", tiebreak_col="o_orderkey")
+
+
 def q_pipeline_repair_validate(spark, sf_dir):
     """The repair loop end-to-end: inject four defect classes (%89
     padded priority, %97 out-of-range price, %101 lowercased status —
@@ -2681,6 +2697,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_suggest": q_val_suggest,
         "val_null_bursts": q_val_null_bursts,
         "pipeline_repair_validate": q_pipeline_repair_validate,
+        "val_interval_overlap": q_val_interval_overlap,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3967,6 +3984,26 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # running-max window mirror with the IDENTICAL <=100k hot-key cap
+        # rule; half-open [start, end) — touching endpoints are clean
+        "val_interval_overlap": """
+WITH ok AS (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) <= 100000),
+iv AS (SELECT o_custkey,
+              CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS start_day,
+              CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) + 30 AS end_day,
+              o_orderkey
+       FROM orders JOIN ok USING (o_custkey)),
+w AS (SELECT o_custkey, start_day, end_day,
+             max(end_day) OVER (PARTITION BY o_custkey
+                                ORDER BY start_day, end_day, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max_end
+      FROM iv)
+SELECT o_custkey, CAST(start_day AS INT) AS start_day,
+       CAST(end_day AS INT) AS end_day,
+       CAST(prev_max_end AS INT) AS prev_max_end
+FROM w WHERE prev_max_end IS NOT NULL AND start_day < prev_max_end
+""",
         # only the unrepairable class survives repair: closed-form %113
         # count, summary() emits no row for clean checks at any SF
         "pipeline_repair_validate": """

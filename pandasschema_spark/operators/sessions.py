@@ -385,3 +385,50 @@ def timeline_completeness(
             F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def interval_overlap_violations(
+    df,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    tiebreak_col: typing.Optional[str] = None,
+    max_rows_per_key: typing.Optional[int] = 100_000,
+):
+    """Per-key interval-overlap validation: one row per interval that
+    OVERLAPS an earlier interval of the same key (half-open [start, end)
+    semantics — touching endpoints do not overlap). The double-booking /
+    session-integrity check: a row is flagged iff its start precedes the
+    running maximum end of the key's preceding intervals, which catches
+    ALL overlap pairs while emitting each offending interval once (the
+    pairwise self-join form explodes O(k^2) on hot keys and double-counts
+    chains).
+
+    Output: (key, start, end, prev_max_end) for violating rows.
+
+    Scale shape: ONE hash(key) exchange + per-partition sort feeds the
+    running-max window — the sessionize shuffle shape; the same hot-key
+    cap convention applies (keys with more than ``max_rows_per_key``
+    intervals are dropped WHOLESALE via groupBy-count + broadcast
+    anti-join before the sort, never a count-over-window; None = exact).
+    Rows with NULL start or end are excluded (the notnull check's
+    finding). Ordering ties break on (start, end, tiebreak) so flagging
+    is deterministic under equal starts.
+    """
+    base = df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+    base = _drop_hot_users(base, key_col, max_rows_per_key)
+    order = [F.col(start_col), F.col(end_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.withColumn("prev_max_end", F.max(F.col(end_col)).over(w))
+    return out.where(
+        F.col("prev_max_end").isNotNull() & (F.col(start_col) < F.col("prev_max_end"))
+    ).select(
+        F.col(key_col), F.col(start_col), F.col(end_col), F.col("prev_max_end")
+    )

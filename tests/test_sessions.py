@@ -189,3 +189,54 @@ def test_timeline_completeness_guards(spark):
         timeline_completeness(df, bucket_s=1, max_buckets=1000)
     empty = spark.createDataFrame([], "ts: timestamp")
     assert timeline_completeness(empty).count() == 0
+
+
+class TestIntervalOverlap:
+    def test_overlap_matrix(self, spark):
+        from pandasschema_spark.operators.sessions import interval_overlap_violations
+
+        rows = [
+            ("u1", 0, 10),    # base
+            ("u1", 10, 20),   # touching: NOT overlap (half-open)
+            ("u1", 15, 25),   # overlaps previous
+            ("u1", 30, 40),
+            ("u1", 32, 35),   # contained: overlaps
+            ("u2", 0, 100),
+            ("u2", 50, 60),   # contained in earlier long interval
+            ("u3", 5, 6),     # lone: clean
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        out = sorted((r["k"], r["s"]) for r in
+                     interval_overlap_violations(df, "k", "s", "e").collect())
+        assert out == [("u1", 15), ("u1", 32), ("u2", 50)]
+
+    def test_chain_flags_each_once(self, spark):
+        from pandasschema_spark.operators.sessions import interval_overlap_violations
+
+        # chain a-b-c where b overlaps a, c overlaps b (and a via running max)
+        df = spark.createDataFrame(
+            [("k", 0, 10), ("k", 5, 15), ("k", 12, 20)], "k string, s long, e long")
+        out = interval_overlap_violations(df, "k", "s", "e").collect()
+        assert sorted(r["s"] for r in out) == [5, 12]
+        # prev_max_end is the RUNNING max, not just the previous row's end
+        assert {r["s"]: r["prev_max_end"] for r in out} == {5: 10, 12: 15}
+
+    def test_null_bounds_excluded_and_cap(self, spark):
+        from pandasschema_spark.operators.sessions import interval_overlap_violations
+
+        rows = [("k", None, 10), ("k", 0, None), ("k", 0, 10), ("k", 5, 8)]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        assert interval_overlap_violations(df, "k", "s", "e").count() == 1
+        # hot-key cap drops the whole key wholesale
+        hot = spark.createDataFrame(
+            [("h", i, i + 2) for i in range(10)], "k string, s long, e long")
+        assert interval_overlap_violations(
+            hot, "k", "s", "e", max_rows_per_key=5).count() == 0
+
+    def test_single_exchange_no_cap_window(self, spark):
+        from pandasschema_spark.operators.sessions import interval_overlap_violations
+
+        df = spark.createDataFrame([("k", 0, 1)], "k string, s long, e long")
+        plan = interval_overlap_violations(
+            df, "k", "s", "e")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 1  # the running max only
