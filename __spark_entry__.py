@@ -260,6 +260,22 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_text_encoding_scan(spark, sf_dir):
+    """Mojibake gate over documents with in-query planted corruption
+    (%31 docs get a replacement char + a BEL control byte appended):
+    the scan must flag exactly those docs with exact counts; row-local
+    regexp_count classes shared literally with the oracle."""
+    from pandasschema_spark.operators.text import encoding_scan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0,
+               F.concat(F.col("text"), F.lit("� bad \x07")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return encoding_scan(d)
+
+
 def q_val_interval_overlap(spark, sf_dir):
     """Per-customer overlapping 30-day order windows: running-max-end
     window over ONE hash(custkey) exchange (each offender emitted once —
@@ -2698,6 +2714,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_null_bursts": q_val_null_bursts,
         "pipeline_repair_validate": q_pipeline_repair_validate,
         "val_interval_overlap": q_val_interval_overlap,
+        "text_encoding_scan": q_text_encoding_scan,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -3984,6 +4001,28 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # mirrors the %31 injection, then counts the same character
+        # classes over each engine's own rendering of the corrupted text
+        # (base texts may legitimately contain anomalies — computed, not
+        # assumed)
+        "text_encoding_scan": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0
+              THEN text || '\ufffd bad ' || chr(7)
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, '\ufffd', '')) AS BIGINT)
+             AS n_replacement,
+         CAST(length(text) - length(regexp_replace(text,
+              '[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT)
+             AS n_control
+  FROM d)
+SELECT doc_id, n_replacement, n_control
+FROM c WHERE n_replacement > 0 OR n_control > 0
+""",
         # running-max window mirror with the IDENTICAL <=100k hot-key cap
         # rule; half-open [start, end) — touching endpoints are clean
         "val_interval_overlap": """

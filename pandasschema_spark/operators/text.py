@@ -522,3 +522,41 @@ def text_chunks(
         )
     )
     return out.withColumn("n_chars", F.length("chunk_text").cast("long"))
+
+
+def encoding_scan(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-anomaly scan: (id, n_replacement, n_control) per document
+    carrying mojibake evidence — U+FFFD replacement characters (the scar
+    a lossy decode leaves) or C0/DEL control bytes other than tab/LF/CR
+    (the scar a binary-in-text column leaves). Clean documents emit
+    nothing. The cheap pre-tokenizer gate: one replacement char means the
+    upstream charset guess was wrong for the WHOLE document, and token
+    statistics downstream of it are garbage.
+
+    Row-local ``regexp_count`` over plain character classes (Java-regex /
+    RE2 intersection, shared literally with the oracle) fused into the
+    scan — zero shuffle, no UDF, no HOF lambdas (codegen-clean). NULL
+    text drops (the notnull check's finding).
+    """
+    rep = F.regexp_count(F.col(text_col), F.lit("�"))
+    # class starts at \x01: a raw NUL cannot ride in a SQL string
+    # literal, so the cross-engine oracle could never express it — and a
+    # NUL inside a parquet string is its own (writer-level) corruption
+    ctl = F.regexp_count(
+        F.col(text_col),
+        F.lit("[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]"),
+    )
+    out = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            rep.cast("long").alias("n_replacement"),
+            ctl.cast("long").alias("n_control"),
+        )
+    )
+    return out.where((F.col("n_replacement") > 0) | (F.col("n_control") > 0))

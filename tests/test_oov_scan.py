@@ -75,3 +75,30 @@ def test_text_chunks_plan_no_shuffle(spark):
     df = spark.createDataFrame([(1, "abcd")], "id: bigint, text: string")
     plan = text_chunks(df, "text", "id", size=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "CodegenFallback" not in plan
+
+
+class TestEncodingScan:
+    def test_anomaly_matrix(self, spark):
+        from pandasschema_spark.operators.text import encoding_scan
+
+        rows = [
+            (1, "clean text with tab\tand newline\n ok"),
+            (2, "lossy � decode � here"),
+            (3, "binary \x01 leak \x07"),
+            (6, "lone NUL \x00 excluded by contract"),
+            (4, None),
+            (5, "del char \x7f"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: (r["n_replacement"], r["n_control"])
+               for r in encoding_scan(df).collect()}
+        assert out == {2: (2, 0), 3: (0, 2), 5: (0, 1)}
+        assert 6 not in out  # NUL excluded: no SQL literal can carry it
+
+    def test_zero_shuffle_codegen_clean(self, spark):
+        from pandasschema_spark.operators.text import encoding_scan
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        plan = encoding_scan(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "CodegenFallback" not in plan
