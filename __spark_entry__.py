@@ -260,6 +260,22 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a signature store: store = documents'
+    minhash signatures, new batch = the ' zz yy' near-dup mutations
+    (+1e9 ids); candidate (new, store) pairs must equal the batch LSH
+    over store+new restricted to cross pairs — which is exactly what the
+    oracle derives. The store's texts are never re-hashed."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store_sigs = D.minhash_signatures(docs, "text", "doc_id", n=3, k=16)
+    new_batch = docs.select(
+        (F.col("doc_id") + F.lit(1000000000).cast("long")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    return D.incremental_lsh_pairs(
+        new_batch, store_sigs, "text", "doc_id", n=3, k=16, bands=4)
+
+
 def q_text_encoding_scan(spark, sf_dir):
     """Mojibake gate over documents with in-query planted corruption
     (%31 docs get a replacement char + a BEL control byte appended):
@@ -2715,6 +2731,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_repair_validate": q_pipeline_repair_validate,
         "val_interval_overlap": q_val_interval_overlap,
         "text_encoding_scan": q_text_encoding_scan,
+        "dedup_incremental": q_dedup_incremental,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -4601,6 +4618,26 @@ banded AS (
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+""".format(corpus=_DOC_CORPUS_SQL, sigs=_minhash_sig_sql()),
+        # same corpus/signature mirror as dedup_minhash_lsh, restricted
+        # to cross (store < 1e9, new >= 1e9) pairs — the incremental
+        # store join must reproduce the batch result exactly
+        "dedup_incremental": """
+WITH {corpus},
+{sigs},
+banded AS (
+    SELECT id, 0 AS band_idx, CAST(m0 AS VARCHAR)||','||m1||','||m2||','||m3 AS band_key FROM sigs
+    UNION ALL
+    SELECT id, 1, CAST(m4 AS VARCHAR)||','||m5||','||m6||','||m7 FROM sigs
+    UNION ALL
+    SELECT id, 2, CAST(m8 AS VARCHAR)||','||m9||','||m10||','||m11 FROM sigs
+    UNION ALL
+    SELECT id, 3, CAST(m12 AS VARCHAR)||','||m13||','||m14||','||m15 FROM sigs
+)
+SELECT DISTINCT b.id AS id_new, a.id AS id_store
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.id < 1000000000 AND b.id >= 1000000000
 """.format(corpus=_DOC_CORPUS_SQL, sigs=_minhash_sig_sql()),
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": """

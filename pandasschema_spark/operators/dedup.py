@@ -331,16 +331,7 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n=n, k=k, impl=impl).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.concat_ws(",", F.transform(
-                    F.slice(F.col("sig"), bidx * r + 1, r), lambda v: v.cast("string"))),
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    banded = _banded_sigs(sigs, bands, r)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band_idx", "band_key")
@@ -360,6 +351,85 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return _attach_cached(out, [sigs])
+
+
+def _banded_sigs(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band_idx, band_key) rows from an (id, sig) frame: band i's key
+    is the comma-joined slice sig[i*r : (i+1)*r] — the LSH bucket id.
+    Shared by the batch self-join and the incremental store join so both
+    paths bucket identically (and identically to the SQL oracle)."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.concat_ws(",", F.transform(
+                    F.slice(F.col("sig"), bidx * r + 1, r), lambda v: v.cast("string"))),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: typing.Optional[int] = DEFAULT_MAX_BUCKET,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Incremental dedup: candidate pairs (id_new, id_store) between a
+    NEW batch and an existing signature STORE — the (id, sig) frame
+    :func:`minhash_signatures` emits, persisted warehouse-side day over
+    day. The store's TEXTS are never re-read or re-hashed: yesterday's
+    10^12 rows cost nothing today beyond scanning their fixed-width
+    signatures; only the new batch pays the gram->md5->k-fold pipeline.
+    Within-batch duplicates are the batch LSH's job
+    (:func:`lsh_candidate_pairs` over the new batch alone); this join
+    only answers "is it already in the corpus".
+
+    Same banding as the batch path (shared helper, identical buckets),
+    same hot-bucket cap semantics (counts over the UNION of both sides,
+    so a boilerplate bucket is dropped from both — equivalent to batch
+    LSH over store+new restricted to cross pairs); candidates verify
+    downstream exactly like batch candidates. Append
+    ``minhash_signatures(new_df, ...)`` to the store after the run.
+
+    Scale shape: new-batch signatures are narrow and typically tiny
+    relative to the store — Spark's planner broadcasts the small side of
+    the band join; shuffle volume is O(store_docs x bands) fixed-width
+    keys at worst, independent of text size.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, k=k, impl=impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nb = _banded_sigs(new_sigs, bands, r)
+    sb = _banded_sigs(store_sigs, bands, r)
+    if max_bucket is not None:
+        hot = (
+            nb.select("band_idx", "band_key").unionByName(
+                sb.select("band_idx", "band_key"))
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bc__"))
+            .where(F.col("__bc__") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        nb = nb.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+        sb = sb.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    out = (
+        nb.select("band_idx", "band_key", F.col("id").alias("id_new"))
+        .join(sb.select("band_idx", "band_key", F.col("id").alias("id_store")),
+              ["band_idx", "band_key"])
+        .select("id_new", "id_store")
+        .distinct()
+    )
+    return _attach_cached(out, [new_sigs])
 
 
 def minhash_dedup_pairs(
