@@ -260,6 +260,74 @@ def q_table_checksum_by(spark, sf_dir):
     return table_checksum_by(df, "o_orderkey", ["o_orderstatus", "o_totalprice"], buckets=16)
 
 
+INGEST_PIPE_DIR = "/tmp/psf_ingest_pipe_gate"
+INGEST_PIPE_SIZES = (800, 400)
+
+
+def q_pipeline_ingest_clean(spark, sf_dir):
+    """The ingestion user story end-to-end, one gate: JSONL shards with
+    four planted defect classes -> dead-letter rejects (%23 truncated,
+    %19 null sr) -> auto-repair of the survivors (%11 padded clip_id) ->
+    schema validation (%13 bad sr survives repair untouched) -> per-stage
+    counts. Every count re-derived closed-form by the oracle; a drift in
+    ANY stage's semantics moves a number."""
+    import shutil
+
+    from pandasschema_spark.operators.repair import RepairRule, repair
+    from pandasschema_spark.sources.ingest import jsonl_bad_records
+
+    shutil.rmtree(INGEST_PIPE_DIR, ignore_errors=True)
+    os.makedirs(INGEST_PIPE_DIR)
+    i = 0
+    for fidx, n in enumerate(INGEST_PIPE_SIZES):
+        with open(os.path.join(INGEST_PIPE_DIR, "part-{:03d}.jsonl".format(fidx)), "w") as fh:
+            for _ in range(n):
+                cid = "c{} ".format(i) if i % 11 == 2 else "c{}".format(i)
+                sr = 12345 if i % 13 == 3 else 16000
+                if i % 23 == 7:
+                    fh.write('{{"clip_id": "{}",\n'.format(cid))
+                elif i % 19 == 5:
+                    fh.write('{{"clip_id": "{}", "sr": null}}\n'.format(cid))
+                else:
+                    fh.write('{{"clip_id": "{}", "sr": {}}}\n'.format(cid, sr))
+                i += 1
+    schema_ddl = "clip_id STRING, sr INT"
+    rejects = jsonl_bad_records(spark, INGEST_PIPE_DIR, schema_ddl, required=("sr",))
+    rej_counts = rejects.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    lines = spark.read.text(INGEST_PIPE_DIR)
+    parsed = lines.select(
+        F.from_json(F.col("value"), schema_ddl + ", __corrupt STRING",
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": "__corrupt"}).alias("j")
+    ).where(
+        F.col("j").isNotNull() & F.col("j.__corrupt").isNull()
+        & F.col("j.sr").isNotNull()
+    ).select("j.clip_id", "j.sr")
+    rules = (RepairRule("clip_id", "trim"),)
+    from pandasschema_spark.operators.repair import repair_summary
+
+    repaired_n = repair_summary(parsed, rules).select(
+        F.lit("repaired_cells").alias("stage"), F.col("n_applied").alias("n"))
+    fixed = repair(parsed, rules)
+    sch = Schema([
+        Column("clip_id", [MatchesPatternValidation(r"^c[0-9]+$")]),
+        Column("sr", [InListValidation([8000, 16000, 44100, 48000])]),
+    ])
+    res = sch.validate(fixed.withColumn("__row__", F.monotonically_increasing_id()),
+                       columns=["clip_id", "sr"], row_key="__row__")
+    viol_n = res.violations.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("violations").alias("stage"), "n")
+    total = lines.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("raw_lines").alias("stage"), "n")
+    parsed_n = parsed.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("parsed_rows").alias("stage"), "n")
+    rej_stage = rej_counts.select(
+        F.concat(F.lit("rejected_"), F.col("reason")).alias("stage"), "n")
+    out = total.unionByName(rej_stage).unionByName(parsed_n) \
+        .unionByName(repaired_n).unionByName(viol_n)
+    return out.select("stage", F.col("n").cast("long").alias("n"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup against a signature store: store = documents'
     minhash signatures, new batch = the ' zz yy' near-dup mutations
@@ -2732,6 +2800,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_interval_overlap": q_val_interval_overlap,
         "text_encoding_scan": q_text_encoding_scan,
         "dedup_incremental": q_dedup_incremental,
+        "pipeline_ingest_clean": q_pipeline_ingest_clean,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -4018,6 +4087,30 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # every stage count re-derived from the shard generation rule:
+        # reject precedence (malformed beats missing), repair/violation
+        # classes only among parsed survivors
+        "pipeline_ingest_clean": """
+WITH r AS (SELECT range AS i FROM range(0, 1200)),
+cls AS (SELECT i,
+        CASE WHEN i % 23 = 7 THEN 'malformed'
+             WHEN i % 19 = 5 THEN 'missing' ELSE 'ok' END AS c FROM r)
+SELECT 'raw_lines' AS stage, CAST(count(*) AS BIGINT) AS n FROM r
+UNION ALL
+SELECT 'rejected_malformed', CAST(count(*) AS BIGINT)
+FROM cls WHERE c = 'malformed'
+UNION ALL
+SELECT 'rejected_missing:sr', CAST(count(*) AS BIGINT)
+FROM cls WHERE c = 'missing'
+UNION ALL
+SELECT 'parsed_rows', CAST(count(*) AS BIGINT) FROM cls WHERE c = 'ok'
+UNION ALL
+SELECT 'repaired_cells', CAST(count(*) AS BIGINT)
+FROM cls WHERE c = 'ok' AND i % 11 = 2
+UNION ALL
+SELECT 'violations', CAST(count(*) AS BIGINT)
+FROM cls WHERE c = 'ok' AND i % 13 = 3
+""",
         # mirrors the %31 injection, then counts the same character
         # classes over each engine's own rendering of the corrupted text
         # (base texts may legitimately contain anomalies — computed, not
