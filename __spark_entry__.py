@@ -1032,6 +1032,47 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Record linkage over a planted dirty-name corpus (blocking ->
+    bounded levenshtein -> connected components -> full assignment,
+    operators/entity.py). Base names are md5-derived 16-hex stems —
+    pairwise edit distance far above the verify bound, so no accidental
+    chains (digit-suffixed synthetic names like Customer#0000001 sit at
+    distance 1 from each other and would collapse the whole table).
+    Variants plant a deletion (id%3==0) and a 'z' substitution (id%5==0)
+    at positions PAST the 8-char blocking prefix — same block, distance
+    1 — plus a 'z' prepend (id%11==0) that CHANGES the block and must
+    therefore resolve to itself: the blocking-recall contract, replayed
+    identically by the oracle. Variant id offsets (+10M/+20M/+30M) stay
+    clear of real custkeys below sf~600. Oracle: same normalization,
+    blocking, hot-block cap rule, bounded levenshtein and min-id
+    closure (DuckDB recursive CTE)."""
+    from pandasschema_spark.operators.entity import resolve_entities
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias("name"),
+    )
+    m1 = base.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 10_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 6 as int)),"
+               "       substring(name, cast(10 + id % 6 as int)))").alias("vname"),
+    )
+    m2 = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 20_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 4 as int)), 'z',"
+               "       substring(name, cast(10 + id % 4 as int)))").alias("vname"),
+    )
+    m3 = base.where(F.col("id") % 11 == 0).select(
+        (F.col("id") + 30_000_000).alias("vid"),
+        F.concat(F.lit("z"), F.col("name")).alias("vname"),
+    )
+    variants = m1.unionByName(m2).unionByName(m3).select(
+        F.col("vid").alias("id"), F.col("vname").alias("name"))
+    corpus = base.unionByName(variants)
+    return resolve_entities(corpus, "name", "id", block_len=8, max_dist=2)
+
+
 def q_text_tokens(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2801,6 +2842,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding_scan": q_text_encoding_scan,
         "dedup_incremental": q_dedup_incremental,
         "pipeline_ingest_clean": q_pipeline_ingest_clean,
+        "entity_resolution": q_entity_resolution,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -4087,6 +4129,50 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM orders""".format(c=c)
             for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
         ),
+        # replays all four entity-resolution stages: planted corpus,
+        # normalization + prefix blocking (with the identical hot-block
+        # cap rule), bounded levenshtein verify, min-id transitive
+        # closure via recursive CTE, then full assignment (singletons
+        # resolve to themselves)
+        "entity_resolution": """
+WITH RECURSIVE
+base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                substring(md5(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 16) AS name
+         FROM customer),
+m1 AS (SELECT id + 10000000 AS vid,
+              substring(name, 1, CAST(8 + id % 6 AS INT))
+              || substring(name, CAST(10 + id % 6 AS INT)) AS vname
+       FROM base WHERE id % 3 = 0),
+m2 AS (SELECT id + 20000000 AS vid,
+              substring(name, 1, CAST(8 + id % 4 AS INT)) || 'z'
+              || substring(name, CAST(10 + id % 4 AS INT)) AS vname
+       FROM base WHERE id % 5 = 0),
+m3 AS (SELECT id + 30000000 AS vid, 'z' || name AS vname
+       FROM base WHERE id % 11 = 0),
+corpus AS (SELECT id, name FROM base
+           UNION ALL SELECT vid, vname FROM m1
+           UNION ALL SELECT vid, vname FROM m2
+           UNION ALL SELECT vid, vname FROM m3),
+norm AS (SELECT id, trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS nm
+         FROM corpus),
+blk0 AS (SELECT id, nm, substring(nm, 1, 8) AS b FROM norm),
+hot AS (SELECT b FROM blk0 GROUP BY b HAVING count(*) > 10000),
+blk AS (SELECT * FROM blk0 WHERE b NOT IN (SELECT b FROM hot)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+  WHERE abs(length(a.nm) - length(b.nm)) <= 2
+    AND levenshtein(a.nm, b.nm) <= 2),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a WHERE e.b <> r.a),
+cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT n.id, CAST(coalesce(cc.cluster_id, n.id) AS BIGINT) AS entity_id
+FROM norm n LEFT JOIN cc ON cc.id = n.id
+""",
         # every stage count re-derived from the shard generation rule:
         # reject precedence (malformed beats missing), repair/violation
         # classes only among parsed survivors

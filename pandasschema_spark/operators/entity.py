@@ -1,0 +1,104 @@
+"""Entity resolution: blocking -> bounded edit-distance verify ->
+connected components.
+
+Engine extension for training-data / catalog pipelines (no reference
+analog — SURVEY.md §2.5): collapse near-identical free-text entity
+names ("Acme Corp." / "acme corp" / "Acme Cop") to one canonical
+entity id. The same three-stage shape every record-linkage system at
+scale uses:
+
+1. **Blocking** — a cheap deterministic key (prefix of the normalized
+   name) so only rows sharing a block ever meet. One shuffle on the
+   block key; the all-pairs O(n^2) problem becomes sum of per-block
+   squares. Hot blocks (empty names, boilerplate prefixes) are dropped
+   by the repo's standard default-on cap — a groupBy-count + broadcast
+   anti-join, never a count-over-window — so one degenerate block
+   cannot melt a reducer at 10^12 rows; ``max_block=None`` restores
+   exactness.
+2. **Verify** — JVM ``levenshtein`` with Spark's bounded ``threshold``
+   form (O(max_dist * len) per comparison, early-exit above the bound,
+   whole-stage codegen; never a Python UDF), behind a row-local length
+   pre-filter (``abs(len_a - len_b) <= max_dist`` is a necessary
+   condition, so most in-block pairs never reach the DP).
+3. **Transitive closure** — :func:`..graph.connected_components`
+   (large-star/small-star, O(log n) rounds, eager localCheckpoint
+   lineage cuts), then a left join back to the corpus so singletons
+   resolve to themselves: every input row gets exactly one entity id.
+
+Determinism: normalization, blocking, the levenshtein predicate and
+min-id closure are pure functions of the data — the DuckDB oracle
+replays all four stages verbatim (its ``levenshtein`` is the same
+classic DP) and hashes identically.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .graph import connected_components
+
+#: default hot-block cap, consistent with the dedup family's
+#: DEFAULT_MAX_BUCKET: blocks bigger than this are dropped from pair
+#: generation (a 10k-row block alone contributes ~50M comparisons).
+DEFAULT_MAX_BLOCK = 10_000
+
+
+def normalized_name_expr(col: Column) -> Column:
+    """lower -> collapse every non-alphanumeric run to one space ->
+    trim. Codegen-clean (regexp_replace, no higher-order functions)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    *,
+    block_len: int = 8,
+    max_dist: int = 2,
+    max_block: typing.Optional[int] = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """(id, entity_id) for EVERY input row: entity_id is the minimum id
+    reachable through pairs whose normalized names share a
+    ``block_len``-char prefix and sit within ``max_dist`` edits;
+    singletons (and rows whose block was capped away) resolve to their
+    own id.
+
+    Blocking recall is intentionally not 1.0 — an edit inside the
+    prefix moves a row to a different block, exactly like production
+    blocking keys; recall is raised by lowering ``block_len`` (more
+    comparisons) not by widening the verify. The oracle replays the
+    identical blocking so both engines miss the same pairs.
+    """
+    norm = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalized_name_expr(F.col(name_col)).alias("nm"),
+    )
+    blk = norm.select("id", "nm", F.substring("nm", 1, block_len).alias("b"))
+    if max_block is not None:
+        hot = (
+            blk.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("__bc__"))
+            .where(F.col("__bc__") > max_block)
+            .select("b")
+        )
+        blk = blk.join(F.broadcast(hot), "b", "left_anti")
+    a = blk.select("b", F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
+    bb = blk.select("b", F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
+    pairs = (
+        a.join(bb, "b")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("nm_a") - F.length("nm_b")) <= max_dist)
+            & (F.levenshtein("nm_a", "nm_b", max_dist) >= 0)
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        norm.select("id")
+        .join(cc, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("entity_id"))
+    )

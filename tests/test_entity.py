@@ -1,0 +1,71 @@
+"""resolve_entities: blocking + bounded levenshtein + closure semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.entity import (
+    DEFAULT_MAX_BLOCK,
+    normalized_name_expr,
+    resolve_entities,
+)
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    rows = [
+        (1, "Acme Corporation"),
+        (2, "acme corporation"),      # normalizes equal to 1 -> dist 0
+        (3, "Acme Corporatio"),       # deletion past the prefix -> dist 1
+        (4, "Acme Corporatiot"),      # substitution past the prefix -> dist 1
+        (5, "zAcme Corporation"),     # edit INSIDE the prefix -> other block
+        (6, "Globex Industries"),     # unrelated singleton
+        (7, "Initech LLC"),
+        (8, "initech, llc"),          # punctuation collapses -> dist 0 vs 7
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_clusters_and_singletons(spark, names):
+    got = {r["id"]: r["entity_id"]
+           for r in resolve_entities(names, "name", "id").collect()}
+    # every input row is assigned exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5, 6, 7, 8]
+    # 1,2 identical post-normalization; 3,4 within 2 edits, same block
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    # 5 is 1 edit away from 1 but its BLOCK differs: blocking recall
+    # contract says it resolves to itself
+    assert got[5] == 5
+    assert got[6] == 6
+    assert got[7] == got[8] == 7
+
+
+def test_transitive_chain_closes(spark, names):
+    # A~B at dist 2 and B~C at dist 2 with A~C at dist 4: closure must
+    # still collapse all three (pairs alone would leave A,C separate)
+    rows = [(10, "abcdefghijklmnop"),
+            (11, "abcdefghijklmnzz"),
+            (12, "abcdefghijklzzzz")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {r["id"]: r["entity_id"]
+           for r in resolve_entities(df, "name", "id").collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_hot_block_cap(spark):
+    # 6 rows share one block; cap 5 drops the whole block -> all
+    # singletons. cap None restores the pairs.
+    rows = [(i, "prefixaa name{}".format(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = {r["id"]: r["entity_id"]
+              for r in resolve_entities(df, "name", "id", max_block=5).collect()}
+    assert capped == {i: i for i in range(6)}
+    exact = {r["id"]: r["entity_id"]
+             for r in resolve_entities(df, "name", "id", max_block=None).collect()}
+    assert set(exact.values()) == {0}
+    assert DEFAULT_MAX_BLOCK == 10_000
+
+
+def test_normalization_expr(spark):
+    df = spark.createDataFrame([("  Foo--Bar,  Inc. ",)], "s string")
+    out = df.select(normalized_name_expr(F.col("s")).alias("n")).head()["n"]
+    assert out == "foo bar inc"
