@@ -51,7 +51,7 @@ def normalized_name_expr(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
-def resolve_entities(
+def blocked_pairs(
     df: DataFrame,
     name_col: str,
     id_col: str,
@@ -60,17 +60,15 @@ def resolve_entities(
     max_dist: int = 2,
     max_block: typing.Optional[int] = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
-    """(id, entity_id) for EVERY input row: entity_id is the minimum id
-    reachable through pairs whose normalized names share a
-    ``block_len``-char prefix and sit within ``max_dist`` edits;
-    singletons (and rows whose block was capped away) resolve to their
-    own id.
+    """(id_a, id_b) with id_a < id_b: pairs whose normalized names share
+    a ``block_len``-char prefix and sit within ``max_dist`` edits. The
+    match-candidate stage on its own — feed a human review queue, or
+    :func:`resolve_entities` for the full closure.
 
-    Blocking recall is intentionally not 1.0 — an edit inside the
-    prefix moves a row to a different block, exactly like production
-    blocking keys; recall is raised by lowering ``block_len`` (more
-    comparisons) not by widening the verify. The oracle replays the
-    identical blocking so both engines miss the same pairs.
+    Plan shape (locked by tests/test_plan_quality.py): an equi-join on
+    the block key (shuffle/sort-merge — never a cartesian or
+    broadcast-nested-loop), the hot-block cap as a broadcast LEFT ANTI,
+    and the levenshtein verify as a post-join filter inside codegen.
     """
     norm = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -87,7 +85,7 @@ def resolve_entities(
         blk = blk.join(F.broadcast(hot), "b", "left_anti")
     a = blk.select("b", F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
     bb = blk.select("b", F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
-    pairs = (
+    return (
         a.join(bb, "b")
         .where(
             (F.col("id_a") < F.col("id_b"))
@@ -95,6 +93,35 @@ def resolve_entities(
             & (F.levenshtein("nm_a", "nm_b", max_dist) >= 0)
         )
         .select("id_a", "id_b")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    *,
+    block_len: int = 8,
+    max_dist: int = 2,
+    max_block: typing.Optional[int] = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """(id, entity_id) for EVERY input row: entity_id is the minimum id
+    reachable through :func:`blocked_pairs` edges; singletons (and rows
+    whose block was capped away) resolve to their own id.
+
+    Blocking recall is intentionally not 1.0 — an edit inside the
+    prefix moves a row to a different block, exactly like production
+    blocking keys; recall is raised by lowering ``block_len`` (more
+    comparisons) not by widening the verify. The oracle replays the
+    identical blocking so both engines miss the same pairs.
+    """
+    norm = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalized_name_expr(F.col(name_col)).alias("nm"),
+    )
+    pairs = blocked_pairs(
+        df, name_col, id_col,
+        block_len=block_len, max_dist=max_dist, max_block=max_block,
     )
     cc = connected_components(pairs, "id_a", "id_b")
     return (

@@ -380,3 +380,22 @@ def test_collocations_codegen_clean_one_scan_per_leg(spark):
     out.collect()
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 2, executed[:2000]
+
+
+def test_entity_blocked_pairs_plan(spark):
+    """The candidate stage must be an equi-join on the block key (never
+    a cartesian / broadcast-nested-loop: an unkeyed name join is the
+    all-pairs melt the blocking exists to avoid), the hot-block cap a
+    broadcast LEFT ANTI, the bounded-levenshtein verify a post-join
+    filter — and no Window anywhere."""
+    from pandasschema_spark.operators.entity import blocked_pairs
+
+    df = spark.range(200).select(
+        "id", F.concat(F.lit("nm "), F.col("id").cast("string")).alias("name"))
+    pairs = blocked_pairs(df, "name", "id", max_block=50)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "levenshtein" in plan
