@@ -1073,6 +1073,45 @@ def q_entity_resolution(spark, sf_dir):
     return resolve_entities(corpus, "name", "id", block_len=8, max_dist=2)
 
 
+def q_entity_assign(spark, sf_dir):
+    """Incremental entity assignment: the persisted STORE is the
+    already-resolved dictionary (bases, entity=self — pairwise-distant
+    md5 stems, attested singleton by the entity_resolution gate — plus
+    the deletion variants resolved to their base), the NEW batch is the
+    substitution + prepend variants. Substitutions match their base
+    (and its deletion variant) within 2 edits in the same block ->
+    min(entity)=base id; prepends land in blocks the store never
+    populates -> self. Tests ASSIGNMENT in isolation — closure is
+    entity_resolution's gate — so the oracle is non-recursive. The cap
+    counts over the UNION of both sides, replayed identically."""
+    from pandasschema_spark.operators.entity import assign_entities
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias("name"),
+    )
+    m1 = base.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 10_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 6 as int)),"
+               "       substring(name, cast(10 + id % 6 as int)))").alias("vname"),
+        F.col("id").alias("src"),
+    )
+    m2 = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 20_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 4 as int)), 'z',"
+               "       substring(name, cast(10 + id % 4 as int)))").alias("vname"),
+    )
+    m3 = base.where(F.col("id") % 11 == 0).select(
+        (F.col("id") + 30_000_000).alias("vid"),
+        F.concat(F.lit("z"), F.col("name")).alias("vname"),
+    )
+    store = base.select("name", F.col("id").alias("entity_id")).unionByName(
+        m1.select(F.col("vname").alias("name"), F.col("src").alias("entity_id")))
+    new = m2.unionByName(m3).select(
+        F.col("vid").alias("id"), F.col("vname").alias("name"))
+    return assign_entities(new, store, "name", "id", block_len=8, max_dist=2)
+
+
 def q_text_tokens(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2843,6 +2882,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "pipeline_ingest_clean": q_pipeline_ingest_clean,
         "entity_resolution": q_entity_resolution,
+        "entity_assign": q_entity_assign,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
@@ -4172,6 +4212,49 @@ reach(a, b) AS (
 cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
 SELECT n.id, CAST(coalesce(cc.cluster_id, n.id) AS BIGINT) AS entity_id
 FROM norm n LEFT JOIN cc ON cc.id = n.id
+""",
+        # assignment stage only (closure is entity_resolution's gate),
+        # so no recursion: store = bases (entity=self) + deletion
+        # variants (entity=base); new batch = substitutions + prepends;
+        # min(entity) over in-block bounded-levenshtein matches, capped
+        # over the UNION of both sides
+        "entity_assign": """
+WITH
+base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                substring(md5(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 16) AS name
+         FROM customer),
+m1 AS (SELECT id + 10000000 AS vid,
+              substring(name, 1, CAST(8 + id % 6 AS INT))
+              || substring(name, CAST(10 + id % 6 AS INT)) AS vname,
+              id AS src
+       FROM base WHERE id % 3 = 0),
+m2 AS (SELECT id + 20000000 AS vid,
+              substring(name, 1, CAST(8 + id % 4 AS INT)) || 'z'
+              || substring(name, CAST(10 + id % 4 AS INT)) AS vname
+       FROM base WHERE id % 5 = 0),
+m3 AS (SELECT id + 30000000 AS vid, 'z' || name AS vname
+       FROM base WHERE id % 11 = 0),
+store AS (SELECT name, id AS entity_id FROM base
+          UNION ALL SELECT vname, src FROM m1),
+newb AS (SELECT vid AS id, vname AS name FROM m2
+         UNION ALL SELECT vid, vname FROM m3),
+snorm AS (SELECT trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS snm,
+                 entity_id FROM store),
+nnorm AS (SELECT id, trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS nm
+          FROM newb),
+sb AS (SELECT snm, entity_id, substring(snm, 1, 8) AS b FROM snorm),
+nb AS (SELECT id, nm, substring(nm, 1, 8) AS b FROM nnorm),
+hot AS (SELECT b FROM (SELECT b FROM sb UNION ALL SELECT b FROM nb)
+        GROUP BY b HAVING count(*) > 10000),
+sbk AS (SELECT * FROM sb WHERE b NOT IN (SELECT b FROM hot)),
+nbk AS (SELECT * FROM nb WHERE b NOT IN (SELECT b FROM hot)),
+m AS (SELECT n.id, min(s.entity_id) AS entity_id
+      FROM nbk n JOIN sbk s ON n.b = s.b
+      WHERE abs(length(n.nm) - length(s.snm)) <= 2
+        AND levenshtein(n.nm, s.snm) <= 2
+      GROUP BY n.id)
+SELECT n.id, CAST(coalesce(m.entity_id, n.id) AS BIGINT) AS entity_id
+FROM nnorm n LEFT JOIN m ON m.id = n.id
 """,
         # every stage count re-derived from the shard generation rule:
         # reject precedence (malformed beats missing), repair/violation

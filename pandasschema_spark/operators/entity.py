@@ -96,6 +96,69 @@ def blocked_pairs(
     )
 
 
+def assign_entities(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    name_col: str,
+    id_col: str,
+    *,
+    entity_col: str = "entity_id",
+    block_len: int = 8,
+    max_dist: int = 2,
+    max_block: typing.Optional[int] = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Incremental entity resolution: assign each NEW row the minimum
+    ``entity_col`` among store rows whose normalized names share its
+    block and sit within ``max_dist`` edits; unmatched rows get their
+    own id. ``store_df`` is the persisted (name, entity_id) dictionary
+    a prior :func:`resolve_entities` run produced — yesterday's 10^12
+    resolved rows cost nothing today beyond one scan of that narrow
+    store; only the new batch is blocked and verified. Within-batch
+    linking is :func:`resolve_entities`' job over the new batch alone
+    (same division of labor as the incremental LSH dedup).
+
+    The hot-block cap counts over the UNION of both sides, so a
+    boilerplate block is dropped from both — the capped configuration
+    is the one the oracle replays. Scale shape: the store shuffles once
+    on the block key (names only, never payloads); a small new batch is
+    broadcast by AQE; the min-agg is map-side combinable.
+    """
+    nn = new_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalized_name_expr(F.col(name_col)).alias("nm"),
+    )
+    sn = store_df.select(
+        normalized_name_expr(F.col(name_col)).alias("snm"),
+        F.col(entity_col).cast("long").alias("entity_id"),
+    )
+    nb = nn.select("id", "nm", F.substring("nm", 1, block_len).alias("b"))
+    sb = sn.select("snm", "entity_id", F.substring("snm", 1, block_len).alias("b"))
+    if max_block is not None:
+        hot = (
+            nb.select("b").unionByName(sb.select("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("__bc__"))
+            .where(F.col("__bc__") > max_block)
+            .select("b")
+        )
+        nb = nb.join(F.broadcast(hot), "b", "left_anti")
+        sb = sb.join(F.broadcast(hot), "b", "left_anti")
+    matched = (
+        nb.join(sb, "b")
+        .where(
+            (F.abs(F.length("nm") - F.length("snm")) <= max_dist)
+            & (F.levenshtein("nm", "snm", max_dist) >= 0)
+        )
+        .groupBy("id")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    return (
+        nn.select("id")
+        .join(matched, "id", "left")
+        .select("id", F.coalesce("entity_id", F.col("id")).alias("entity_id"))
+    )
+
+
 def resolve_entities(
     df: DataFrame,
     name_col: str,

@@ -69,3 +69,52 @@ def test_normalization_expr(spark):
     df = spark.createDataFrame([("  Foo--Bar,  Inc. ",)], "s string")
     out = df.select(normalized_name_expr(F.col("s")).alias("n")).head()["n"]
     assert out == "foo bar inc"
+
+
+def test_assign_entities_incremental(spark):
+    from pandasschema_spark.operators.entity import assign_entities
+
+    store = spark.createDataFrame(
+        [("acme corporation", 1), ("acme corporatio", 1), ("globex industries", 6)],
+        "name string, entity_id long")
+    new = spark.createDataFrame(
+        [(100, "Acme Corporatiot"),   # 2 edits from both acme rows -> 1
+         (101, "Globex Industriez"),  # 1 edit -> 6
+         (102, "zGlobex Industries"), # block moved -> self
+         (103, "Hooli Inc")],         # no match -> self
+        "id long, name string")
+    got = {r["id"]: r["entity_id"]
+           for r in assign_entities(new, store, "name", "id").collect()}
+    assert got == {100: 1, 101: 6, 102: 102, 103: 103}
+
+
+def test_assign_entities_min_of_conflicting_matches(spark):
+    from pandasschema_spark.operators.entity import assign_entities
+
+    # two store rows within 2 edits of the new name but carrying
+    # DIFFERENT entities: assignment takes the minimum, deterministically
+    store = spark.createDataFrame(
+        [("datacorp alpha", 9), ("datacorp alphb", 4)],
+        "name string, entity_id long")
+    new = spark.createDataFrame([(200, "datacorp alphc")], "id long, name string")
+    got = assign_entities(new, store, "name", "id").head()
+    assert (got["id"], got["entity_id"]) == (200, 4)
+
+
+def test_assign_entities_union_cap(spark):
+    from pandasschema_spark.operators.entity import assign_entities
+
+    # 3 store + 3 new rows share a block: each side alone is under a
+    # cap of 5, the UNION is over it -> the block drops from BOTH sides
+    store = spark.createDataFrame(
+        [("prefixaa store{}".format(i), i) for i in range(3)],
+        "name string, entity_id long")
+    new = spark.createDataFrame(
+        [(300 + i, "prefixaa store{}".format(i)) for i in range(3)],
+        "id long, name string")
+    capped = {r["id"]: r["entity_id"]
+              for r in assign_entities(new, store, "name", "id", max_block=5).collect()}
+    assert capped == {300: 300, 301: 301, 302: 302}
+    exact = {r["id"]: r["entity_id"]
+             for r in assign_entities(new, store, "name", "id", max_block=None).collect()}
+    assert exact == {300: 0, 301: 0, 302: 0}  # all within 2 edits -> min entity
