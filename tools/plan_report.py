@@ -183,6 +183,18 @@ def main() -> None:
             RepairRule("o_orderstatus", "case_to_list", allowed=("O", "F", "P")),
             RepairRule("o_totalprice", "clamp", lo=1.0, hi=500000.0))))))
 
+    from pandasschema_spark.operators.entity import blocked_pairs
+    ent = spark.range(500).select(
+        "id", F.concat(F.lit("nm "), F.col("id").cast("string")).alias("name"))
+    sections.append((
+        "Entity-resolution candidate stage (blocked pairs, cap ON)",
+        "Claims: the self-join is an EQUI-join on the block key (never "
+        "`CartesianProduct`/`BroadcastNestedLoopJoin` — an unkeyed name join "
+        "is the all-pairs melt blocking exists to avoid); the hot-block cap "
+        "is `BroadcastHashJoin ... LeftAnti`; the bounded `levenshtein` "
+        "verify runs as a post-join Filter inside codegen; no Window.",
+        plan_of(blocked_pairs(ent, "name", "id", max_block=100))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
