@@ -1032,6 +1032,25 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_violation_hotspots(spark, sf_dir):
+    """Violation hot-spot mining: the natural quantity-range violations
+    are uniform across lineitem's dims (~52% everywhere, no lift), so
+    the flag plants a CORRELATED defect on returnflag 'R' (every third
+    order) — rate there ~68% vs ~57% global, lift ~1.19; linestatus and
+    linenumber stay at lift ~1.0 and must NOT surface at the 1.15
+    threshold. The condition is computed from the data in both engines
+    (never assumed closed-form), so natural lift — if any existed —
+    would surface identically in both."""
+    from pandasschema_spark.operators.profile import violation_hotspots
+
+    li = _t(spark, sf_dir, "lineitem")
+    flag = ((F.col("l_quantity") < 1) | (F.col("l_quantity") >= 25)
+            | ((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 3 == 0)))
+    return violation_hotspots(
+        li, flag, ["l_returnflag", "l_linestatus", "l_linenumber"],
+        min_support=1000, min_lift_pct=115)
+
+
 def q_entity_resolution(spark, sf_dir):
     """Record linkage over a planted dirty-name corpus (blocking ->
     bounded levenshtein -> connected components -> full assignment,
@@ -2882,6 +2901,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "pipeline_ingest_clean": q_pipeline_ingest_clean,
         "entity_resolution": q_entity_resolution,
+        "violation_hotspots": q_violation_hotspots,
         "entity_assign": q_entity_assign,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
@@ -4212,6 +4232,30 @@ reach(a, b) AS (
 cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
 SELECT n.id, CAST(coalesce(cc.cluster_id, n.id) AS BIGINT) AS entity_id
 FROM norm n LEFT JOIN cc ON cc.id = n.id
+""",
+        # same melt -> one agg -> global-from-same-agg -> integer lift
+        # filter; BIGINT casts on every sum-derived column (HUGEINT trap)
+        "violation_hotspots": """
+WITH f AS (
+  SELECT CASE WHEN l_quantity < 1 OR l_quantity >= 25
+                OR (l_returnflag = 'R' AND l_orderkey % 3 = 0)
+              THEN 1 ELSE 0 END AS bad,
+         l_returnflag, l_linestatus, CAST(l_linenumber AS VARCHAR) AS ln
+  FROM lineitem),
+m AS (SELECT 'l_returnflag' AS dim, l_returnflag AS value, bad FROM f
+      UNION ALL SELECT 'l_linestatus', l_linestatus, bad FROM f
+      UNION ALL SELECT 'l_linenumber', ln, bad FROM f),
+a AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bad) AS BIGINT) AS bad_n
+      FROM m GROUP BY dim, value),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(bad_n) AS BIGINT) AS gbad
+      FROM a WHERE dim = 'l_returnflag')
+SELECT dim, value, n, bad_n,
+       CAST(bad_n * 1000000 // n AS BIGINT) AS rate_ppm,
+       CAST(gbad * 1000000 // gn AS BIGINT) AS global_ppm
+FROM a, g
+WHERE n >= 1000
+  AND (bad_n * 1000000 // n) * 100 >= 115 * (gbad * 1000000 // gn)
 """,
         # assignment stage only (closure is entity_resolution's gate),
         # so no recursion: store = bases (entity=self) + deletion

@@ -290,3 +290,62 @@ def null_bursts(
         .select("bucket_start_s", "v.column", "v.n_rows", "v.n_null",
                 "v.null_ppm", "v.excess_ppm")
     )
+
+
+def violation_hotspots(
+    df: DataFrame,
+    flag_col: SparkColumn,
+    dims: typing.Sequence[str],
+    *,
+    min_support: int = 1000,
+    min_lift_pct: int = 115,
+) -> DataFrame:
+    """Localize WHERE violations concentrate: for every value of every
+    candidate dimension, the violation rate (integer ppm) vs the global
+    rate, keeping values with ``n >= min_support`` whose rate shows
+    ``rate_ppm * 100 >= min_lift_pct * global_ppm`` lift — the
+    "violations are 1.2x over-represented in shard X / supplier Y"
+    answer a data-debugging session starts from (Scorpion-style
+    single-attribute explanations; deeper conjunctions are a re-run
+    over the flagged slice).
+
+    One scan, one exchange: the row flag and the dim melt (explode of
+    an array of (dim, value) structs — a plain projection, no
+    higher-order functions) feed a single (dim, value) hash-agg with
+    map-side combine; the global rate derives from the SAME aggregate
+    (summing one dimension's rows) and joins back as a broadcast
+    1-row frame. Output size is the sum of dimension cardinalities —
+    pick dims accordingly (that's the operator's contract, same as any
+    GROUP BY profiler). All arithmetic is integer (`div`), so oracles
+    hash exactly; rates use floor division — both engines on
+    non-negative counts.
+
+    Returns (dim, value, n, bad_n, rate_ppm, global_ppm), all counts
+    BIGINT; ``value`` is the dimension value cast to string (NULL
+    groups as NULL in both engines).
+    """
+    dims = list(dims)
+    melted = df.select(
+        flag_col.cast("int").alias("__bad__"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("dim"), F.col(d).cast("string").alias("value"))
+            for d in dims
+        ])).alias("dv"),
+    ).select(F.col("dv.dim").alias("dim"), F.col("dv.value").alias("value"), "__bad__")
+    agg = melted.groupBy("dim", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__bad__").cast("long").alias("bad_n"),
+    )
+    glob = (
+        agg.where(F.col("dim") == dims[0])
+        .agg(F.sum("n").cast("long").alias("__gn__"),
+             F.sum("bad_n").cast("long").alias("__gbad__"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(glob))
+        .withColumn("rate_ppm", F.expr("bad_n * 1000000L div n"))
+        .withColumn("global_ppm", F.expr("__gbad__ * 1000000L div __gn__"))
+        .where((F.col("n") >= min_support)
+               & (F.col("rate_ppm") * 100 >= F.lit(min_lift_pct) * F.col("global_ppm")))
+        .select("dim", "value", "n", "bad_n", "rate_ppm", "global_ppm")
+    )

@@ -1,0 +1,42 @@
+"""violation_hotspots: melt-agg lift mining semantics."""
+
+from pyspark.sql import functions as F
+
+from pandasschema_spark.operators.profile import violation_hotspots
+
+
+def _mk(spark):
+    # region A: 50% bad; region B: 10% bad; tier dim uncorrelated
+    rows = []
+    for i in range(200):
+        region = "A" if i < 100 else "B"
+        # badness spans both tiers evenly (i%4<2 hits one even + one odd
+        # residue, likewise i%20<2) so tier shows NO lift by construction
+        bad = (i % 4 < 2) if region == "A" else (i % 20 < 2)
+        rows.append((i, region, "t{}".format(i % 2), bool(bad)))
+    return spark.createDataFrame(rows, "id long, region string, tier string, bad boolean")
+
+
+def test_lift_selectivity(spark):
+    df = _mk(spark)
+    out = violation_hotspots(df, F.col("bad"), ["region", "tier"],
+                             min_support=10, min_lift_pct=120).collect()
+    # global = 60/200 = 300000 ppm; A = 500000 ppm (lift 1.67) surfaces,
+    # B = 100000 ppm and both tiers (~300000) do not
+    assert [(r["dim"], r["value"], r["n"], r["bad_n"], r["rate_ppm"], r["global_ppm"])
+            for r in out] == [("region", "A", 100, 50, 500000, 300000)]
+
+
+def test_min_support_gate(spark):
+    df = _mk(spark)
+    out = violation_hotspots(df, F.col("bad"), ["region", "tier"],
+                             min_support=101, min_lift_pct=120).collect()
+    assert out == []  # region groups have n=100 < 101
+
+
+def test_null_dim_value_groups(spark):
+    rows = [(1, None, True), (2, None, True), (3, "x", False), (4, "x", False)]
+    df = spark.createDataFrame(rows, "id long, d string, bad boolean")
+    out = violation_hotspots(df, F.col("bad"), ["d"],
+                             min_support=2, min_lift_pct=110).collect()
+    assert len(out) == 1 and out[0]["value"] is None and out[0]["rate_ppm"] == 1000000
