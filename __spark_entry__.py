@@ -1032,6 +1032,26 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_missingness(spark, sf_dir):
+    """Null-pattern co-occurrence over planted CORRELATED nulls (the
+    synthetic tables carry none): custkey drops whenever orderkey%7 is
+    in {0,3}, priority drops on %7==0 (a strict subset — the correlated
+    outage), status drops independently on %13==0. The profile must
+    separate the joint patterns ('110', '100', '001', '111', '101',
+    '000') that per-column null counts cannot distinguish."""
+    from pandasschema_spark.operators.profile import missingness_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CASE WHEN o_orderkey % 7 IN (0, 3) THEN NULL ELSE o_custkey END")
+        .alias("o_custkey"),
+        F.expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END")
+        .alias("o_orderpriority"),
+        F.expr("CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END")
+        .alias("o_orderstatus"),
+    )
+    return missingness_profile(o, ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+
 def q_violation_hotspots(spark, sf_dir):
     """Violation hot-spot mining: the natural quantity-range violations
     are uniform across lineitem's dims (~52% everywhere, no lift), so
@@ -2902,6 +2922,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ingest_clean": q_pipeline_ingest_clean,
         "entity_resolution": q_entity_resolution,
         "violation_hotspots": q_violation_hotspots,
+        "stats_missingness": q_missingness,
         "entity_assign": q_entity_assign,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
@@ -4232,6 +4253,22 @@ reach(a, b) AS (
 cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
 SELECT n.id, CAST(coalesce(cc.cluster_id, n.id) AS BIGINT) AS entity_id
 FROM norm n LEFT JOIN cc ON cc.id = n.id
+""",
+        # identical planted-null rules; mask built with the same CASE
+        # string concat; n_missing recomputed from the mask in both
+        "stats_missingness": """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 7 IN (0, 3) THEN NULL ELSE o_custkey END AS c1,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS c2,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS c3
+  FROM orders),
+m AS (SELECT (CASE WHEN c1 IS NULL THEN '1' ELSE '0' END)
+          || (CASE WHEN c2 IS NULL THEN '1' ELSE '0' END)
+          || (CASE WHEN c3 IS NULL THEN '1' ELSE '0' END) AS pattern
+      FROM o)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(length(regexp_replace(pattern, '0', '', 'g')) AS BIGINT) AS n_missing
+FROM m GROUP BY pattern
 """,
         # same melt -> one agg -> global-from-same-agg -> integer lift
         # filter; BIGINT casts on every sum-derived column (HUGEINT trap)

@@ -349,3 +349,32 @@ def violation_hotspots(
                & (F.col("rate_ppm") * 100 >= F.lit(min_lift_pct) * F.col("global_ppm")))
         .select("dim", "value", "n", "bad_n", "rate_ppm", "global_ppm")
     )
+
+
+def missingness_profile(df: DataFrame, cols: typing.Sequence[str]) -> DataFrame:
+    """Null-pattern (missingness co-occurrence) profile: one row per
+    observed null-mask over ``cols`` — (pattern, n_rows, n_missing) with
+    pattern[i] = '1' iff cols[i] IS NULL. Answers "which fields go
+    missing TOGETHER" (upstream outages drop field groups, not single
+    fields — the per-column null counts a plain profiler reports cannot
+    distinguish correlated from independent missingness; this is R
+    md.pattern / naniar for a 10^12-row table).
+
+    One scan, one map-side-combined hash-agg keyed on the mask string;
+    output cardinality <= 2^len(cols) but in practice a handful of real
+    patterns. Per-column marginals are derivable from the output
+    (sum n over patterns with '1' at i), so they are not re-emitted.
+    Row-local mask construction only (CASE/concat — codegen-clean).
+    """
+    mask = F.concat(*[
+        F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols
+    ]).alias("pattern")
+    return (
+        df.select(mask)
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "pattern", "n_rows",
+            F.length(F.regexp_replace("pattern", "0", "")).cast("long").alias("n_missing"),
+        )
+    )

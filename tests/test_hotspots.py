@@ -40,3 +40,13 @@ def test_null_dim_value_groups(spark):
     out = violation_hotspots(df, F.col("bad"), ["d"],
                              min_support=2, min_lift_pct=110).collect()
     assert len(out) == 1 and out[0]["value"] is None and out[0]["rate_ppm"] == 1000000
+
+
+def test_missingness_profile(spark):
+    from pandasschema_spark.operators.profile import missingness_profile
+
+    rows = [(None, None, 1), (None, "x", 2), ("a", "y", 3), ("b", None, None)]
+    df = spark.createDataFrame(rows, "p string, q string, r long")
+    got = {r["pattern"]: (r["n_rows"], r["n_missing"])
+           for r in missingness_profile(df, ["p", "q", "r"]).collect()}
+    assert got == {"110": (1, 2), "100": (1, 1), "000": (1, 0), "011": (1, 2)}
