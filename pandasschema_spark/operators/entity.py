@@ -25,6 +25,13 @@ scale uses:
    lineage cuts), then a left join back to the corpus so singletons
    resolve to themselves: every input row gets exactly one entity id.
 
+The normalized/blocked frame is consumed by the hot-block count AND
+both self-join sides, so :func:`blocked_pairs` persists it once
+(MEMORY_AND_DISK) instead of re-scanning the corpus ~4x; results carry
+the repo's release-handle convention (``operators.dedup.release_cached``
+/ ``with released(...)``) — :func:`resolve_entities` releases it
+internally once the closure has materialized.
+
 Determinism: normalization, blocking, the levenshtein predicate and
 min-id closure are pure functions of the data — the DuckDB oracle
 replays all four stages verbatim (its ``levenshtein`` is the same
@@ -36,7 +43,9 @@ from __future__ import annotations
 import typing
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
+from .dedup import _attach_cached, release_cached
 from .graph import connected_components
 
 #: default hot-block cap, consistent with the dedup family's
@@ -51,6 +60,28 @@ def normalized_name_expr(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
+def _hot_keys(keys: DataFrame, key: str, cap: int) -> DataFrame:
+    """Keys whose row count exceeds ``cap``: groupBy-count (map-side
+    combinable), never a count-over-window. One definition so the cap
+    RULE cannot drift between the batch and incremental paths (the
+    oracles replay `count > cap` verbatim)."""
+    return (
+        keys.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__bc__"))
+        .where(F.col("__bc__") > cap)
+        .select(key)
+    )
+
+
+def _normalized_blocks(
+    df: DataFrame, name_col: str, id_col: str, block_len: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalized_name_expr(F.col(name_col)).alias("nm"),
+    ).select("id", "nm", F.substring("nm", 1, block_len).alias("b"))
+
+
 def blocked_pairs(
     df: DataFrame,
     name_col: str,
@@ -63,29 +94,27 @@ def blocked_pairs(
     """(id_a, id_b) with id_a < id_b: pairs whose normalized names share
     a ``block_len``-char prefix and sit within ``max_dist`` edits. The
     match-candidate stage on its own — feed a human review queue, or
-    :func:`resolve_entities` for the full closure.
+    :func:`resolve_entities` for the full closure. The result carries a
+    persist handle for the blocked frame (release via
+    ``operators.dedup.release_cached`` / ``with released(...):``).
 
     Plan shape (locked by tests/test_plan_quality.py): an equi-join on
-    the block key (shuffle/sort-merge — never a cartesian or
-    broadcast-nested-loop), the hot-block cap as a broadcast LEFT ANTI,
-    and the levenshtein verify as a post-join filter inside codegen.
+    the block key over ONE persisted blocked frame (shuffle/sort-merge —
+    never a cartesian or broadcast-nested-loop), the hot-block cap as a
+    broadcast LEFT ANTI, and the levenshtein verify as a post-join
+    filter inside codegen.
     """
-    norm = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        normalized_name_expr(F.col(name_col)).alias("nm"),
+    blk = _normalized_blocks(df, name_col, id_col, block_len).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    blk = norm.select("id", "nm", F.substring("nm", 1, block_len).alias("b"))
     if max_block is not None:
-        hot = (
-            blk.groupBy("b")
-            .agg(F.count(F.lit(1)).alias("__bc__"))
-            .where(F.col("__bc__") > max_block)
-            .select("b")
-        )
-        blk = blk.join(F.broadcast(hot), "b", "left_anti")
-    a = blk.select("b", F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
-    bb = blk.select("b", F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
-    return (
+        hot = _hot_keys(blk.select("b"), "b", max_block)
+        blk_kept = blk.join(F.broadcast(hot), "b", "left_anti")
+    else:
+        blk_kept = blk
+    a = blk_kept.select("b", F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
+    bb = blk_kept.select("b", F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
+    pairs = (
         a.join(bb, "b")
         .where(
             (F.col("id_a") < F.col("id_b"))
@@ -94,6 +123,7 @@ def blocked_pairs(
         )
         .select("id_a", "id_b")
     )
+    return _attach_cached(pairs, [blk])
 
 
 def assign_entities(
@@ -112,39 +142,37 @@ def assign_entities(
     block and sit within ``max_dist`` edits; unmatched rows get their
     own id. ``store_df`` is the persisted (name, entity_id) dictionary
     a prior :func:`resolve_entities` run produced — yesterday's 10^12
-    resolved rows cost nothing today beyond one scan of that narrow
+    resolved rows cost nothing today beyond scanning that narrow
     store; only the new batch is blocked and verified. Within-batch
     linking is :func:`resolve_entities`' job over the new batch alone
     (same division of labor as the incremental LSH dedup).
 
     The hot-block cap counts over the UNION of both sides, so a
     boilerplate block is dropped from both — the capped configuration
-    is the one the oracle replays. Scale shape: the store shuffles once
-    on the block key (names only, never payloads); a small new batch is
-    broadcast by AQE; the min-agg is map-side combinable.
+    is the one the oracle replays. The small NEW side is persisted (it
+    feeds the cap count, the join, and the final spine) and the result
+    carries its release handle; the STORE side deliberately re-scans
+    instead — at 10^12 rows a second pass over a pruned narrow column
+    scan beats caching the whole dictionary. Scale shape: the store
+    shuffles once on the block key (names only, never payloads); a
+    small new batch is broadcast by AQE; the min-agg is map-side
+    combinable.
     """
-    nn = new_df.select(
-        F.col(id_col).cast("long").alias("id"),
-        normalized_name_expr(F.col(name_col)).alias("nm"),
+    nb = _normalized_blocks(new_df, name_col, id_col, block_len).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sn = store_df.select(
+    sb = store_df.select(
         normalized_name_expr(F.col(name_col)).alias("snm"),
         F.col(entity_col).cast("long").alias("entity_id"),
-    )
-    nb = nn.select("id", "nm", F.substring("nm", 1, block_len).alias("b"))
-    sb = sn.select("snm", "entity_id", F.substring("snm", 1, block_len).alias("b"))
+    ).select("snm", "entity_id", F.substring("snm", 1, block_len).alias("b"))
+    nb_kept, sb_kept = nb, sb
     if max_block is not None:
-        hot = (
-            nb.select("b").unionByName(sb.select("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias("__bc__"))
-            .where(F.col("__bc__") > max_block)
-            .select("b")
-        )
-        nb = nb.join(F.broadcast(hot), "b", "left_anti")
-        sb = sb.join(F.broadcast(hot), "b", "left_anti")
+        hot = _hot_keys(
+            nb.select("b").unionByName(sb.select("b")), "b", max_block)
+        nb_kept = nb.join(F.broadcast(hot), "b", "left_anti")
+        sb_kept = sb.join(F.broadcast(hot), "b", "left_anti")
     matched = (
-        nb.join(sb, "b")
+        nb_kept.join(sb_kept, "b")
         .where(
             (F.abs(F.length("nm") - F.length("snm")) <= max_dist)
             & (F.levenshtein("nm", "snm", max_dist) >= 0)
@@ -152,11 +180,12 @@ def assign_entities(
         .groupBy("id")
         .agg(F.min("entity_id").alias("entity_id"))
     )
-    return (
-        nn.select("id")
+    out = (
+        nb.select("id")
         .join(matched, "id", "left")
         .select("id", F.coalesce("entity_id", F.col("id")).alias("entity_id"))
     )
+    return _attach_cached(out, [nb])
 
 
 def resolve_entities(
@@ -170,7 +199,10 @@ def resolve_entities(
 ) -> DataFrame:
     """(id, entity_id) for EVERY input row: entity_id is the minimum id
     reachable through :func:`blocked_pairs` edges; singletons (and rows
-    whose block was capped away) resolve to their own id.
+    whose block was capped away) resolve to their own id. The pair
+    stage's persist is released internally once the closure has
+    materialized (connected_components is eager), so the result carries
+    no handle.
 
     Blocking recall is intentionally not 1.0 — an edit inside the
     prefix moves a row to a different block, exactly like production
@@ -178,17 +210,16 @@ def resolve_entities(
     comparisons) not by widening the verify. The oracle replays the
     identical blocking so both engines miss the same pairs.
     """
-    norm = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        normalized_name_expr(F.col(name_col)).alias("nm"),
-    )
     pairs = blocked_pairs(
         df, name_col, id_col,
         block_len=block_len, max_dist=max_dist, max_block=max_block,
     )
+    # eager star rounds: the edge list is localCheckpointed inside, so
+    # the blocked frame is no longer referenced afterwards
     cc = connected_components(pairs, "id_a", "id_b")
+    release_cached(pairs)
     return (
-        norm.select("id")
+        df.select(F.col(id_col).cast("long").alias("id"))
         .join(cc, "id", "left")
         .select("id", F.coalesce("cluster_id", F.col("id")).alias("entity_id"))
     )

@@ -325,8 +325,11 @@ def violation_hotspots(
     groups as NULL in both engines).
     """
     dims = list(dims)
+    # NULL flags count as not-violating (mirrors the oracles' CASE WHEN
+    # ... THEN 1 ELSE 0 END): without the coalesce, a group whose flags
+    # are all NULL gets bad_n=NULL and silently drops out of the output
     melted = df.select(
-        flag_col.cast("int").alias("__bad__"),
+        F.coalesce(flag_col.cast("int"), F.lit(0)).alias("__bad__"),
         F.explode(F.array(*[
             F.struct(F.lit(d).alias("dim"), F.col(d).cast("string").alias("value"))
             for d in dims

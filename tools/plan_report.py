@@ -192,7 +192,9 @@ def main() -> None:
         "`CartesianProduct`/`BroadcastNestedLoopJoin` — an unkeyed name join "
         "is the all-pairs melt blocking exists to avoid); the hot-block cap "
         "is `BroadcastHashJoin ... LeftAnti`; the bounded `levenshtein` "
-        "verify runs as a post-join Filter inside codegen; no Window.",
+        "verify runs as a post-join Filter inside codegen; no Window; the "
+        "normalized/blocked frame computes ONCE (`InMemoryTableScan` on "
+        "both join sides and the hot count — not four corpus re-scans).",
         plan_of(blocked_pairs(ent, "name", "id", max_block=100))))
 
     md = ["# PLANS — executed physical plans of headline operators",
