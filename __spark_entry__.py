@@ -31,6 +31,7 @@ from pandasschema_spark.validation import (  # noqa: E402
     CustomRowValidation,
     CustomSeriesValidation,
     DateFormatValidation,
+    FuzzyInListValidation,
     InListValidation,
     InRangeValidation,
     InTableValidation,
@@ -74,6 +75,27 @@ def q_val_inlist(spark, sf_dir):
     df = _t(spark, sf_dir, "orders")
     schema = Schema([Column("o_orderstatus", [InListValidation(["F", "O"])])])
     return _violations(schema, df, ["o_orderstatus"], "o_orderkey")
+
+
+def q_val_inlist_fuzzy(spark, sf_dir):
+    """Typo-tolerant membership (FuzzyInListValidation, §2.5 E127): the
+    priority dictionary's values are pairwise >1 edit apart, so the
+    planted one-char deletion (%17, not %23) stays within max_dist=1 of
+    its true option and must PASS, while the 'zz-' prefix plant (%23,
+    wins precedence) is >=3 edits from everything and must surface.
+    Both engines compute min edit distance from the data — the oracle
+    replays the corruption rules and DuckDB's levenshtein."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 23 = 0 THEN 'zz-' || o_orderpriority "
+            "     WHEN o_orderkey % 17 = 0 THEN concat(substring(o_orderpriority, 1, 1),"
+            "                                          substring(o_orderpriority, 3)) "
+            "     ELSE o_orderpriority END").alias("o_orderpriority"))
+    schema = Schema([Column("o_orderpriority", [FuzzyInListValidation(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        max_dist=1)])])
+    return _violations(schema, df, ["o_orderpriority"], "o_orderkey")
 
 
 def q_val_pattern(spark, sf_dir):
@@ -2923,6 +2945,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "violation_hotspots": q_violation_hotspots,
         "stats_missingness": q_missingness,
+        "val_inlist_fuzzy": q_val_inlist_fuzzy,
         "entity_assign": q_entity_assign,
         "stats_coercion": q_stats_coercion,
         "val_timeline": q_val_timeline,
@@ -4253,6 +4276,25 @@ reach(a, b) AS (
 cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
 SELECT n.id, CAST(coalesce(cc.cluster_id, n.id) AS BIGINT) AS entity_id
 FROM norm n LEFT JOIN cc ON cc.id = n.id
+""",
+        # same corruption CASE (prefix plant wins precedence over the
+        # deletion plant); min edit distance computed from the data via
+        # DuckDB's levenshtein — one-deletion rows stay within 1 and
+        # must NOT appear
+        "val_inlist_fuzzy": """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 23 = 0 THEN 'zz-' || o_orderpriority
+              WHEN o_orderkey % 17 = 0 THEN substring(o_orderpriority, 1, 1)
+                                            || substring(o_orderpriority, 3)
+              ELSE o_orderpriority END AS pr
+  FROM orders)
+SELECT o_orderkey AS row, 'o_orderpriority' AS "column", pr AS value,
+       'is not within 1 edits of the list of legal options (1-URGENT, 2-HIGH, 3-MEDIUM, 4-NOT SPECIFIED, 5-LOW)' AS message
+FROM o
+WHERE least(levenshtein(pr, '1-URGENT'), levenshtein(pr, '2-HIGH'),
+            levenshtein(pr, '3-MEDIUM'), levenshtein(pr, '4-NOT SPECIFIED'),
+            levenshtein(pr, '5-LOW')) > 1
 """,
         # identical planted-null rules; mask built with the same CASE
         # string concat; n_missing recomputed from the mask in both

@@ -47,6 +47,7 @@ from .validation import (
     ConditionalValidation,
     CrossColumnExprValidation,
     DateFormatValidation,
+    FuzzyInListValidation,
     InListValidation,
     InRangeValidation,
     InTableValidation,
@@ -101,6 +102,13 @@ def check_to_spec(v) -> dict:
     if isinstance(v, InListValidation):
         s["type"] = "in_list"
         s["options"] = list(v.options)
+        if not v.case_sensitive:
+            s["case_sensitive"] = False
+        return s
+    if isinstance(v, FuzzyInListValidation):
+        s["type"] = "fuzzy_in_list"
+        s["options"] = list(v.options)
+        s["max_dist"] = v.max_dist
         if not v.case_sensitive:
             s["case_sensitive"] = False
         return s
@@ -247,6 +255,10 @@ def spec_to_check(spec: dict, spark=None):
         return InRangeValidation(spec.get("min", -math.inf), spec.get("max", math.inf), **kw)
     if t == "in_list":
         return InListValidation(spec["options"], spec.get("case_sensitive", True), **kw)
+    if t == "fuzzy_in_list":
+        return FuzzyInListValidation(
+            spec["options"], spec.get("max_dist", 1),
+            spec.get("case_sensitive", True), **kw)
     if t == "matches_pattern":
         return MatchesPatternValidation(spec["pattern"], **kw)
     if t == "date_format":

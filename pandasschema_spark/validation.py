@@ -457,6 +457,82 @@ class InListValidation(_SeriesValidation):
         return None
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Classic Levenshtein DP — the pandas-path twin of Spark's JVM
+    levenshtein, for FuzzyInListValidation's reference formula."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+class FuzzyInListValidation(_SeriesValidation):
+    """Typo-tolerant membership: passes when the value sits within
+    ``max_dist`` edits of ANY allowed option — the real-world InList
+    for human-keyed fields (engine extension, no reference analog;
+    SURVEY.md §2.5). Null values fail, like InListValidation.
+
+    Native path (string columns, string options): an OR-chain of
+    Spark's BOUNDED ``levenshtein(col, lit(option), max_dist) >= 0`` —
+    row-local, whole-stage codegen, zero shuffle, O(len(options)) per
+    row. The options list is a small human dictionary by contract; for
+    matching against a LARGE dictionary use operators/entity.py
+    (blocking + the same bounded verify) instead of a validation.
+    """
+
+    def __init__(self, options: typing.Iterable, max_dist: int = 1,
+                 case_sensitive: bool = True, **kw):
+        self.options = list(options)
+        self.max_dist = int(max_dist)
+        self.case_sensitive = case_sensitive
+        if not self.options:
+            raise PanSchArgumentError("FuzzyInListValidation needs at least one option")
+        if self.max_dist < 0:
+            raise PanSchArgumentError("max_dist must be >= 0")
+        super().__init__(**kw)
+
+    @property
+    def default_message(self):
+        values = ", ".join(str(v) for v in self.options)
+        return "is not within {} edits of the list of legal options ({})".format(
+            self.max_dist, values)
+
+    def _norm(self, s: str) -> str:
+        return s if self.case_sensitive else s.lower()
+
+    def pandas_validate(self, series):
+        opts = [self._norm(str(o)) for o in self.options]
+
+        def ok(v):
+            if pd.isna(v):
+                return False
+            s = self._norm(str(v))
+            return any(abs(len(s) - len(o)) <= self.max_dist
+                       and _edit_distance(s, o) <= self.max_dist for o in opts)
+
+        return series.map(ok)
+
+    def spark_predicate(self, col, spark_type):
+        if not (isinstance(spark_type, T.StringType)
+                and all(isinstance(o, str) for o in self.options)):
+            return None
+        c = col if self.case_sensitive else F.lower(col)
+        hits = [
+            F.levenshtein(c, F.lit(self._norm(o)), self.max_dist) >= 0
+            for o in self.options
+        ]
+        any_hit = hits[0]
+        for h in hits[1:]:
+            any_hit = any_hit | h
+        # NULL never matches (levenshtein(NULL, x) is NULL): pin to False
+        return F.when(col.isNull(), F.lit(False)).otherwise(any_hit)
+
+
 class MatchesPatternValidation(_SeriesValidation):
     """series.astype(str).str.contains(pattern, **options) — substring
     regex *search*, not fullmatch (reference validation.py:296-316).
