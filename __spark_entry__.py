@@ -1708,6 +1708,23 @@ def q_audio_frame_silence(spark, sf_dir):
         "clip_id", "n_frames", "n_silent_frames", "silence_ppm")
 
 
+def q_audio_trim_bounds(spark, sf_dir):
+    """Silence run-length localization (operators/audio.py trim_bounds,
+    §2.5): leading/trailing trim boundaries + longest internal silent
+    run per clip, frame rule identical to frame_silence. Closed-form
+    oracle: full-silence clips are one nf-frame run, half-silence
+    clips lead with the frames fully inside the zeroed prefix (the
+    straddle frame carries tone and is non-silent), clean/clipped/
+    truncated clips have no silent frames."""
+    from pandasschema_spark.operators.audio import trim_bounds
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return trim_bounds(df).select(
+        "clip_id", "n_frames", "lead_silent", "trail_silent",
+        "max_silent_run")
+
+
 def q_audio_len_check(spark, sf_dir):
     """PCM byte-length consistency as a NATIVE cross-column validation:
     length(bytes) == 2 * (sr_hz * dur_ms div 1000), fused into the same
@@ -2293,6 +2310,112 @@ def q_drift_ks_by(spark, sf_dir):
     ref = base.where(F.col("event_id") % 2 == 0)
     cand = base.where(F.col("event_id") % 2 == 1)
     return ks_two_sample_by(ref, cand, "event_type", "ub")
+
+
+def q_drift_onset(spark, sf_dir):
+    """Drift-onset localization (operators/drift.py chi_square_onset,
+    §2.5): WHICH days' event-type mix diverges from the rest of the
+    table — every day bucket scored two-sample against its complement,
+    derived from ONE (bucket, category) hash agg. The generator's mix
+    is uniform (natural days hover near the k-1 expectation), so the
+    plant remaps 'view'->'click' on day-ordinals % 7 == 3; both
+    engines replay the identical remap and the full rational
+    chi-square from the data — onset days separate by orders of
+    magnitude, but the gate compares every bucket's exact integers,
+    not just the flagged set."""
+    from pandasschema_spark.operators.drift import chi_square_onset
+    from pandasschema_spark.operators.sessions import _epoch_us
+
+    sec = (_epoch_us("ts") / 1_000_000).cast("long")
+    day_num = F.expr("__sec__ div 86400")
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .withColumn("__sec__", sec)
+          .select(
+              "ts",
+              F.when((day_num % 7 == 3) & (F.col("event_type") == "view"),
+                     F.lit("click"))
+               .otherwise(F.col("event_type")).alias("etype")))
+    return chi_square_onset(ev, "ts", "etype", bucket_s=86_400)
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (operators/sessions.py funnel_counts, §2.5):
+    view -> click -> purchase conversion with STRICT event ordering
+    ((epoch-us, event_id) prefix windows) — one hash(user) exchange +
+    one sort for all three reach flags. Runs with the default hot-user
+    cap ON; the oracle replays the identical cap rule so the attested
+    configuration is the skew-safe production default at every SF."""
+    from pandasschema_spark.operators.sessions import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+def q_timeline_anomaly(spark, sf_dir):
+    """Volume-anomaly detection (operators/profile.py timeline_anomaly,
+    §2.5): daily event counts vs the median +- 5.0 MADs, ceil-rank
+    integer order stats, zero-filled spine. The generator's volume is
+    uniform, so an outage is planted in-query: days with epoch-ordinal
+    % 11 == 5 keep only their 'purchase' events (~80% volume drop) —
+    both engines replay the filter and derive median/MAD from the
+    doctored data."""
+    from pandasschema_spark.operators.profile import timeline_anomaly
+    from pandasschema_spark.operators.sessions import _epoch_us
+
+    sec = (_epoch_us("ts") / 1_000_000).cast("long")
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .withColumn("__sec__", sec)
+          .where(~((F.expr("__sec__ div 86400") % 11 == 5)
+                   & (F.coalesce(F.col("event_type"), F.lit(""))
+                      != "purchase"))))
+    return timeline_anomaly(ev, "ts", bucket_s=86_400, k_tenths=50)
+
+
+def q_fd_profile(spark, sf_dir):
+    """Approximate-FD discovery (operators/colstats.py fd_profile,
+    §2.5): three dependency hypotheses ranked in one melt + single
+    (cand, det, dep) hash agg — an exact FD (p_partkey -> p_brand,
+    error 0), a near-FD (p_brand -> p_mfgr with the val_fd %97
+    corruption plant, small g3 error), and a non-FD (p_brand ->
+    p_type, large error). Both engines compute g3 = n - sum(max
+    per-det count) from the data."""
+    from pandasschema_spark.operators.colstats import fd_profile
+
+    clean_mfgr = F.concat(
+        F.lit("Manufacturer#"),
+        (F.expr("CAST(substring(p_brand, 7) AS INT)") % 5 + 1).cast("string"))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type",
+        F.when(F.col("p_partkey") % 97 == 0, F.lit("Manufacturer#X"))
+        .otherwise(clean_mfgr).alias("p_mfgr"))
+    return fd_profile(part, [("p_brand", "p_mfgr"),
+                             ("p_brand", "p_type"),
+                             ("p_partkey", "p_brand")])
+
+
+def q_join_explosion_guard(spark, sf_dir):
+    """Pre-join cardinality probe (operators/joins.py join_cardinality,
+    §2.5): the exact output size of an events self-join on event_type
+    — a ~20M-row explosion at sf0.01 — predicted from two slim per-key
+    count aggregates without moving a single fact row. Top contributing
+    keys with exact pair counts and integer-ppm share."""
+    from pandasschema_spark.operators.joins import join_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    return join_cardinality(ev, "event_type", ev, "event_type", top_k=5)
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/sessions.py retention_cohorts,
+    §2.5): users keyed by first-activity day, counted per later day
+    delta. The raw events collapse through a map-side distinct on
+    (user, day) before anything else; cohort labels come from a window
+    over that slim frame, never the events."""
+    from pandasschema_spark.operators.sessions import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), bucket_s=86_400)
 
 
 # 1 day: binds at every tested SF (17 stale cohorts at sf0.01, 58 at
@@ -2983,6 +3106,12 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split_balance": q_pipeline_split_balance,
         "embedding_norm": q_embedding_norm,
         "drift_ks_by": q_drift_ks_by,
+        "drift_onset": q_drift_onset,
+        "events_funnel": q_events_funnel,
+        "join_explosion_guard": q_join_explosion_guard,
+        "fd_profile": q_fd_profile,
+        "timeline_anomaly": q_timeline_anomaly,
+        "events_retention": q_events_retention,
         "events_freshness": q_events_freshness,
         "val_regression_diff": q_val_regression_diff,
         "audio_segment": q_audio_segment,
@@ -3065,6 +3194,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_schema_json": q_val_schema_json,
         "audio_stats": q_audio_stats,
         "audio_frame_silence": q_audio_frame_silence,
+        "audio_trim_bounds": q_audio_trim_bounds,
         "audio_len_check": q_audio_len_check,
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
         "audio_resample_stats": q_audio_resample_stats,
@@ -3870,6 +4000,170 @@ WHERE norm2_micro IS NULL OR dim != 64
 """,
         # same tagged histogram as drift_chi2_by; the KS sup over ordered
         # cumulative gaps via windows on the aggregated rows
+        # bucket-vs-complement chi-square replayed on the aggregated
+        # histogram: identical plant (day_num % 7 == 3 remap), identical
+        # dense grid (absent categories contribute their vanishing term),
+        # HUGEINT products with per-term floor division, BIGINT outputs
+        "drift_onset": """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+p AS (
+  SELECT sec - (sec % 86400) AS bucket_start,
+         CASE WHEN (sec // 86400) % 7 = 3 AND event_type = 'view'
+              THEN 'click' ELSE event_type END AS cat
+  FROM e),
+hist AS (SELECT bucket_start, cat, count(*) AS a FROM p GROUP BY 1, 2),
+ct AS (SELECT cat, sum(a) AS g FROM hist GROUP BY 1),
+bt AS (SELECT bucket_start, sum(a) AS na FROM hist GROUP BY 1),
+t AS (SELECT sum(g) AS n FROM ct),
+grid AS (
+  SELECT b.bucket_start, b.na, t.n, c.cat, c.g, coalesce(h.a, 0) AS a
+  FROM bt b CROSS JOIN ct c CROSS JOIN t
+  LEFT JOIN hist h ON h.bucket_start = b.bucket_start AND h.cat = c.cat)
+SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(min(na) AS BIGINT) AS n_bucket,
+       CAST(min(n - na) AS BIGINT) AS n_rest,
+       CAST(sum((CAST(a AS HUGEINT) * (n - na) - CAST(g - a AS HUGEINT) * na)
+                * (CAST(a AS HUGEINT) * (n - na) - CAST(g - a AS HUGEINT) * na)
+                // g) AS BIGINT) AS chi2_num,
+       CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS chi2_den
+FROM grid GROUP BY bucket_start
+""",
+        # zero-filled spine + ceil-rank median/MAD + cross-multiplied
+        # flag, all replayed; identical outage plant (day % 11 == 5
+        # keeps only purchases, NULL types coalesce to '')
+        "timeline_anomaly": """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, event_type
+  FROM events WHERE ts IS NOT NULL),
+f AS (
+  SELECT sec FROM e
+  WHERE NOT ((sec // 86400) % 11 = 5
+             AND coalesce(event_type, '') <> 'purchase')),
+g AS (SELECT sec - (sec % 86400) AS b, count(*) AS c FROM f GROUP BY 1),
+lim AS (SELECT min(b) AS lo, max(b) AS hi FROM g),
+spine AS (SELECT unnest(range(lo, hi + 86400, 86400)) AS b FROM lim),
+cts AS (SELECT s.b AS bucket_start, coalesce(g.c, 0) AS n
+        FROM spine s LEFT JOIN g ON g.b = s.b),
+nb AS (SELECT count(*) AS nb FROM cts),
+medc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+         FROM (SELECT n AS v, count(*) AS c FROM cts GROUP BY 1)),
+med AS (SELECT min(v) AS med FROM medc, nb WHERE cum >= (nb + 1) // 2),
+devc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+         FROM (SELECT abs(n - med) AS v, count(*) AS c
+               FROM cts, med GROUP BY 1)),
+mad AS (SELECT min(v) AS mad FROM devc, nb WHERE cum >= (nb + 1) // 2)
+SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad,
+       CAST(abs(n - med) AS BIGINT) AS dev
+FROM cts, med, mad WHERE abs(n - med) * 10 > 50 * mad
+""",
+        # g3 error replayed on the melted union: same %97 mfgr plant as
+        # val_fd, same string-cast determinants, floor-division ppm
+        "fd_profile": """
+WITH p AS (
+    SELECT CAST(p_partkey AS VARCHAR) AS pk, p_brand, p_type,
+           CASE WHEN p_partkey % 97 = 0 THEN 'Manufacturer#X'
+                ELSE 'Manufacturer#' ||
+                     CAST(CAST(substr(p_brand, 7) AS INT) % 5 + 1 AS VARCHAR)
+           END AS p_mfgr
+    FROM part),
+m AS (
+    SELECT 'p_brand' AS det_col, 'p_mfgr' AS dep_col,
+           p_brand AS det, p_mfgr AS dep FROM p
+    UNION ALL
+    SELECT 'p_brand', 'p_type', p_brand, p_type FROM p
+    UNION ALL
+    SELECT 'p_partkey', 'p_brand', pk, p_brand FROM p),
+pr AS (SELECT det_col, dep_col, det, dep, count(*) AS c
+       FROM m WHERE det IS NOT NULL GROUP BY 1, 2, 3, 4),
+pd AS (SELECT det_col, dep_col, det, sum(c) AS n, max(c) AS keep
+       FROM pr GROUP BY 1, 2, 3)
+SELECT det_col, dep_col,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_det,
+       CAST(sum(n) - sum(keep) AS BIGINT) AS n_violations,
+       CAST((sum(n) - sum(keep)) * 1000000 // sum(n) AS BIGINT)
+           AS error_ppm
+FROM pd GROUP BY 1, 2
+""",
+        # exact predicted join size from per-key counts: HUGEINT products
+        # cast to BIGINT, floor-division ppm, deterministic (pair desc,
+        # key asc) top-k
+        "join_explosion_guard": """
+WITH a AS (SELECT event_type AS key, count(*) AS cnt_a
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+b AS (SELECT event_type AS key, count(*) AS cnt_b
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+p AS (SELECT a.key, a.cnt_a, b.cnt_b,
+             CAST(a.cnt_a AS HUGEINT) * b.cnt_b AS pair
+      FROM a JOIN b ON a.key = b.key),
+t AS (SELECT sum(pair) AS total FROM p)
+SELECT key, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(pair AS BIGINT) AS pair_rows,
+       CAST(total AS BIGINT) AS total_rows,
+       CAST(pair * 1000000 // total AS BIGINT) AS share_ppm
+FROM p, t ORDER BY pair DESC, key ASC LIMIT 5
+""",
+        # strict-prefix reach windows replayed verbatim (ROWS BETWEEN
+        # UNBOUNDED PRECEDING AND 1 PRECEDING over (us, event_id)); the
+        # hot-user cap rule is replayed too so the capped default is the
+        # attested configuration at every SF
+        "events_funnel": """
+WITH capped AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1 HAVING count(*) <= 100000),
+e AS (
+  SELECT ev.user_id AS u, ev.event_type AS t,
+         epoch_us(ev.ts) AS us, ev.event_id AS i
+  FROM events ev JOIN capped c ON c.user_id = ev.user_id
+  WHERE ev.event_type IS NOT NULL),
+r0 AS (
+  SELECT u, t, us, i,
+         CASE WHEN t = 'view' THEN 1 ELSE 0 END AS r0
+  FROM e),
+r1 AS (
+  SELECT u, t, us, i, r0,
+         CASE WHEN t = 'click' AND coalesce(max(r0) OVER w, 0) = 1
+              THEN 1 ELSE 0 END AS r1
+  FROM r0
+  WINDOW w AS (PARTITION BY u ORDER BY us, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+r2 AS (
+  SELECT u, r0, r1,
+         CASE WHEN t = 'purchase' AND coalesce(max(r1) OVER w, 0) = 1
+              THEN 1 ELSE 0 END AS r2
+  FROM r1
+  WINDOW w AS (PARTITION BY u ORDER BY us, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+pu AS (SELECT u, max(r0) AS c0, max(r1) AS c1, max(r2) AS c2
+       FROM r2 GROUP BY 1)
+SELECT 0 AS stage_idx, 'view' AS stage, CAST(sum(c0) AS BIGINT) AS n_users
+FROM pu
+UNION ALL
+SELECT 1, 'click', CAST(sum(c1) AS BIGINT) FROM pu
+UNION ALL
+SELECT 2, 'purchase', CAST(sum(c2) AS BIGINT) FROM pu
+""",
+        # distinct (user, day) first, min-over-user cohort label, exact
+        # integer day deltas — same subtraction bucket idiom
+        "events_retention": """
+WITH ud AS (
+  SELECT user_id AS u,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400)
+             AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+l AS (SELECT min(b) OVER (PARTITION BY u) AS cohort_start, b FROM ud)
+SELECT CAST(cohort_start AS BIGINT) AS cohort_start,
+       CAST((b - cohort_start) // 86400 AS BIGINT) AS period,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM l GROUP BY 1, 2
+""",
         "drift_ks_by": """
 WITH base AS (
     SELECT event_id, event_type AS grp, user_id % 8 AS bucket
@@ -5473,6 +5767,24 @@ SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
                  THEN CAST(n_silent AS BIGINT) * 1000000 // n_frames
                  ELSE 0 END AS BIGINT) AS silence_ppm
 FROM k
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        # run-length closed form under the same frame rule as
+        # audio_frame_silence: cls 0 = one all-frame run, cls 2 = a
+        # leading run of the frames fully inside the zeroed prefix
+        "audio_trim_bounds": """
+{fields}
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(CASE WHEN cls = 3 THEN (n // 2) // fl ELSE n // fl END
+            AS BIGINT) AS n_frames,
+       CAST(CASE WHEN cls = 0 THEN n // fl
+                 WHEN cls = 2 THEN (n // 2) // fl
+                 ELSE 0 END AS BIGINT) AS lead_silent,
+       CAST(CASE WHEN cls = 0 THEN n // fl ELSE 0 END AS BIGINT)
+           AS trail_silent,
+       CAST(CASE WHEN cls = 0 THEN n // fl
+                 WHEN cls = 2 THEN (n // 2) // fl
+                 ELSE 0 END AS BIGINT) AS max_silent_run
+FROM g
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_len_check": """
 {fields}

@@ -828,3 +828,73 @@ def pack_audit(
             ),
         ).alias("pad_ppm"),
     )
+
+
+TRIM_BOUNDS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("lead_silent", T.LongType(), False),
+    T.StructField("trail_silent", T.LongType(), False),
+    T.StructField("max_silent_run", T.LongType(), False),
+])
+
+
+def trim_bounds(df: DataFrame, *, id_col: str = "clip_id",
+                bytes_col: str = "bytes", sr_col: str = "sr_hz",
+                frame_ms: int = 10,
+                silent_peak_below: int = 1) -> DataFrame:
+    """Silence run-length localization: WHERE the silence sits, per
+    clip — leading / trailing silent-frame counts (the trim boundaries
+    a preprocessing crop would cut) and the longest internal silent
+    run (the dead-air detector). frame_silence answers "how much of
+    this clip is silent"; a training pipeline also needs "can I trim
+    it, and is there a mid-clip dropout" — a 10-second clip that is
+    50% silent reads very differently when the silence is one leading
+    block versus scattered dead air.
+
+    Frame classification is IDENTICAL to frame_silence (same frame
+    length ``sr * frame_ms // 1000``, full frames only, silent = peak
+    magnitude strictly below ``silent_peak_below``) — shared-rule
+    convention (the _banded_sigs pattern): an oracle or downstream
+    check derived for one operator transfers to the other verbatim.
+
+    One narrow mapInPandas pass over (id, bytes, sr): corpus bytes
+    never shuffle, output is 5 scalars per clip, the run-length scan
+    is vectorized numpy (flatnonzero over the padded mask diff), and
+    the per-clip loop is the same irreducible ragged-length iteration
+    every audio kernel here pays.
+    """
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            rows = {k: [] for k in TRIM_BOUNDS_SCHEMA.fieldNames()}
+            for j in range(len(b)):
+                s = _decode(raws[j])
+                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                nf = int(s.size) // fl
+                lead = trail = max_run = 0
+                if nf:
+                    fr = np.abs(s[: nf * fl].reshape(nf, fl)).max(axis=1)
+                    silent = fr < silent_peak_below
+                    # pad with non-silent sentinels: diff exposes run
+                    # starts (+1) and ends (-1) at interior boundaries
+                    padded = np.concatenate(([False], silent, [False]))
+                    edges = np.diff(padded.astype(np.int8))
+                    starts = np.flatnonzero(edges == 1)
+                    ends = np.flatnonzero(edges == -1)
+                    if starts.size:
+                        runs = ends - starts
+                        max_run = int(runs.max())
+                        lead = int(runs[0]) if starts[0] == 0 else 0
+                        trail = int(runs[-1]) if ends[-1] == nf else 0
+                rows["clip_id"].append(ids[j])
+                rows["n_frames"].append(nf)
+                rows["lead_silent"].append(lead)
+                rows["trail_silent"].append(trail)
+                rows["max_silent_run"].append(max_run)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, TRIM_BOUNDS_SCHEMA)

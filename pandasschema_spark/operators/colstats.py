@@ -570,3 +570,58 @@ def contract_audit(
         "column", "n_rows", "n_distinct", "n_null",
         null_ppm.cast("long").alias("null_ppm"),
         F.when(status == "", F.lit("ok")).otherwise(status).alias("status"))
+
+
+def fd_profile(
+    df: DataFrame,
+    candidates: typing.Sequence[typing.Tuple[str, str]],
+) -> DataFrame:
+    """Approximate-FD discovery over a candidate list: for each
+    (determinant, dependent) column pair, the g3 error — the minimum
+    number of rows to delete for the FD to hold exactly,
+    ``n_rows - sum_det max_dep_count`` (Kivinen & Mannila's measure,
+    the one Metanome/Deequ profilers report) — as exact integers plus
+    ppm. fd_violations answers "show me the breakage of THIS FD";
+    this ranks MANY hypotheses at once ("which of these is nearly a
+    key dependency") so schema inference can promote near-FDs to
+    enforced checks.
+
+    Output per candidate: (det_col, dep_col, n_rows, n_det,
+    n_violations, error_ppm), error_ppm = floor(1e6 * violations /
+    rows). NULL determinants are skipped per pair (no FD defined);
+    NULL dependents count as a value, matching fd_violations.
+
+    Scale shape at 10^12 rows: the candidate structs melt in ONE
+    codegen projection (k x row multiplication before the partial agg
+    — the violation_hotspots trade: k is a handful, and the melt buys
+    a SINGLE (cand, det, dep) map-side-combined hash agg instead of k
+    separate scans). Everything downstream operates on the
+    O(k x distinct-pairs) aggregate: max-per-det, then per-candidate
+    totals. No count_distinct expansion, no window over raw rows.
+    """
+    if not candidates:
+        raise ValueError("fd_profile needs at least one candidate pair")
+    melted = df.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(det).alias("det_col"), F.lit(dep).alias("dep_col"),
+            F.col(det).cast("string").alias("det"),
+            F.col(dep).cast("string").alias("dep"))
+        for det, dep in candidates])).alias("c")).select("c.*")
+    pairs = (melted.where(F.col("det").isNotNull())
+             .groupBy("det_col", "dep_col", "det", "dep")
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    per_det = (pairs.groupBy("det_col", "dep_col", "det")
+               .agg(F.sum("__c__").alias("__n__"),
+                    F.max("__c__").alias("__keep__")))
+    return (per_det.groupBy("det_col", "dep_col")
+            .agg(F.sum("__n__").cast("long").alias("n_rows"),
+                 F.count(F.lit(1)).cast("long").alias("n_det"),
+                 (F.sum("__n__") - F.sum("__keep__")).cast("long")
+                  .alias("n_violations"),
+                 # decimal quotient + F.floor == integer // (the repo's
+                 # cross-engine rule; a double quotient rounds near
+                 # exact-integer boundaries before floor sees it)
+                 F.floor((F.sum("__n__") - F.sum("__keep__"))
+                         .cast("decimal(38,0)") * 1_000_000
+                         / F.sum("__n__").cast("decimal(38,0)"))
+                  .cast("long").alias("error_ppm")))

@@ -316,3 +316,80 @@ def ks_two_sample_by(
                  F.max(gap).cast("long").alias("ks_num"),
                  F.first(F.col("n_ref") * F.col("n_cand")).cast("long")
                   .alias("ks_den")))
+
+
+def chi_square_onset(
+    df: DataFrame,
+    ts_col: str,
+    column: str,
+    *,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Time-localized categorical drift — WHEN did the mix change: for
+    every ``bucket_s``-second time bucket, the two-sample chi-square of
+    the bucket's category histogram against the REST of the data
+    (complement, not a fixed reference — so a single corrupted day is
+    flagged against the healthy majority without anyone curating a
+    baseline window). The onset detector that per-group drift
+    (chi_square_two_sample_by) cannot express: its groups partition the
+    data once, while onset needs every bucket compared to everything
+    else — done here without a second scan by deriving the complement
+    from the SAME aggregated histogram (b_j = global_j - a_j).
+
+    Integer-exact rational output per bucket, same convention as
+    chi_square_two_sample_by: (bucket_start, k, n_bucket, n_rest,
+    chi2_num, chi2_den) with chi2_num = sum_j (a_j*nb - b_j*na)^2 div
+    (a_j + b_j) and chi2_den = na*nb; callers compare
+    chi2_num/chi2_den to the chi2(k-1) cutoff. k counts the GLOBAL
+    category set: a category absent from the bucket still contributes
+    its (0 - b_j*na)^2 term — vanishing categories are drift too.
+
+    Scale shape at 10^12 rows: the raw rows reduce through ONE
+    map-side-combined hash agg keyed (bucket, category); everything
+    after operates on that O(buckets x categories) histogram — category
+    totals and the grand total are tiny re-aggregations of it, the
+    dense bucket x category grid is a broadcast cross join of the two
+    aggregate sides, never a row-level op. Buckets are integer epoch
+    seconds floored to ``bucket_s`` via the subtraction idiom (never
+    float division by a large divisor — doubles round near boundaries).
+    """
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    from .sessions import _epoch_us
+
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")
+    bucket = (sec - (sec % F.lit(bucket_s))).alias("bucket_start")
+    hist = (df.where(F.col(ts_col).isNotNull() & F.col(column).isNotNull())
+              .groupBy(bucket, F.col(column).alias("__cat__"))
+              .agg(F.count(F.lit(1)).alias("__a__")))
+    hist = hist.persist()
+    # all further inputs derive from the aggregated histogram: O(buckets
+    # x categories) rows, no second raw scan
+    cat_tot = hist.groupBy("__cat__").agg(F.sum("__a__").alias("__g__"))
+    buck_tot = hist.groupBy("bucket_start").agg(F.sum("__a__").alias("__na__"))
+    grand = cat_tot.agg(F.sum("__g__").alias("__n__"))
+    grid = (buck_tot
+            .crossJoin(F.broadcast(cat_tot))
+            .crossJoin(F.broadcast(grand))
+            .join(hist, ["bucket_start", "__cat__"], "left")
+            .select(
+                "bucket_start", "__na__", "__n__", "__g__",
+                F.coalesce(F.col("__a__"), F.lit(0)).alias("__a__")))
+    a = F.col("__a__").cast("decimal(38,0)")
+    g = F.col("__g__").cast("decimal(38,0)")
+    na = F.col("__na__").cast("decimal(38,0)")
+    nb = (F.col("__n__") - F.col("__na__")).cast("decimal(38,0)")
+    b = g - a
+    # per-term floor division (F.floor of the decimal quotient == // on
+    # non-negative integers in DuckDB); a + b = g >= 1 by construction
+    num_j = F.floor((a * nb - b * na) * (a * nb - b * na) / g)
+    out = (grid.groupBy("bucket_start")
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.first("__na__").cast("long").alias("n_bucket"),
+                F.first(F.col("__n__") - F.col("__na__")).cast("long")
+                 .alias("n_rest"),
+                F.sum(num_j).cast("long").alias("chi2_num"),
+                F.first(na * nb).cast("long").alias("chi2_den")))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [hist])

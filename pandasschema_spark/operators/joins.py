@@ -256,3 +256,63 @@ def point_in_interval_join(
         & (F.col(point_ts) < F.col(end_ts)))
     keep = list(points.columns) + [c for c in intervals.columns if c != on]
     return joined.select(*keep)
+
+
+def join_cardinality(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-join explosion guard: the EXACT inner-join output cardinality
+    and its top contributing keys, computed WITHOUT running the join —
+    sum over matched keys of cnt_a * cnt_b, from two slim per-key count
+    aggregates joined on the key. The planner-side answer to "is this
+    join about to emit 10^15 rows": run this O(distinct-keys) probe
+    first, then pick the join strategy (or refuse) based on hard
+    numbers instead of optimizer cardinality guesses — join_fanout
+    measures the blow-up AFTER the fact; this predicts it before any
+    fact row moves.
+
+    Output (top_k rows): (key, cnt_a, cnt_b, pair_rows, total_rows,
+    share_ppm) ordered by pair_rows desc with deterministic key
+    tie-break. pair_rows/total_rows are exact decimal(38,0) internally
+    (two 10^12-row inputs overflow int64 products) and emitted as
+    BIGINT — exact below 2^63 predicted rows, i.e. any join anyone
+    should ever actually run; a guard past that belongs to the caller
+    refusing the join, not to this probe.
+
+    Scale shape: each input reduces through its own map-side-combined
+    groupBy(key).count() — the only shuffles are the two count frames
+    and their slim key-join (AQE picks broadcast when one side's
+    distinct-key count is small). NULL keys never match in an inner
+    join and are excluded up front. The total is a one-row aggregate of
+    the joined counts, broadcast back onto the top-k rows.
+    """
+    a = (df_a.where(F.col(key_a).isNotNull())
+             .groupBy(F.col(key_a).alias("key"))
+             .agg(F.count(F.lit(1)).alias("cnt_a")))
+    b = (df_b.where(F.col(key_b).isNotNull())
+             .groupBy(F.col(key_b).alias("key"))
+             .agg(F.count(F.lit(1)).alias("cnt_b")))
+    pairs = a.join(b, "key").select(
+        "key", "cnt_a", "cnt_b",
+        (F.col("cnt_a").cast("decimal(38,0)")
+         * F.col("cnt_b").cast("decimal(38,0)")).alias("__pair__"))
+    pairs = pairs.persist()
+    total = pairs.agg(F.sum("__pair__").alias("__total__"))
+    top = pairs.orderBy(F.col("__pair__").desc(), F.col("key").asc()).limit(top_k)
+    out = (top.crossJoin(F.broadcast(total))
+           .select(
+               "key",
+               F.col("cnt_a").cast("long").alias("cnt_a"),
+               F.col("cnt_b").cast("long").alias("cnt_b"),
+               F.col("__pair__").cast("long").alias("pair_rows"),
+               F.col("__total__").cast("long").alias("total_rows"),
+               F.floor(F.col("__pair__") * 1_000_000 / F.col("__total__"))
+                .cast("long").alias("share_ppm")))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [pairs])

@@ -381,3 +381,77 @@ def missingness_profile(df: DataFrame, cols: typing.Sequence[str]) -> DataFrame:
             F.length(F.regexp_replace("pattern", "0", "")).cast("long").alias("n_missing"),
         )
     )
+
+
+def timeline_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    bucket_s: int = 86_400,
+    k_tenths: int = 50,
+    max_buckets: int = 10_000_000,
+) -> DataFrame:
+    """Volume-anomaly detection over the event timeline: buckets whose
+    event count deviates from the median daily volume by more than
+    ``k_tenths/10`` MADs (median absolute deviation — robust, so one
+    outage day cannot drag its own detection threshold the way a
+    mean/stddev gate does). Composes timeline_completeness' ZERO-FILLED
+    spine, so a silent day inside the span is an anomaly row with
+    n_events = 0 — the outage per-row validation can never see — and
+    partial edge buckets (first/last day of collection) flag
+    themselves.
+
+    Integer-exact: the median and MAD use the ceil-rank form
+    (rank (N+1) div 2 over the sorted buckets, the repo's discrete
+    quantile rule) and the flag is the cross-multiplied compare
+    ``10 * |n - med| > k_tenths * mad`` — no float crosses an engine.
+    When mad = 0 (a perfectly regular timeline) any deviation flags.
+
+    Output per anomalous bucket: (bucket_start, n_events, med, mad,
+    dev = |n - med|).
+
+    Scale shape: the raw rows reduce through timeline_completeness'
+    single map-side-combined bucket agg; everything after — two
+    ceil-rank order statistics and the final filter — runs over the
+    O(buckets) frame (bounded by ``max_buckets``), with the two scalar
+    statistics reaching the driver as single rows, the zscore-cutoff
+    convention.
+    """
+    from .sessions import timeline_completeness
+
+    from pyspark.sql import Window
+
+    counts = timeline_completeness(
+        df, ts_col, bucket_s=bucket_s, max_buckets=max_buckets).persist()
+    n_buckets = counts.count()
+    if n_buckets == 0:
+        counts.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "bucket_start: bigint, n_events: bigint, med: bigint, "
+                "mad: bigint, dev: bigint")
+    rank = (n_buckets + 1) // 2
+
+    def _ceil_rank_median(frame, col):
+        hist = frame.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c"))
+        w = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        row = (hist.select("v", F.sum("c").over(w).alias("cum"))
+               .where(F.col("cum") >= rank)
+               .orderBy("v").limit(1).collect())
+        return int(row[0]["v"])
+
+    med = _ceil_rank_median(counts, "n_events")
+    devs = counts.select(
+        F.abs(F.col("n_events") - F.lit(med)).alias("dev"))
+    mad = _ceil_rank_median(devs, "dev")
+    out = (counts.where(
+        F.abs(F.col("n_events") - F.lit(med)) * 10 > F.lit(k_tenths * mad))
+        .select("bucket_start", "n_events",
+                F.lit(med).cast("long").alias("med"),
+                F.lit(mad).cast("long").alias("mad"),
+                F.abs(F.col("n_events") - F.lit(med)).cast("long")
+                 .alias("dev")))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [counts])

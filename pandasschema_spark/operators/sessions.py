@@ -432,3 +432,112 @@ def interval_overlap_violations(
     ).select(
         F.col(key_col), F.col(start_col), F.col(end_col), F.col("prev_max_end")
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: typing.Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_events_per_user: typing.Optional[int] = DEFAULT_MAX_EVENTS_PER_USER,
+) -> DataFrame:
+    """Ordered funnel conversion: how many users reached stage k of
+    ``stages`` IN ORDER — a stage-k event counts only if some stage-(k-1)
+    event happened STRICTLY BEFORE it (ordered by (epoch-us, event id),
+    so simultaneous timestamps resolve deterministically and identically
+    in any engine). The multi-stage generalization of event_transitions'
+    adjacent-pair counts; out-of-order stage hits (purchase before any
+    view) do not convert.
+
+    Output: (stage_idx, stage, n_users) — one row per stage, n_users
+    monotonically non-increasing by construction.
+
+    Scale shape at 10^12 events: the events shuffle ONCE on
+    hash(user); all k reach-flags are windows over the SAME
+    (user)/(us, id) partitioning+ordering — one Exchange + one Sort
+    total, each flag a running max over the strict prefix
+    (rowsBetween(unboundedPreceding, -1)) of the previous flag. The
+    per-user conversion agg groups on user (satisfied by the existing
+    exchange, map-side combinable) and the final stage tally is an
+    O(users) -> O(k) reduction. Hot users are pre-capped by the
+    standard groupBy-count + broadcast anti-join (None = exact);
+    gated-oracle rule: the oracle must replay the identical cap.
+    """
+    if not stages:
+        raise ValueError("funnel_counts needs at least one stage")
+    df = _drop_hot_users(df, user_col, max_events_per_user)
+    us = _epoch_us(ts_col)
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()).select(
+        F.col(user_col).alias("__u__"), F.col(type_col).alias("__t__"),
+        us.alias("__us__"), F.col(id_col).alias("__i__"))
+    prev = (Window.partitionBy("__u__").orderBy("__us__", "__i__")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cur = base.withColumn(
+        "__r0__", (F.col("__t__") == stages[0]).cast("int"))
+    for k in range(1, len(stages)):
+        cur = cur.withColumn(
+            "__r{}__".format(k),
+            ((F.col("__t__") == stages[k])
+             & (F.coalesce(F.max("__r{}__".format(k - 1)).over(prev),
+                           F.lit(0)) == 1)).cast("int"))
+    per_user = cur.groupBy("__u__").agg(
+        *[F.max("__r{}__".format(k)).alias("__c{}__".format(k))
+          for k in range(len(stages))])
+    tallies = per_user.agg(
+        *[F.sum("__c{}__".format(k)).alias("__n{}__".format(k))
+          for k in range(len(stages))])
+    stage_rows = F.array(*[
+        F.struct(F.lit(k).cast("int").alias("stage_idx"),
+                 F.lit(stages[k]).alias("stage"),
+                 F.col("__n{}__".format(k)).cast("long").alias("n_users"))
+        for k in range(len(stages))])
+    return (tallies.select(F.explode(stage_rows).alias("s"))
+            .select("s.stage_idx", "s.stage", "s.n_users"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST-activity period
+    (``bucket_s``-second epoch buckets), counted in every later period
+    they return — the (cohort_start, period, n_users) matrix behind
+    every retention curve, and the drop-off detector row validation
+    cannot see (a cohort that stops returning emits no rows to fail).
+
+    period is the integer bucket delta from the cohort start (0 = the
+    cohort's own bucket, so n_users at period 0 is the cohort size).
+
+    Scale shape at 10^12 events: the raw rows collapse FIRST through a
+    map-side-combined distinct on (user, bucket) — output is
+    O(users x active-periods), never events. The cohort label is a
+    min-over-user window on that slim frame (one exchange of the
+    distinct pairs on hash(user)), and the final matrix agg is an
+    O(users x periods) -> O(cohorts x periods) reduction. Buckets are
+    integer epoch seconds via the subtraction idiom; the period delta
+    divides exactly (both operands are bucket multiples).
+    """
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")
+    bucket = (sec - (sec % F.lit(bucket_s))).alias("__b__")
+    ud = (df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+            .groupBy(F.col(user_col).alias("__u__"), bucket)
+            .agg(F.lit(1).alias("__one__")))
+    w = Window.partitionBy("__u__")
+    labeled = ud.select(
+        F.min("__b__").over(w).alias("cohort_start"), F.col("__b__"))
+    return (labeled
+            .groupBy("cohort_start",
+                     F.expr("(__b__ - cohort_start) div {}".format(int(bucket_s)))
+                      .cast("long").alias("period"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.col("cohort_start").cast("long").alias("cohort_start"),
+                    "period", "n_users"))
