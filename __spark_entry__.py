@@ -2352,6 +2352,114 @@ def q_events_funnel(spark, sf_dir):
                          ["view", "click", "purchase"])
 
 
+def q_pipeline_timeline_health(spark, sf_dir):
+    """Composed timeline health report (§2.5): ONE row per day joining
+    the four temporal monitors on UNPLANTED events — volume
+    (n_events), categorical mix drift vs complement (chi2_num/den
+    over event_type), numeric drift vs complement (ks_num/den over
+    cent-quantized value), and referential orphan rate (user_id vs
+    the c_custkey < 100 dim slice). Each monitor is its own pruned
+    scan + single hash agg; the join runs over four O(buckets)
+    aggregate frames. The dashboard a pipeline on-call reads first —
+    and a semantic drift in ANY of the four operators moves a
+    column."""
+    from pandasschema_spark.operators.dedup import release_cached
+    from pandasschema_spark.operators.drift import chi_square_onset, ks_onset
+    from pandasschema_spark.operators.referential import orphan_rate_timeline
+    from pandasschema_spark.operators.sessions import _epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    chi_raw = chi_square_onset(
+        ev.where(F.col("event_type").isNotNull()), "ts", "event_type",
+        bucket_s=86_400)
+    chi = chi_raw.select("bucket_start", "chi2_num", "chi2_den")
+    ks_raw = ks_onset(
+        ev.where(F.col("value").isNotNull())
+          .select("ts", F.floor(F.col("value") * 10).cast("long").alias("v10")),
+        "ts", "v10", bucket_s=86_400)
+    ks = ks_raw.select("bucket_start", "ks_num", "ks_den")
+    orph = orphan_rate_timeline(
+        ev, "user_id", "ts",
+        _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100),
+        "c_custkey", bucket_s=86_400).select(
+        "bucket_start", "n_rows", "orphan_ppm")
+    out = (orph.join(chi, "bucket_start").join(ks, "bucket_start")
+           .select("bucket_start", F.col("n_rows").alias("n_events"),
+                   "chi2_num", "chi2_den", "ks_num", "ks_den",
+                   "orphan_ppm"))
+    # the sub-operators attach their histogram persists; hand them to
+    # the composed frame so `with released(...)` frees all of them
+    out._psf_cached = (getattr(chi_raw, "_psf_cached", [])
+                       + getattr(ks_raw, "_psf_cached", []))
+    return out
+
+
+def q_orphan_rate_timeline(spark, sf_dir):
+    """Referential-miss rate per day (operators/referential.py
+    orphan_rate_timeline, §2.5): events.user_id vs the c_custkey < 100
+    dimension slice — a natural ~1/3 orphan floor plus a planted
+    publish outage (day-ordinals % 13 == 1 shift user_id by +1000, all
+    orphaned) that spikes the curve; NULL user_ids counted apart from
+    orphans in both engines."""
+    from pandasschema_spark.operators.referential import orphan_rate_timeline
+    from pandasschema_spark.operators.sessions import _epoch_us
+
+    sec = (_epoch_us("ts") / 1_000_000).cast("long")
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("__sec__", sec)
+          .select(
+              "ts",
+              F.when(F.expr("__sec__ div 86400") % 13 == 1,
+                     F.col("user_id") + 1000)
+               .otherwise(F.col("user_id")).alias("uid")))
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return orphan_rate_timeline(ev, "uid", "ts", dim, "c_custkey",
+                                bucket_s=86_400)
+
+
+def q_dedup_rate_timeline(spark, sf_dir):
+    """Duplication-rate timeline (operators/dedup.py duplication_rate,
+    §2.5): per 100-id ingestion bucket, the share of docs repeating
+    content first seen at a smaller id. The plant re-crawls every
+    third doc into the +1e9 id space (those buckets read ~1e6 ppm);
+    the base corpus' natural duplicate texts surface in whichever
+    bucket holds the later copy — both engines derive first-seen from
+    the data, never from the plant alone."""
+    from pandasschema_spark.operators.dedup import duplication_rate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+    return duplication_rate(docs.unionByName(copies), "text", "doc_id",
+                            bucket_size=100)
+
+
+def q_drift_onset_ks(spark, sf_dir):
+    """Numeric drift-onset (operators/drift.py ks_onset, §2.5): WHICH
+    days' value distribution shifted — the mean-shift detector
+    chi-square onset dilutes. The plant adds +3.0 to events.value on
+    day-ordinals % 5 == 2 (IEEE addition, bit-identical in both
+    engines), values quantize to a decimal-cent grid BEFORE the
+    statistic (the exact_quantiles rule: KS of the quantized column,
+    bounded histogram), and both engines replay plant + grid +
+    sup-gap over the shared (bucket, value) histogram."""
+    from pandasschema_spark.operators.drift import ks_onset
+    from pandasschema_spark.operators.sessions import _epoch_us
+
+    sec = (_epoch_us("ts") / 1_000_000).cast("long")
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("__sec__", sec)
+          .select(
+              "ts",
+              F.floor(
+                  (F.col("value")
+                   + F.when(F.expr("__sec__ div 86400") % 5 == 2,
+                            F.lit(3.0)).otherwise(F.lit(0.0))) * 10)
+               .cast("long").alias("v10")))
+    return ks_onset(ev, "ts", "v10", bucket_s=86_400)
+
+
 def q_timeline_anomaly(spark, sf_dir):
     """Volume-anomaly detection (operators/profile.py timeline_anomaly,
     §2.5): daily event counts vs the median +- 5.0 MADs, ceil-rank
@@ -3111,6 +3219,10 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_explosion_guard": q_join_explosion_guard,
         "fd_profile": q_fd_profile,
         "timeline_anomaly": q_timeline_anomaly,
+        "drift_onset_ks": q_drift_onset_ks,
+        "dedup_rate_timeline": q_dedup_rate_timeline,
+        "orphan_rate_timeline": q_orphan_rate_timeline,
+        "pipeline_timeline_health": q_pipeline_timeline_health,
         "events_retention": q_events_retention,
         "events_freshness": q_events_freshness,
         "val_regression_diff": q_val_regression_diff,
@@ -4030,6 +4142,153 @@ SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
                 // g) AS BIGINT) AS chi2_num,
        CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS chi2_den
 FROM grid GROUP BY bucket_start
+""",
+        # the three temporal-monitor oracles composed without plants and
+        # joined per bucket — any drift in any sub-operator moves a column
+        "pipeline_timeline_health": """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, event_type, value, user_id
+  FROM events WHERE ts IS NOT NULL),
+chh AS (SELECT sec - (sec % 86400) AS b, event_type AS cat, count(*) AS a
+        FROM e WHERE event_type IS NOT NULL GROUP BY 1, 2),
+cct AS (SELECT cat, sum(a) AS g FROM chh GROUP BY 1),
+cbt AS (SELECT b, sum(a) AS na FROM chh GROUP BY 1),
+ctt AS (SELECT sum(g) AS n FROM cct),
+cgrid AS (
+  SELECT bt.b, bt.na, t.n, c.g, coalesce(h.a, 0) AS a
+  FROM cbt bt CROSS JOIN cct c CROSS JOIN ctt t
+  LEFT JOIN chh h ON h.b = bt.b AND h.cat = c.cat),
+chi AS (
+  SELECT b,
+         CAST(sum((CAST(a AS HUGEINT) * (n - na) - CAST(g - a AS HUGEINT) * na)
+                  * (CAST(a AS HUGEINT) * (n - na) - CAST(g - a AS HUGEINT) * na)
+                  // g) AS BIGINT) AS chi2_num,
+         CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS chi2_den
+  FROM cgrid GROUP BY b),
+khh AS (SELECT sec - (sec % 86400) AS b,
+               CAST(floor(value * 10) AS BIGINT) AS v, count(*) AS a
+        FROM e WHERE value IS NOT NULL GROUP BY 1, 2),
+kvt AS (SELECT v, sum(a) AS g FROM khh GROUP BY 1),
+kbt AS (SELECT b, sum(a) AS na FROM khh GROUP BY 1),
+ktt AS (SELECT sum(g) AS n FROM kvt),
+kcum AS (
+  SELECT g2.b, g2.na, g2.n,
+         sum(g2.a) OVER w AS cum_a, sum(g2.g) OVER w AS cum_g
+  FROM (SELECT bt.b, bt.na, t.n, v.v, v.g, coalesce(h.a, 0) AS a
+        FROM kbt bt CROSS JOIN kvt v CROSS JOIN ktt t
+        LEFT JOIN khh h ON h.b = bt.b AND h.v = v.v) g2
+  WINDOW w AS (PARTITION BY g2.b ORDER BY g2.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ks AS (
+  SELECT b,
+         CAST(max(abs(CAST(cum_a AS HUGEINT) * (n - na)
+                      - CAST(cum_g - cum_a AS HUGEINT) * na)) AS BIGINT)
+             AS ks_num,
+         CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS ks_den
+  FROM kcum GROUP BY b),
+d AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey < 100),
+orph AS (
+  SELECT j.b AS bucket_start, count(*) AS n_events,
+         CAST(CASE WHEN sum(CASE WHEN j.uid IS NOT NULL THEN 1 ELSE 0 END) > 0
+                   THEN sum(CASE WHEN j.uid IS NOT NULL AND j.k IS NULL
+                                 THEN 1 ELSE 0 END) * 1000000
+                        // sum(CASE WHEN j.uid IS NOT NULL THEN 1 ELSE 0 END)
+                   ELSE 0 END AS BIGINT) AS orphan_ppm
+  FROM (SELECT sec - (sec % 86400) AS b, e.user_id AS uid, d.k
+        FROM e LEFT JOIN d ON e.user_id = d.k) j
+  GROUP BY 1)
+SELECT CAST(o.bucket_start AS BIGINT) AS bucket_start,
+       CAST(o.n_events AS BIGINT) AS n_events,
+       c.chi2_num, c.chi2_den, s.ks_num, s.ks_den, o.orphan_ppm
+FROM orph o
+JOIN chi c ON c.b = o.bucket_start
+JOIN ks s ON s.b = o.bucket_start
+""",
+        # distinct-dim left join replayed; identical +1000 outage plant,
+        # NULL keys counted apart, floor-div ppm over non-null rows
+        "orphan_rate_timeline": """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, user_id
+  FROM events WHERE ts IS NOT NULL),
+p AS (
+  SELECT sec - (sec % 86400) AS bucket_start,
+         CASE WHEN (sec // 86400) % 13 = 1 THEN user_id + 1000
+              ELSE user_id END AS uid
+  FROM e),
+d AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey < 100),
+j AS (SELECT p.bucket_start, p.uid, d.k
+      FROM p LEFT JOIN d ON p.uid = d.k)
+SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN uid IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(CASE WHEN sum(CASE WHEN uid IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN uid IS NOT NULL AND k IS NULL
+                               THEN 1 ELSE 0 END) * 1000000
+                      // sum(CASE WHEN uid IS NOT NULL THEN 1 ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS orphan_ppm
+FROM j GROUP BY 1
+""",
+        # same normalized-md5 content identity as dedup_exact (min-id
+        # window mirrors the (digest -> min id) agg + join), same
+        # re-crawl plant id-shifted into late buckets, floor-div ppm
+        "dedup_rate_timeline": """
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 3 = 0),
+norm AS (
+    SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM corpus WHERE text IS NOT NULL),
+fl AS (
+    SELECT id,
+           CASE WHEN id > min(id) OVER (PARTITION BY t) THEN 1 ELSE 0 END
+               AS dup
+    FROM norm)
+SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(dup) AS BIGINT) AS n_dups,
+       CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM fl GROUP BY 1
+""",
+        # bucket-vs-complement KS on the dense (bucket, value) grid:
+        # identical +3.0 plant on day % 5 == 2, identical floor(v*10)
+        # quantization (IEEE doubles agree), complement CDF from the
+        # global one, HUGEINT cross products, BIGINT outputs
+        "drift_onset_ks": """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT sec - (sec % 86400) AS bucket_start,
+         CAST(floor((value + CASE WHEN (sec // 86400) % 5 = 2
+                                  THEN 3.0 ELSE 0.0 END) * 10) AS BIGINT)
+             AS v
+  FROM e),
+hist AS (SELECT bucket_start, v, count(*) AS a FROM p GROUP BY 1, 2),
+vt AS (SELECT v, sum(a) AS g FROM hist GROUP BY 1),
+bt AS (SELECT bucket_start, sum(a) AS na FROM hist GROUP BY 1),
+t AS (SELECT sum(g) AS n FROM vt),
+grid AS (
+  SELECT b.bucket_start, b.na, t.n, v.v, v.g, coalesce(h.a, 0) AS a
+  FROM bt b CROSS JOIN vt v CROSS JOIN t
+  LEFT JOIN hist h ON h.bucket_start = b.bucket_start AND h.v = v.v),
+cum AS (
+  SELECT bucket_start, na, n,
+         sum(a) OVER w AS cum_a, sum(g) OVER w AS cum_g
+  FROM grid
+  WINDOW w AS (PARTITION BY bucket_start ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(min(na) AS BIGINT) AS n_bucket,
+       CAST(min(n - na) AS BIGINT) AS n_rest,
+       CAST(max(abs(CAST(cum_a AS HUGEINT) * (n - na)
+                    - CAST(cum_g - cum_a AS HUGEINT) * na)) AS BIGINT)
+           AS ks_num,
+       CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS ks_den
+FROM cum GROUP BY bucket_start
 """,
         # zero-filled spine + ceil-rank median/MAD + cross-multiplied
         # flag, all replayed; identical outage plant (day % 11 == 5

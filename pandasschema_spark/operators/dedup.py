@@ -662,3 +662,52 @@ def keep_latest(
     return agg.select(
         *key_cols,
         *[F.col("__top__." + c).alias(c) for c in order_cols + payload_cols])
+
+
+def duplication_rate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Duplication-rate timeline over the ingestion order: per
+    ``bucket_size``-id bucket, how many rows repeat content already
+    seen at a SMALLER id — the pipeline-health curve that catches the
+    day a crawler started re-crawling, a retried ingest double-writing
+    a shard, or a source feed looping. dedup answers "which rows";
+    this answers "when did duplication start climbing", which is the
+    question an on-call actually asks first. keep='first' semantics
+    (smallest id is the original), same normalized-md5 content key as
+    exact_duplicate_ids so the two operators agree row-for-row.
+
+    Output per bucket: (bucket_start = id - id % bucket_size, n_rows,
+    n_dups, dup_ppm = 1e6 * dups div rows) — only buckets with at
+    least one non-null text row appear (no spine: id space is dense
+    by construction at ingest).
+
+    Scale shape at 10^12 docs: corpus bytes never shuffle — the only
+    shuffled frames are the (digest -> min id) hash agg (16-byte
+    digests, map-side combined) and its slim join back against
+    (id, digest), then a map-side-combined per-bucket count agg.
+    NULL texts carry no content identity and are excluded up front
+    (the exact_duplicate_ids join rule).
+    """
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
+    base = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("__id__"), digest.alias("__fp__")))
+    firsts = base.groupBy("__fp__").agg(F.min("__id__").alias("__keep__"))
+    flagged = (base.join(firsts, "__fp__")
+               .select("__id__",
+                       (F.col("__id__") > F.col("__keep__"))
+                       .cast("int").alias("__dup__")))
+    return (flagged
+            .groupBy((F.col("__id__") - F.col("__id__") % bucket_size)
+                     .cast("long").alias("bucket_start"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("__dup__").cast("long").alias("n_dups"),
+                 F.floor(F.sum("__dup__").cast("decimal(38,0)") * 1_000_000
+                         / F.count(F.lit(1)).cast("decimal(38,0)"))
+                  .cast("long").alias("dup_ppm")))

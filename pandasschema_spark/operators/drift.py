@@ -393,3 +393,78 @@ def chi_square_onset(
     from .dedup import _attach_cached
 
     return _attach_cached(out, [hist])
+
+
+def ks_onset(
+    df: DataFrame,
+    ts_col: str,
+    column: str,
+    *,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Time-localized NUMERIC drift — the KS companion of
+    chi_square_onset: for every time bucket, the two-sample
+    Kolmogorov-Smirnov statistic of the bucket's value distribution
+    (over a discrete/quantized value column) against the REST of the
+    data. Chi-square onset ignores value ORDER, so a gradual mean
+    shift spreads thin across categories; KS takes the sup over the
+    ordered CDF gap and catches exactly that.
+
+    Integer-exact rational output per bucket, the ks_two_sample_by
+    convention: (bucket_start, n_bucket, n_rest, ks_num, ks_den) with
+    ks_num = max_v |cumA_v * nb - cumB_v * na| and ks_den = na * nb.
+    The sup only needs evaluating at observed value edges (both CDFs
+    are flat between them), and the complement CDF derives from the
+    global one: cumB_v = cumG_v - cumA_v.
+
+    Scale shape: identical to chi_square_onset — ONE map-side-combined
+    (bucket, value) hash agg over the raw rows; the dense bucket x
+    value grid, the global cumulative counts and the per-bucket
+    cumulative sums are windows/joins over that O(buckets x distinct)
+    histogram. For unbounded-cardinality columns quantize first (the
+    exact_quantiles rule): the KS of the quantized column is the KS
+    read on the grid, and the histogram stays bounded.
+    """
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    from pyspark.sql import Window
+
+    from .sessions import _epoch_us
+
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")
+    bucket = (sec - (sec % F.lit(bucket_s))).alias("bucket_start")
+    hist = (df.where(F.col(ts_col).isNotNull() & F.col(column).isNotNull())
+              .groupBy(bucket, F.col(column).alias("__v__"))
+              .agg(F.count(F.lit(1)).alias("__a__")))
+    hist = hist.persist()
+    val_tot = hist.groupBy("__v__").agg(F.sum("__a__").alias("__g__"))
+    buck_tot = hist.groupBy("bucket_start").agg(F.sum("__a__").alias("__na__"))
+    grand = val_tot.agg(F.sum("__g__").alias("__n__"))
+    # dense grid so a value absent from the bucket still advances the
+    # complement CDF at that edge
+    grid = (buck_tot
+            .crossJoin(F.broadcast(val_tot))
+            .crossJoin(F.broadcast(grand))
+            .join(hist, ["bucket_start", "__v__"], "left")
+            .select("bucket_start", "__na__", "__n__", "__v__", "__g__",
+                    F.coalesce(F.col("__a__"), F.lit(0)).alias("__a__")))
+    wc = (Window.partitionBy("bucket_start").orderBy("__v__")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = grid.select(
+        "bucket_start", "__na__", "__n__",
+        F.sum("__a__").over(wc).alias("__cum_a__"),
+        F.sum("__g__").over(wc).alias("__cum_g__"))
+    na = F.col("__na__").cast("decimal(38,0)")
+    nb = (F.col("__n__") - F.col("__na__")).cast("decimal(38,0)")
+    cum_a = F.col("__cum_a__").cast("decimal(38,0)")
+    cum_b = (F.col("__cum_g__") - F.col("__cum_a__")).cast("decimal(38,0)")
+    gap = F.abs(cum_a * nb - cum_b * na)
+    out = (cum.groupBy("bucket_start")
+           .agg(F.first("__na__").cast("long").alias("n_bucket"),
+                F.first(F.col("__n__") - F.col("__na__")).cast("long")
+                 .alias("n_rest"),
+                F.max(gap).cast("long").alias("ks_num"),
+                F.first(na * nb).cast("long").alias("ks_den")))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [hist])

@@ -257,3 +257,65 @@ def coverage_gaps(
     stragglers, so AQE plans the join broadcast in practice."""
     keys = fact_df.select(F.col(fact_col).alias("__k__")).distinct()
     return dim_df.join(keys, F.col(dim_col) == F.col("__k__"), "left_anti")
+
+
+def orphan_rate_timeline(
+    fact: DataFrame,
+    fact_key: str,
+    ts_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    bucket_s: int = 86_400,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Referential-miss RATE per time bucket: what fraction of fact
+    rows arriving in each ``bucket_s``-second window reference a key
+    absent from the dimension — the curve that distinguishes "a few
+    stragglers have always been orphaned" from "the user service
+    stopped publishing at 14:00" (referential_violations lists the
+    rows; an SLO dashboard charts this). Completes the rate-timeline
+    family: null_bursts (nulls), duplication_rate (dups),
+    timeline_anomaly (volume), this (orphans).
+
+    NULL fact keys are not orphans (no reference made) and are
+    reported separately as n_null, so a null burst and an orphan burst
+    — different upstream failures — never masquerade as each other.
+
+    Output per bucket: (bucket_start, n_rows, n_orphans, n_null,
+    orphan_ppm = 1e6 * orphans div non-null rows; 0 when the bucket
+    has only NULL keys).
+
+    Scale shape at 10^12 facts: the dim reduces to distinct keys and
+    broadcasts (``broadcast_dim=False`` switches to a shuffle join for
+    dims past broadcast size — or screen with build_bloom first, the
+    bloom_screen_violations path); the fact side is ONE pruned
+    (key, ts) projection -> membership flag fused row-local ->
+    map-side-combined per-bucket agg. Facts never shuffle; output is
+    O(buckets).
+    """
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    from .sessions import _epoch_us
+
+    d = dim.select(F.col(dim_key).alias("__dimv__")).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    sec = (_epoch_us(ts_col) / 1_000_000).cast("long")
+    base = (fact.where(F.col(ts_col).isNotNull())
+            .select(F.col(fact_key).alias("__k__"),
+                    (sec - (sec % F.lit(bucket_s))).alias("bucket_start")))
+    joined = base.join(d, base["__k__"] == F.col("__dimv__"), "left")
+    nn = F.col("__k__").isNotNull()
+    orphan = (nn & F.col("__dimv__").isNull()).cast("int")
+    return (joined
+            .groupBy("bucket_start")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(orphan).cast("long").alias("n_orphans"),
+                 F.sum((~nn).cast("int")).cast("long").alias("n_null"),
+                 F.when(
+                     F.sum(nn.cast("int")) > 0,
+                     F.floor(F.sum(orphan).cast("decimal(38,0)") * 1_000_000
+                             / F.sum(nn.cast("int")).cast("decimal(38,0)")))
+                  .otherwise(F.lit(0))
+                  .cast("long").alias("orphan_ppm")))

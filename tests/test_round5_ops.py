@@ -326,3 +326,114 @@ def test_timeline_anomaly_empty(spark):
 
     df = spark.createDataFrame([], "ts: timestamp")
     assert timeline_anomaly(df, "ts").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ks_onset
+# ---------------------------------------------------------------------------
+
+
+def test_ks_onset_flags_mean_shift(spark):
+    from pandasschema_spark.operators.dedup import released
+    from pandasschema_spark.operators.drift import ks_onset
+
+    rows = []
+    for day in range(4):
+        shift = 5 if day == 2 else 0  # day 2 values shift up
+        rows += [(_ts(day, i), (i % 10) + shift) for i in range(20)]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: long")
+    with released(ks_onset(df, "ts", "v", bucket_s=86_400)) as out:
+        got = {r["bucket_start"]: r for r in out.collect()}
+    assert len(got) == 4
+    assert all(r["n_bucket"] == 20 and r["n_rest"] == 60 for r in got.values())
+    by_day = [r for _, r in sorted(got.items())]
+    # shifted day: at edge v=4, bucket CDF=0 vs rest CDF=30/60 -> gap
+    # 0*60 - 30*20 = 600; clean days see at most the dilution backwash
+    assert by_day[2]["ks_num"] == 600
+    assert by_day[0]["ks_num"] < 600
+    assert all(r["ks_den"] == 1200 for r in by_day)
+
+
+def test_ks_onset_uniform_is_flat(spark):
+    from pandasschema_spark.operators.dedup import released
+    from pandasschema_spark.operators.drift import ks_onset
+
+    rows = [(_ts(day, i), i % 5) for day in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: long")
+    with released(ks_onset(df, "ts", "v", bucket_s=86_400)) as out:
+        assert all(r["ks_num"] == 0 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# duplication_rate
+# ---------------------------------------------------------------------------
+
+
+def test_duplication_rate_first_seen(spark):
+    from pandasschema_spark.operators.dedup import duplication_rate
+
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "alpha"),      # bucket 0: 1 dup
+        (10, "ALPHA  "), (11, "gamma"),               # normalized dup of 0
+        (20, None), (21, "beta"),                     # NULL excluded; dup
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    out = duplication_rate(df, "text", "id", bucket_size=10)
+    got = {r["bucket_start"]: r for r in out.collect()}
+    assert got[0]["n_rows"] == 3 and got[0]["n_dups"] == 1
+    assert got[0]["dup_ppm"] == 1_000_000 // 3
+    assert got[10]["n_dups"] == 1                     # case/ws-normalized
+    assert got[20]["n_rows"] == 1 and got[20]["n_dups"] == 1
+
+
+def test_duplication_rate_agrees_with_exact_duplicate_ids(spark):
+    from pandasschema_spark.operators.dedup import (
+        duplication_rate, exact_duplicate_ids)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total_dups = exact_duplicate_ids(docs, "text", "doc_id").count()
+    rate = duplication_rate(docs, "text", "doc_id", bucket_size=100)
+    assert rate.agg(F.sum("n_dups")).collect()[0][0] == total_dups
+
+
+def test_duplication_rate_rejects_bad_bucket(spark):
+    from pandasschema_spark.operators.dedup import duplication_rate
+
+    df = spark.createDataFrame([(1, "a")], "id: long, text: string")
+    with pytest.raises(ValueError):
+        duplication_rate(df, "text", "id", bucket_size=0)
+
+
+# ---------------------------------------------------------------------------
+# orphan_rate_timeline
+# ---------------------------------------------------------------------------
+
+
+def test_orphan_rate_timeline_separates_null_from_orphan(spark):
+    from pandasschema_spark.operators.referential import orphan_rate_timeline
+
+    dim = spark.createDataFrame([(1,), (2,)], "k: long")
+    rows = [
+        (_ts(0), 1), (_ts(0, 1), 2), (_ts(0, 2), 9),   # day 0: 1 orphan / 3
+        (_ts(1), None), (_ts(1, 1), None),             # day 1: only NULLs
+        (_ts(2), 9), (_ts(2, 1), 9),                   # day 2: all orphans
+    ]
+    df = spark.createDataFrame(rows, "ts: timestamp, uid: long")
+    out = orphan_rate_timeline(df, "uid", "ts", dim, "k", bucket_s=86_400)
+    got = {r["bucket_start"]: r for r in out.collect()}
+    d0 = got[int(_ts(0).timestamp())]
+    assert (d0["n_rows"], d0["n_orphans"], d0["n_null"]) == (3, 1, 0)
+    assert d0["orphan_ppm"] == 1_000_000 // 3
+    d1 = got[int(_ts(1).timestamp())]
+    assert (d1["n_orphans"], d1["n_null"], d1["orphan_ppm"]) == (0, 2, 0)
+    d2 = got[int(_ts(2).timestamp())]
+    assert d2["orphan_ppm"] == 1_000_000
+
+
+def test_orphan_rate_timeline_rejects_bad_bucket(spark):
+    from pandasschema_spark.operators.referential import orphan_rate_timeline
+
+    df = spark.createDataFrame([], "ts: timestamp, uid: long")
+    dim = spark.createDataFrame([(1,)], "k: long")
+    with pytest.raises(ValueError):
+        orphan_rate_timeline(df, "uid", "ts", dim, "k", bucket_s=0)
