@@ -2352,6 +2352,33 @@ def q_events_funnel(spark, sf_dir):
                          ["view", "click", "purchase"])
 
 
+def q_events_inter_arrival(spark, sf_dir):
+    """Per-user inter-arrival profile (operators/sessions.py
+    inter_arrival_profile, §2.5): event count + exact ceil-rank median
+    gap in integer microseconds per user — the full profile (no
+    threshold) so the gate compares every user's exact median, with
+    the default hot-user cap ON and replayed by the oracle."""
+    from pandasschema_spark.operators.sessions import inter_arrival_profile
+
+    return inter_arrival_profile(_t(spark, sf_dir, "events"))
+
+
+def q_text_vocab_novelty(spark, sf_dir):
+    """Vocabulary-novelty timeline (operators/text.py vocab_novelty,
+    §2.5): per 100-id bucket type counts + first-seen novelty share.
+    The re-crawl plant (every third doc copied into the +1e9 id space)
+    collapses the late buckets' novelty to ~0 — the content-level
+    fingerprint byte-level dup tracking misses; both engines derive
+    first-seen buckets from the data."""
+    from pandasschema_spark.operators.text import vocab_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+    return vocab_novelty(docs.unionByName(copies), "text", "doc_id",
+                         bucket_size=100)
+
+
 def q_pipeline_timeline_health(spark, sf_dir):
     """Composed timeline health report (§2.5): ONE row per day joining
     the four temporal monitors on UNPLANTED events — volume
@@ -3223,6 +3250,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_timeline": q_dedup_rate_timeline,
         "orphan_rate_timeline": q_orphan_rate_timeline,
         "pipeline_timeline_health": q_pipeline_timeline_health,
+        "events_inter_arrival": q_events_inter_arrival,
+        "text_vocab_novelty": q_text_vocab_novelty,
         "events_retention": q_events_retention,
         "events_freshness": q_events_freshness,
         "val_regression_diff": q_val_regression_diff,
@@ -4142,6 +4171,49 @@ SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
                 // g) AS BIGINT) AS chi2_num,
        CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS chi2_den
 FROM grid GROUP BY bucket_start
+""",
+        # lag + ceil-rank median windows replayed with the identical
+        # hot-user cap; single-event users carry NULL medians
+        "events_inter_arrival": """
+WITH capped AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1 HAVING count(*) <= 100000),
+b AS (
+  SELECT e.user_id AS u, epoch_us(e.ts) AS us, e.event_id AS i
+  FROM events e JOIN capped c ON c.user_id = e.user_id
+  WHERE e.ts IS NOT NULL),
+g AS (SELECT u, us - lag(us) OVER (PARTITION BY u ORDER BY us, i) AS gap
+      FROM b),
+n AS (SELECT u, count(*) AS n_events FROM g GROUP BY 1),
+r AS (SELECT u, gap, row_number() OVER (PARTITION BY u ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY u) AS ng
+      FROM g WHERE gap IS NOT NULL),
+m AS (SELECT u, gap AS median_gap_us FROM r WHERE rn = (ng + 1) // 2)
+SELECT n.u AS user_id, CAST(n.n_events AS BIGINT) AS n_events,
+       CAST(m.median_gap_us AS BIGINT) AS median_gap_us
+FROM n LEFT JOIN m ON m.u = n.u
+""",
+        # same [a-z0-9]+ token class, same re-crawl plant as
+        # dedup_rate_timeline; first-seen buckets derived from data
+        "text_vocab_novelty": """
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 3 = 0),
+tok AS (
+    SELECT id - id % 100 AS b,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM corpus WHERE text IS NOT NULL),
+per AS (SELECT b, t, count(*) AS c FROM tok GROUP BY 1, 2),
+f AS (SELECT t, min(b) AS fb FROM per GROUP BY 1)
+SELECT CAST(p.b AS BIGINT) AS bucket_start,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN p.b = f.fb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_types,
+       CAST(sum(CASE WHEN p.b = f.fb THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM per p JOIN f ON f.t = p.t GROUP BY 1
 """,
         # the three temporal-monitor oracles composed without plants and
         # joined per bucket — any drift in any sub-operator moves a column

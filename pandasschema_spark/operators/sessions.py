@@ -541,3 +541,65 @@ def retention_cohorts(
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
             .select(F.col("cohort_start").cast("long").alias("cohort_start"),
                     "period", "n_users"))
+
+
+def inter_arrival_profile(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_events_per_user: typing.Optional[int] = DEFAULT_MAX_EVENTS_PER_USER,
+    max_median_gap_us: typing.Optional[int] = None,
+    min_events: int = 1,
+) -> DataFrame:
+    """Per-user inter-arrival-time profile: event count and the exact
+    MEDIAN gap between consecutive events (microseconds, ceil-rank
+    over the per-user gap list) — the bot/scraper signature
+    rate_limit_violations cannot see (a crawler pacing itself under
+    every window cap still has an inhumanly regular, tiny median gap;
+    one burst in an otherwise human session does not).
+
+    With ``max_median_gap_us`` set, only users at or below the gap
+    threshold AND with at least ``min_events`` events return (the
+    suspect list); ``None`` returns the full profile.
+
+    Output: (user_id, n_events, median_gap_us); single-event users
+    have no gaps and report median_gap_us NULL (and never match a
+    threshold).
+
+    Scale shape at 10^12 events: one hash(user) exchange; the lag
+    window, the per-user gap ranking window and the final per-user agg
+    all share that partitioning (extra intra-partition sorts, no new
+    exchange). Hot users are pre-capped by the standard groupBy-count
+    + broadcast anti-join BEFORE any sort. Rows narrow to
+    (user, us, id) before shuffling.
+    """
+    df = _drop_hot_users(df, user_col, max_events_per_user)
+    us = _epoch_us(ts_col)
+    base = (df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+              .select(F.col(user_col).alias("__u__"), us.alias("__us__"),
+                      F.col(id_col).alias("__i__")))
+    w = Window.partitionBy("__u__").orderBy("__us__", "__i__")
+    gaps = (base
+            .withColumn("__gap__", F.col("__us__") - F.lag("__us__").over(w))
+            .withColumn("__n__", F.count(F.lit(1)).over(
+                Window.partitionBy("__u__"))))
+    wg = Window.partitionBy("__u__").orderBy("__gap__")
+    ranked = (gaps.where(F.col("__gap__").isNotNull())
+              .withColumn("__rn__", F.row_number().over(wg))
+              .withColumn("__ng__", F.count(F.lit(1)).over(
+                  Window.partitionBy("__u__"))))
+    medians = (ranked
+               .where(F.col("__rn__") == F.expr("(__ng__ + 1) div 2"))
+               .select("__u__", F.col("__gap__").alias("median_gap_us")))
+    out = (gaps.groupBy("__u__")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+           .join(medians, "__u__", "left")
+           .select(F.col("__u__").alias("user_id"), "n_events",
+                   F.col("median_gap_us").cast("long").alias("median_gap_us")))
+    if max_median_gap_us is not None:
+        out = out.where(F.col("median_gap_us").isNotNull()
+                        & (F.col("median_gap_us") <= max_median_gap_us)
+                        & (F.col("n_events") >= min_events))
+    return out

@@ -560,3 +560,56 @@ def encoding_scan(
         )
     )
     return out.where((F.col("n_replacement") > 0) | (F.col("n_control") > 0))
+
+
+def vocab_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Vocabulary-novelty timeline: per ``bucket_size``-id ingestion
+    bucket, how many distinct word types appear, how many are NEW
+    (first seen in this bucket, by min bucket over the whole corpus),
+    and the novelty share — the Heaps-law growth curve. A healthy
+    crawl keeps discovering vocabulary; a novelty collapse is the
+    content-level fingerprint of templating, boilerplate floods or a
+    looping source that byte-level duplication_rate misses (pages can
+    be byte-distinct while saying nothing new).
+
+    Tokens are lowercase ``[a-z0-9]+`` runs (a plain character-class
+    regexp both engines implement identically; no HOF, no UDF).
+
+    Output per bucket: (bucket_start, n_tokens, n_types, n_new_types,
+    novelty_ppm = 1e6 * new div types).
+
+    Scale shape at 10^12 docs: the exploded tokens reduce immediately
+    through a map-side-combined (bucket, token) hash agg — the only
+    row multiplication is explode-before-partial-agg inside each
+    scan task, and what shuffles is O(distinct (bucket, token)), not
+    occurrences. First-seen buckets are a second tiny agg over that
+    frame keyed (token), joined back aggregate-to-aggregate.
+    """
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    bucket = (F.col(id_col) - F.col(id_col) % bucket_size).cast("long")
+    tok = (df.where(F.col(text_col).isNotNull())
+             .select(bucket.alias("__b__"),
+                     F.explode(F.regexp_extract_all(
+                         F.lower(F.col(text_col)),
+                         F.lit("[a-z0-9]+"), 0)).alias("__t__")))
+    per = (tok.groupBy("__b__", "__t__")
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    firsts = per.groupBy("__t__").agg(F.min("__b__").alias("__fb__"))
+    return (per.join(firsts, "__t__")
+            .groupBy(F.col("__b__").alias("bucket_start"))
+            .agg(F.sum("__c__").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum((F.col("__b__") == F.col("__fb__")).cast("int"))
+                  .cast("long").alias("n_new_types"),
+                 F.floor(
+                     F.sum((F.col("__b__") == F.col("__fb__")).cast("int"))
+                     .cast("decimal(38,0)") * 1_000_000
+                     / F.count(F.lit(1)).cast("decimal(38,0)"))
+                  .cast("long").alias("novelty_ppm")))

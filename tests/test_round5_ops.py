@@ -437,3 +437,72 @@ def test_orphan_rate_timeline_rejects_bad_bucket(spark):
     dim = spark.createDataFrame([(1,)], "k: long")
     with pytest.raises(ValueError):
         orphan_rate_timeline(df, "uid", "ts", dim, "k", bucket_s=0)
+
+
+# ---------------------------------------------------------------------------
+# inter_arrival_profile
+# ---------------------------------------------------------------------------
+
+
+def test_inter_arrival_profile_median_and_suspects(spark):
+    from pandasschema_spark.operators.sessions import inter_arrival_profile
+
+    rows = []
+    # bot: 11 events 1s apart -> 10 gaps, median 1_000_000 us
+    rows += [(1, _ts(0, i), i) for i in range(11)]
+    # human: events at 0, 10, 100, 1000 s -> gaps 10, 90, 900 s, median 90 s
+    rows += [(2, _ts(0, s), 100 + j) for j, s in enumerate([0, 10, 100, 1000])]
+    # single event: NULL median
+    rows += [(3, _ts(0), 200)]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_id: long")
+    prof = {r["user_id"]: r for r in inter_arrival_profile(df).collect()}
+    assert prof[1]["n_events"] == 11 and prof[1]["median_gap_us"] == 1_000_000
+    assert prof[2]["median_gap_us"] == 90_000_000
+    assert prof[3]["median_gap_us"] is None
+    sus = inter_arrival_profile(
+        df, max_median_gap_us=2_000_000, min_events=10).collect()
+    assert [r["user_id"] for r in sus] == [1]
+
+
+def test_inter_arrival_even_gap_count_takes_lower_median(spark):
+    from pandasschema_spark.operators.sessions import inter_arrival_profile
+
+    # gaps 1s, 3s -> ceil-rank (2+1) div 2 = 1 -> lower median 1s
+    rows = [(1, _ts(0, 0), 1), (1, _ts(0, 1), 2), (1, _ts(0, 4), 3)]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_id: long")
+    r = inter_arrival_profile(df).collect()[0]
+    assert r["median_gap_us"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# vocab_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_novelty_first_seen(spark):
+    from pandasschema_spark.operators.text import vocab_novelty
+
+    rows = [
+        (0, "the cat sat"),           # bucket 0: 3 new types
+        (1, "the cat ran"),           # +1 new (ran)
+        (10, "the dog"),              # bucket 10: dog new, the old
+        (20, "THE CAT"),              # bucket 20: nothing new (case-folded)
+        (30, None),                   # ignored
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = {r["bucket_start"]: r for r in
+           vocab_novelty(df, "text", "id", bucket_size=10).collect()}
+    b0 = got[0]
+    assert (b0["n_tokens"], b0["n_types"], b0["n_new_types"]) == (6, 4, 4)
+    assert got[10]["n_new_types"] == 1 and got[10]["n_types"] == 2
+    assert got[20]["n_new_types"] == 0
+    assert got[20]["novelty_ppm"] == 0
+    assert 30 not in got
+
+
+def test_vocab_novelty_rejects_bad_bucket(spark):
+    from pandasschema_spark.operators.text import vocab_novelty
+
+    df = spark.createDataFrame([(1, "a")], "id: long, text: string")
+    with pytest.raises(ValueError):
+        vocab_novelty(df, "text", "id", bucket_size=0)
