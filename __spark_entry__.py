@@ -2352,6 +2352,19 @@ def q_events_funnel(spark, sf_dir):
                          ["view", "click", "purchase"])
 
 
+def q_agg_group_quantiles(spark, sf_dir):
+    """Per-group exact quantiles (operators/colstats.py
+    group_quantiles, §2.5): p5/p50/p95/p99 of order price cents per
+    o_orderpriority — ceil-rank over the per-group value histogram,
+    group-partitioned windows (no single-task global sort)."""
+    from pandasschema_spark.operators.colstats import group_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return group_quantiles(orders, "o_orderpriority", cents,
+                           [50, 500, 950, 990])
+
+
 def q_events_inter_arrival(spark, sf_dir):
     """Per-user inter-arrival profile (operators/sessions.py
     inter_arrival_profile, §2.5): event count + exact ceil-rank median
@@ -3251,6 +3264,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_rate_timeline": q_orphan_rate_timeline,
         "pipeline_timeline_health": q_pipeline_timeline_health,
         "events_inter_arrival": q_events_inter_arrival,
+        "agg_group_quantiles": q_agg_group_quantiles,
         "text_vocab_novelty": q_text_vocab_novelty,
         "events_retention": q_events_retention,
         "events_freshness": q_events_freshness,
@@ -4171,6 +4185,27 @@ SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
                 // g) AS BIGINT) AS chi2_num,
        CAST(min(CAST(na AS HUGEINT) * (n - na)) AS BIGINT) AS chi2_den
 FROM grid GROUP BY bucket_start
+""",
+        # per-group ceil-rank replay of the agg_quantiles shape; BIGINT
+        # casts on every sum-derived column
+        "agg_group_quantiles": """
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS value, count(*) AS c
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT grp, value, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n
+  FROM h),
+qs(q_pm) AS (VALUES (50), (500), (950), (990))
+SELECT grp, CAST(q_pm AS BIGINT) AS q_pm,
+       CAST((CAST(q_pm AS BIGINT) * n + 1000 - 1) // 1000 AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n, value
+FROM cum, qs
+WHERE cum >= (CAST(q_pm AS BIGINT) * n + 1000 - 1) // 1000
+  AND cum - c < (CAST(q_pm AS BIGINT) * n + 1000 - 1) // 1000
 """,
         # lag + ceil-rank median windows replayed with the identical
         # hot-user cap; single-event users carry NULL medians

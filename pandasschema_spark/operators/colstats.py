@@ -625,3 +625,53 @@ def fd_profile(
                          .cast("decimal(38,0)") * 1_000_000
                          / F.sum("__n__").cast("decimal(38,0)"))
                   .cast("long").alias("error_ppm")))
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    qs_pm: typing.Sequence[int],
+    *,
+    denom: int = 1000,
+) -> DataFrame:
+    """Per-GROUP exact discrete quantiles — the SLO form of
+    exact_quantiles ("p95 session gap per event_type", "p99 clip
+    duration per codec"): for each group and each q, the smallest
+    value whose within-group cumulative count reaches
+    ceil(q * n_g / denom). Same ceil-rank rule, same quantize-first
+    contract for unbounded columns.
+
+    Returns (grp, q_pm, rank, n, value). NULL groups form their own
+    group (a per-cohort SLO for the unattributed cohort is still an
+    SLO); NULL values are excluded from n.
+
+    Scale shape at 10^12 rows: ONE map-side-combined (group, value)
+    hash agg; the cumulative window and the per-group totals run over
+    that O(groups x distinct-values) histogram partitioned BY GROUP
+    (never a global single-task sort — the exact_quantiles global
+    window is the one shape that does not scale past one reducer, and
+    grouping restores the parallelism). The quantile-rank join is a
+    broadcast of O(qs) rows cross-keyed per group.
+    """
+    bad = [q for q in qs_pm if not (0 < int(q) <= denom)]
+    if bad:
+        raise ValueError(
+            "qs_pm must satisfy 0 < q <= denom={} (got {})".format(denom, bad))
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = (df.select(F.col(group_col).alias("grp"), v.alias("value"))
+           .where(F.col("value").isNotNull())
+           .groupBy("grp", "value").agg(F.count(F.lit(1)).alias("c")))
+    wc = (Window.partitionBy("grp").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy("grp")
+    cum = h.select(
+        "grp", "value", "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wg).alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pm], "q_pm long")
+    rank = F.expr("(q_pm * n + {d} - 1) div {d}".format(d=denom))
+    return (cum.join(F.broadcast(qdf),
+                     (F.col("cum") >= rank) & ((F.col("cum") - F.col("c")) < rank))
+            .select("grp", "q_pm", rank.alias("rank"), "n", "value"))

@@ -408,3 +408,89 @@ def test_entity_blocked_pairs_plan(spark):
     assert "InMemoryTableScan" in plan
     from pandasschema_spark.operators.dedup import release_cached
     release_cached(pairs)
+
+
+def test_funnel_single_sort_shared_exchange(spark):
+    """funnel_counts: all stage reach-flags + the per-user conversion agg
+    must share ONE hash(user) exchange and ONE sort — a per-stage
+    exchange or sort multiplies the dominant cost by the funnel depth.
+    (Uncapped: the cap adds only its slim count exchange, locked by the
+    sessionize cap test's pattern.)"""
+    from pandasschema_spark.operators.sessions import funnel_counts
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = plan_of(funnel_counts(ev, ["view", "click", "purchase"],
+                                 max_events_per_user=None))
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan[:3000]
+    # one user exchange + the O(1)-row final tally single partition
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, plan[:3000]
+
+
+def test_drift_onset_scans_raw_once(spark):
+    """chi_square_onset: the raw table is scanned ONCE into the cached
+    (bucket, category) histogram; complement stats, totals and the dense
+    grid must all read the cache (InMemoryTableScan), never re-scan or
+    re-shuffle the raw rows, and the grid sides are broadcast."""
+    from pandasschema_spark.operators.dedup import released
+    from pandasschema_spark.operators.drift import chi_square_onset
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    with released(chi_square_onset(ev, "ts", "event_type")) as out:
+        plan = plan_of(out)
+        assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+        assert "BroadcastExchange" in plan, plan[:3000]
+        # every FileScan mention sits inside the cached relation dump
+        live = [l for l in plan.split("\n")
+                if "FileScan" in l and "InMemoryRelation" not in l]
+        in_cache = plan.count("InMemoryRelation")
+        assert in_cache >= 1, plan[:3000]
+
+
+def test_vocab_novelty_codegen_clean_token_path(spark):
+    """vocab_novelty's token explosion must stay codegen (regexp +
+    Generate), with partial aggregation before the shuffle — no
+    CodegenFallback, no Python UDF in the token path."""
+    from pandasschema_spark.operators.text import vocab_novelty
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = plan_of(vocab_novelty(docs, "text", "doc_id"))
+    assert "CodegenFallback" not in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan, plan[:3000]
+
+
+def test_group_quantiles_group_partitioned_windows(spark):
+    """group_quantiles must partition its windows by group — a global
+    (empty-partition) window would funnel the histogram through one
+    task, the exact shape the operator exists to avoid."""
+    from pandasschema_spark.operators.colstats import group_quantiles
+
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    plan = plan_of(group_quantiles(orders, "o_orderpriority", cents, [500]))
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]
+    # both windows key their exchange on the group column
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.split("#")[0] == "grp" for k in keys), plan[:3000]
+
+
+def test_orphan_rate_timeline_fact_never_shuffles(spark):
+    """orphan_rate_timeline: the fact side must reach its per-bucket agg
+    through a BROADCAST membership join — no hash exchange of fact rows
+    before the (map-side combined) bucket aggregation's own slim
+    exchange."""
+    from pandasschema_spark.operators.referential import orphan_rate_timeline
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    cust = spark.read.parquet(SF_DIR + "/customer.parquet")
+    plan = plan_of(orphan_rate_timeline(ev, "user_id", "ts",
+                                        cust, "c_custkey"))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # exactly two hash exchanges, BOTH slim: the O(buckets) aggregate's
+    # and the dim's distinct-keys shuffle inside the broadcast build —
+    # never one keyed on the fact's join column before the join
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(k.split("#")[0] for k in keys) == \
+        ["__dimv__", "bucket_start"], plan[:3000]

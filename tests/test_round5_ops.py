@@ -506,3 +506,40 @@ def test_vocab_novelty_rejects_bad_bucket(spark):
     df = spark.createDataFrame([(1, "a")], "id: long, text: string")
     with pytest.raises(ValueError):
         vocab_novelty(df, "text", "id", bucket_size=0)
+
+
+# ---------------------------------------------------------------------------
+# group_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_group_quantiles_per_group_ceil_rank(spark):
+    from pandasschema_spark.operators.colstats import group_quantiles
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [10, 20, 30]]
+    df = spark.createDataFrame(rows, "g: string, v: long")
+    out = group_quantiles(df, "g", "v", [500, 1000])
+    got = {(r["grp"], r["q_pm"]): r["value"] for r in out.collect()}
+    # a: n=4, p50 rank ceil(2)=2 -> 2; p100 rank 4 -> 4
+    # b: n=3, p50 rank ceil(1.5)=2 -> 20; p100 -> 30
+    assert got == {("a", 500): 2, ("a", 1000): 4,
+                   ("b", 500): 20, ("b", 1000): 30}
+
+
+def test_group_quantiles_null_group_and_values(spark):
+    from pandasschema_spark.operators.colstats import group_quantiles
+
+    rows = [(None, 1), (None, 3), ("a", None), ("a", 7)]
+    df = spark.createDataFrame(rows, "g: string, v: long")
+    out = group_quantiles(df, "g", "v", [500])
+    got = {r["grp"]: (r["n"], r["value"]) for r in out.collect()}
+    assert got[None] == (2, 1)   # NULL group is its own cohort
+    assert got["a"] == (1, 7)    # NULL values excluded from n
+
+
+def test_group_quantiles_rejects_bad_q(spark):
+    from pandasschema_spark.operators.colstats import group_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g: string, v: long")
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", [0])
