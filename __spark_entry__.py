@@ -3115,6 +3115,99 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """Line-level boilerplate profile (operators/text.py
+    boilerplate_scan, §2.5): per document, how many of its distinct
+    non-empty lines appear in >= 10 distinct documents — the
+    CCNet-style template filter document-level dedup cannot see.
+    The corpus builds multi-line pages in-query (both engines
+    construct the identical text): a shared newsletter header on even
+    doc_ids (df ~ n/2, always boilerplate), a footer keyed doc_id %
+    30 (df ~ n/30, boilerplate at the tested SFs), the natural doc
+    body, and a doc-unique line (df = 1, never boilerplate). The
+    oracle re-derives doc-frequencies from the constructed corpus —
+    never from the plant rules alone (natural duplicate bodies count
+    too, the sf0.1 lesson)."""
+    from pandasschema_spark.operators.text import boilerplate_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("Subscribe to our newsletter!\n")).otherwise(F.lit("")),
+        F.col("text"), F.lit("\n"),
+        F.lit("footer "), (F.col("doc_id") % 30).cast("string"), F.lit("\n"),
+        F.lit("unique line "), F.col("doc_id").cast("string"))
+    return boilerplate_scan(docs.select("doc_id", page.alias("text")),
+                            "text", "doc_id", min_doc_freq=10)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """N-gram containment pairs (operators/dedup.py containment_pairs,
+    §2.5): |A∩B| / min(|A|,|B|) >= 0.9 — the quote-inclusion detector
+    Jaccard structurally misses (a doc embedded in a 2x-longer wrapper
+    has Jaccard ~0.5 but containment ~1). The plant builds wrapper
+    twins in-query: for doc_id % 7 == 1, twin = own text + the text of
+    doc_id+3 (full quote inclusion, both engines join identically).
+    Runs the production default hot-gram cap; the oracle applies the
+    IDENTICAL df-cap rule (the dedup_jaccard convention), so the
+    skew-safe configuration is the attested one. The threshold compare
+    is integer cross-multiplication in both engines — no float
+    division anywhere."""
+    from pandasschema_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = docs.select((F.col("doc_id") - 3).alias("doc_id"),
+                          F.col("text").alias("__t2__"))
+    twins = (docs.join(partner, "doc_id")
+             .where(F.col("doc_id") % 7 == 1)
+             .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                     F.concat("text", F.lit(" "), "__t2__").alias("text")))
+    corpus = docs.unionByName(twins)
+    return D.containment_pairs(corpus, "text", "doc_id", n=3,
+                               threshold_ppm=900_000,
+                               max_gram_df=D.DEFAULT_MAX_GRAM_DF)
+
+
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.py
+    source_dup_matrix, §2.5): for every source pair, how many distinct
+    contents both publish — the provenance drill-down behind a
+    duplication spike ("which feed mirrors which"). The plant rewrites
+    doc_id % 17 == 5 texts to a 7-item syndicated-content set that
+    recurs across sources; natural duplicate bodies also pair sources
+    and are derived from the data in both engines. Runs uncapped
+    (max_sources_per_content=None) because the oracle derivation is
+    uncapped — the cap-binding configuration is pytest's job (the
+    dedup_jaccard/None convention)."""
+    from pandasschema_spark.operators.dedup import source_dup_matrix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = (F.when(F.col("doc_id") % 17 == 5,
+                      F.concat(F.lit("syndicated article "),
+                               (F.col("doc_id") % 7).cast("string")))
+               .otherwise(F.col("text")))
+    return source_dup_matrix(
+        docs.select("doc_id", planted.alias("text"), "source"),
+        "text", "doc_id", "source", max_sources_per_content=None)
+
+
+def q_timeline_trend(spark, sf_dir):
+    """Per-cohort volume trend (operators/profile.py timeline_trend,
+    §2.5): the exact OLS slope of daily event volume per event_type as
+    an integer rational (slope_num, slope_den) plus a sign
+    classification — the slow-decay detector timeline_anomaly's
+    median/MAD gate structurally misses. No plant: the oracle replays
+    the full derivation (NTZ-safe integer day buckets, decimal/HUGEINT
+    moment sums, translation-invariant normal-equation terms) over the
+    natural corpus and the integers must agree bit-for-bit."""
+    from pandasschema_spark.operators.profile import timeline_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return (timeline_trend(ev, "ts", group_col="event_type",
+                           bucket_s=86_400)
+            .withColumnRenamed("grp", "event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: the engine's one-scan multi-check validation
     over lineitem — five checks on four columns compiled into a single
@@ -3189,6 +3282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_boilerplate": q_text_boilerplate,
+        "dedup_containment": q_dedup_containment,
+        "dedup_source_matrix": q_dedup_source_matrix,
+        "timeline_trend": q_timeline_trend,
         "val_bitmap": q_val_bitmap,
         "val_bitmap_hist": q_val_bitmap_hist,
         "violations_digest": q_violations_digest,
@@ -4359,6 +4456,115 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # identical page construction (header on even ids, %30 footer,
+        # body, unique line), line normalization, md5 identity, and
+        # doc-frequency >= 10 derivation — boilerplate re-derived from
+        # the constructed corpus, never assumed from the plant rules
+        "text_boilerplate": """
+WITH c AS (
+    SELECT doc_id AS id,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN 'Subscribe to our newsletter!' || chr(10)
+                 ELSE '' END)
+           || text || chr(10)
+           || 'footer ' || CAST(doc_id % 30 AS VARCHAR) || chr(10)
+           || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents),
+ln AS (
+    SELECT id, trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) AS n
+    FROM c, unnest(string_split(text, chr(10))) AS u(l)),
+pairs AS (SELECT DISTINCT id, md5(n) AS d FROM ln WHERE n <> ''),
+hot AS (SELECT d FROM (SELECT d, count(*) AS df FROM pairs GROUP BY 1)
+        WHERE df >= 10)
+SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d IN (SELECT d FROM hot) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN d IN (SELECT d FROM hot) THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS boiler_ppm
+FROM pairs GROUP BY 1
+""",
+        # wrapper-twin corpus (twin = text || ' ' || text of id+3 for
+        # id % 7 == 1), the shared gram derivation, the IDENTICAL
+        # df-cap rule as the engine default, and the integer
+        # cross-multiplied containment threshold — no float division
+        "dedup_containment": """
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT a.doc_id + 1000000000, a.text || ' ' || b.text
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
+    WHERE a.doc_id % 7 = 1),
+norm AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM corpus),
+toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+gramsets AS (
+    SELECT id,
+           list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gs
+    FROM toks),
+grams AS (SELECT id, u.g FROM gramsets, unnest(gs) AS u(g)),
+sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+kept AS (SELECT grams.id, grams.g FROM grams JOIN gdf USING (g)
+         WHERE df <= {cap}),
+common AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_common * 1000000 // least(sa.n, sb.n) AS BIGINT)
+           AS containment_ppm
+FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE n_common * 1000000 >= 900000 * least(sa.n, sb.n)
+""".format(cap=D.DEFAULT_MAX_GRAM_DF),
+        # identical syndication plant (%17 rewrite to a 7-item content
+        # set), normalized-md5 content identity, distinct
+        # (content, source) collapse, per-digest source self-join
+        "dedup_source_matrix": """
+WITH c AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 5
+                THEN 'syndicated article ' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE text END AS text,
+           source
+    FROM documents),
+p AS (SELECT DISTINCT
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d,
+          source AS s
+      FROM c WHERE text IS NOT NULL AND source IS NOT NULL),
+sz AS (SELECT s, count(*) AS n FROM p GROUP BY 1),
+sh AS (SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_shared
+       FROM p a JOIN p b ON a.d = b.d AND a.s < b.s GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_shared * 1000000 // least(sa.n, sb.n) AS BIGINT) AS share_ppm
+FROM sh JOIN sz sa ON sa.s = source_a JOIN sz sb ON sb.s = source_b
+""",
+        # NTZ-safe integer day buckets, HUGEINT moment sums, the
+        # translation-invariant normal-equation terms cast to BIGINT
+        "timeline_trend": """
+WITH e AS (
+    SELECT event_type AS grp, epoch_us(ts) // 1000000 AS sec
+    FROM events WHERE ts IS NOT NULL),
+c AS (SELECT grp, sec // 86400 AS x, count(*) AS y FROM e GROUP BY 1, 2),
+m AS (SELECT grp,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM c GROUP BY 1)
+SELECT grp AS event_type,
+       CAST(n AS BIGINT) AS n_buckets,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+       CASE WHEN n*sxx - sx*sx = 0 THEN 'flat'
+            WHEN n*sxy - sx*sy > 0 THEN 'up'
+            WHEN n*sxy - sx*sy < 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM m
 """,
         # bucket-vs-complement KS on the dense (bucket, value) grid:
         # identical +3.0 plant on day % 5 == 2, identical floor(v*10)

@@ -711,3 +711,149 @@ def duplication_rate(
                  F.floor(F.sum("__dup__").cast("decimal(38,0)") * 1_000_000
                          / F.count(F.lit(1)).cast("decimal(38,0)"))
                   .cast("long").alias("dup_ppm")))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_gram_df: typing.Optional[int] = DEFAULT_MAX_GRAM_DF,
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b, containment_ppm) for pairs whose
+    n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) — reaches
+    ``threshold_ppm`` parts-per-million (id_a < id_b). The
+    quote-inclusion detector Jaccard structurally misses: when a short
+    document is wholly embedded in a much longer one (syndicated
+    article + wrapper page, quoted post + thread, license text +
+    source file), Jaccard = |A|/|B| tends to 0 as the wrapper grows
+    while containment stays 1. LLM-corpus pipelines dedup on BOTH
+    (Lee et al. 2022 dedup uses containment-style overlap for exactly
+    this case).
+
+    Same inverted-index shape as ngram_jaccard_pairs (shared
+    doc_grams/cap machinery, one persisted gram frame feeding both
+    join sides and the size agg); the threshold compare is the
+    integer cross-multiplication ``1e6 * n_common >= threshold_ppm *
+    least(n_a, n_b)`` — no float division anywhere, so any SQL engine
+    reproduces the cut exactly. ``containment_ppm`` reports
+    floor(1e6 * common / least) for ranking. ``max_gram_df`` is the
+    standard hot-shingle cap (groupBy-count + join, never a window);
+    a dropped hot gram still counts in n_a/n_b so capped containment
+    is a lower bound — the conservative direction.
+
+    Scale shape at 10^12 docs: corpus bytes never shuffle (grams
+    collapse to their 32-hex md5 via gram text only inside scan
+    tasks); the self-join fan-out is bounded by the df cap exactly as
+    in the Jaccard path.
+    """
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    kept = grams
+    if max_gram_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
+        kept = (
+            grams.join(gram_df.where(F.col("__df__") <= max_gram_df), "gram")
+            .select("id", "gram")
+        )
+    a = kept.select(F.col("id").alias("id_a"), "gram")
+    b = kept.select(F.col("id").alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    small = F.least(F.col("n_a"), F.col("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("n_common") * 1_000_000 >= F.lit(threshold_ppm) * small)
+        .select(
+            "id_a", "id_b", "n_common", "n_a", "n_b",
+            F.floor(F.col("n_common").cast("decimal(38,0)") * 1_000_000
+                    / small.cast("decimal(38,0)"))
+             .cast("long").alias("containment_ppm"),
+        )
+    )
+    return _attach_cached(out, [grams])
+
+
+def source_dup_matrix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    *,
+    max_sources_per_content: typing.Optional[int] = 1000,
+) -> DataFrame:
+    """(source_a, source_b, n_shared, n_a, n_b, share_ppm) — for every
+    ordered source pair (a < b lexicographically), how many distinct
+    CONTENTS (normalized-md5, the exact_duplicate_ids key) appear in
+    both, plus each source's distinct-content count and
+    floor(1e6 * shared / least(n_a, n_b)). The provenance question
+    behind a duplication spike: WHICH feed is mirroring which —
+    syndication networks, a scraper crawling the same CDN twice under
+    different source labels, a vendor reselling another's dump.
+    dedup says "these rows repeat"; this says "source X is 90%
+    contained in source Y, stop paying for X".
+
+    Scale shape at 10^12 docs: corpus bytes never shuffle — rows
+    collapse to (digest, source) distinct pairs via one
+    map-side-combined agg; the per-digest self-join is bounded by
+    ``max_sources_per_content`` (standard groupBy-count + broadcast
+    anti-join cap, default 1000: a content present in MORE distinct
+    sources than that is universal boilerplate whose pair explosion
+    is quadratic and whose signal is nil; ``None`` = exact). Output
+    is O(sources^2) worst case — sources are a bounded catalog
+    dimension, not a data-scale one.
+    """
+    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
+    pairs = (
+        df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(digest.alias("__d__"), F.col(source_col).alias("__s__"))
+        .groupBy("__d__", "__s__")
+        .agg(F.count(F.lit(1)).alias("__dummy__"))
+        .select("__d__", "__s__")
+    )
+    if max_sources_per_content is not None:
+        hot = (
+            pairs.groupBy("__d__")
+            .agg(F.count(F.lit(1)).alias("__ns__"))
+            .where(F.col("__ns__") > max_sources_per_content)
+            .select("__d__")
+        )
+        pairs = pairs.join(F.broadcast(hot), "__d__", "left_anti")
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = pairs.groupBy("__s__").agg(F.count(F.lit(1)).alias("n_contents"))
+    a = pairs.select("__d__", F.col("__s__").alias("source_a"))
+    b = pairs.select("__d__", F.col("__s__").alias("source_b"))
+    shared = (
+        a.join(b, "__d__")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("__s__").alias("source_a"), F.col("n_contents").alias("n_a"))
+    sb = sizes.select(F.col("__s__").alias("source_b"), F.col("n_contents").alias("n_b"))
+    small = F.least(F.col("n_a"), F.col("n_b"))
+    out = (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(F.col("n_shared").cast("decimal(38,0)") * 1_000_000
+                    / small.cast("decimal(38,0)"))
+             .cast("long").alias("share_ppm"),
+        )
+    )
+    return _attach_cached(out, [pairs])

@@ -455,3 +455,86 @@ def timeline_anomaly(
     from .dedup import _attach_cached
 
     return _attach_cached(out, [counts])
+
+
+def timeline_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    group_col: typing.Optional[str] = None,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Integer-exact OLS volume trend over the event timeline, per
+    ``group_col`` cohort (None = one global row): is this source's /
+    event type's daily volume systematically climbing or decaying?
+    timeline_anomaly flags individual outlier buckets against a robust
+    median; a slow 2%-a-day decline never trips a MAD gate — the
+    regression slope is the detector for it (the "feed is quietly
+    dying" signature an on-call wants before the volume hits zero).
+
+    Per cohort, over the per-bucket counts (x = bucket index =
+    epoch-seconds div bucket_s, y = n_events), emits the exact OLS
+    slope as a rational: slope = slope_num / slope_den with
+    ``slope_num = n*Σxy − Σx*Σy`` and ``slope_den = n*Σx² − (Σx)²``
+    (both invariant under x translation, so no centering pass is
+    needed). All intermediate sums run in decimal(38) (worst term
+    n·Σx² ≈ 10^7·10^7·(2·10^4)² ≈ 4·10^21 ≪ 10^38). The emitted
+    rational is cast to BIGINT — exact while |num| < 2^63, i.e.
+    roughly n_buckets³ · per-bucket-volume < 9·10^18 (a decade of day
+    buckets supports ~10^8 events/bucket; past that, widen
+    ``bucket_s`` — the trend question doesn't sharpen with finer
+    buckets anyway). No division crosses an engine: callers threshold
+    on the cross-multiplied rational, and ``direction`` classifies
+    sign ('up'/'down'/'flat'). Cohorts with a single active bucket
+    have slope_den = 0 and report 'flat'.
+
+    Buckets derive via the NTZ-safe integer idiom (sec = epoch_us
+    div 1e6; never floor(epoch_us / big_divisor) — see CLAUDE.md).
+    SILENT buckets contribute no (x, y) point (no zero-fill): a cohort
+    that stops emitting entirely freezes its trend rather than
+    trending down — total-outage detection is timeline_anomaly's
+    zero-filled job; the two compose (documented division of labor).
+    NULL timestamps are excluded; a NULL group is its own cohort.
+
+    Scale shape at 10^12 events: ONE map-side-combined
+    (group, bucket) count agg is the only data-sized exchange; the
+    moment sums reduce the O(groups × buckets) frame to O(groups)
+    rows in a second tiny agg. Nothing collects to the driver.
+    """
+    from .sessions import _epoch_us
+
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    gkeys = ["grp"] if group_col else []
+    base = (df.where(F.col(ts_col).isNotNull())
+              .select(*([F.col(group_col).alias("grp")] if group_col else []),
+                      (_epoch_us(ts_col) / 1_000_000).cast("long")
+                      .alias("__sec__")))
+    # integer `div` (epoch secs are nonnegative, so trunc == floor ==
+    # DuckDB //) — never double division near bucket boundaries
+    counts = (base.select(*gkeys,
+                          F.expr("__sec__ div {}".format(int(bucket_s)))
+                          .alias("__x__"))
+                  .groupBy(*gkeys, "__x__")
+                  .agg(F.count(F.lit(1)).alias("__y__")))
+    dx = F.col("__x__").cast("decimal(38,0)")
+    dy = F.col("__y__").cast("decimal(38,0)")
+    mom = counts.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n__"),
+        F.sum(dx).alias("__sx__"),
+        F.sum(dy).alias("__sy__"),
+        F.sum(dx * dy).alias("__sxy__"),
+        F.sum(dx * dx).alias("__sxx__"),
+    )
+    num = (F.col("__n__") * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__"))
+    den = (F.col("__n__") * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__"))
+    return mom.select(
+        *gkeys,
+        F.col("__n__").cast("long").alias("n_buckets"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit("flat"))
+         .when(num > 0, F.lit("up"))
+         .when(num < 0, F.lit("down"))
+         .otherwise(F.lit("flat")).alias("direction"),
+    )

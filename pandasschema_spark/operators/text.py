@@ -613,3 +613,79 @@ def vocab_novelty(
                      .cast("decimal(38,0)") * 1_000_000
                      / F.count(F.lit(1)).cast("decimal(38,0)"))
                   .cast("long").alias("novelty_ppm")))
+
+
+def boilerplate_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_doc_freq: int = 10,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Line-level boilerplate profile: per document, how many of its
+    distinct non-empty lines are BOILERPLATE — lines whose normalized
+    form appears in at least ``min_doc_freq`` distinct documents
+    (cookie banners, nav menus, "subscribe" footers, license headers).
+    The CCNet-style paragraph-frequency filter LLM corpus pipelines
+    run before training: document-level dedup (exact_duplicate_ids,
+    LSH) can't see it, because every DOCUMENT is unique while half of
+    each document is the same template. Reference scope: this extends
+    the reference's whole-cell checks (validation.py:149-419 operate
+    per value) to intra-value structure.
+
+    Line identity = md5 of the normalized line (lowercase, whitespace
+    collapsed, trimmed — the exact_duplicate_ids convention, applied
+    per line after splitting on newline). Empty lines carry no
+    content and are dropped. A line repeated within one document
+    counts that document ONCE toward doc-frequency.
+
+    Output: (id, n_lines, n_boiler, boiler_ppm) — distinct normalized
+    lines, how many are boilerplate, and the floor-division ppm share.
+    Only documents with at least one non-empty line appear.
+
+    Scale shape at 10^12 docs: corpus bytes never shuffle — lines
+    explode and collapse to 32-hex digests inside the scan task; what
+    shuffles is the distinct (id, digest) pair frame and the
+    map-side-combined per-digest doc counts. The boilerplate
+    dictionary is bounded by total_lines / min_doc_freq and joins
+    back broadcast by default; pass ``broadcast_dict=False`` when the
+    frequent-line dictionary itself is too large to ship (low
+    thresholds over huge corpora) and the join falls back to a
+    digest-keyed shuffle join.
+    """
+    if min_doc_freq < 2:
+        raise ValueError("min_doc_freq must be >= 2")
+    line = F.explode(F.split(F.col(text_col), "\n")).alias("__line__")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("__line__")), r"\s+", " "))
+    pairs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), line)
+        .select("id", norm.alias("__n__"))
+        .where(F.col("__n__") != "")
+        .select("id", F.md5(F.encode(F.col("__n__"), "UTF-8")).alias("__d__"))
+        .groupBy("id", "__d__")
+        .agg(F.count(F.lit(1)).alias("__dummy__"))
+        .select("id", "__d__")
+    )
+    hot = (
+        pairs.groupBy("__d__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .where(F.col("__df__") >= min_doc_freq)
+        .select("__d__", F.lit(1).alias("__hot__"))
+    )
+    if broadcast_dict:
+        hot = F.broadcast(hot)
+    flagged = pairs.join(hot, "__d__", "left")
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("__hot__"), F.lit(0))).cast("long").alias("n_boiler"),
+            F.floor(
+                F.sum(F.coalesce(F.col("__hot__"), F.lit(0))).cast("decimal(38,0)")
+                * 1_000_000
+                / F.count(F.lit(1)).cast("decimal(38,0)")
+            ).cast("long").alias("boiler_ppm"),
+        )
+    )
