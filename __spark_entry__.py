@@ -3115,6 +3115,34 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-representative selection (operators/dedup.py
+    canonical_representatives, §2.5): per duplicate cluster, keep the
+    BEST copy (longest raw text, largest-id tiebreak), not whichever
+    crawled first — the curation policy training-set dedup actually
+    wants. The plant copies every third doc into the +1e9 id space
+    with two trailing spaces: same normalized content (same cluster),
+    longer RAW length — the canonical row must be the padded copy.
+    Clusters close over exact_duplicate_ids star edges
+    (connected components); the oracle derives clusters directly from
+    the content digest (equal by construction for exact dedup) and
+    replays the (n_chars desc, id desc) argmax. Natural duplicate
+    texts cluster too — derived from data in both engines."""
+    from pandasschema_spark.operators.dedup import (
+        canonical_representatives, exact_duplicate_ids)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"))
+    corpus = (docs.unionByName(copies)
+              .withColumn("n_chars", F.length("text")))
+    pairs = exact_duplicate_ids(corpus, "text", "doc_id")
+    return canonical_representatives(corpus, "doc_id", pairs,
+                                     ["n_chars"], id_a="id",
+                                     id_b="keep_id")
+
+
 def q_text_boilerplate(spark, sf_dir):
     """Line-level boilerplate profile (operators/text.py
     boilerplate_scan, §2.5): per document, how many of its distinct
@@ -3282,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
         "dedup_containment": q_dedup_containment,
         "dedup_source_matrix": q_dedup_source_matrix,
@@ -4456,6 +4485,28 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # clusters == content-digest groups for exact dedup; the argmax
+        # (n_chars desc, id desc) and min-id cluster labels replayed
+        "dedup_canonical": """
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, text || '  ' FROM documents
+    WHERE doc_id % 3 = 0),
+n AS (SELECT id, length(text) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+      FROM corpus),
+r AS (SELECT id, n_chars,
+             min(id) OVER (PARTITION BY d) AS cluster_id,
+             count(*) OVER (PARTITION BY d) AS n_members,
+             row_number() OVER (PARTITION BY d
+                                ORDER BY n_chars DESC, id DESC) AS rn
+      FROM n)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, id AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
 """,
         # identical page construction (header on even ids, %30 footer,
         # body, unique line), line normalization, md5 identity, and

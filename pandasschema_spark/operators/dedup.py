@@ -857,3 +857,74 @@ def source_dup_matrix(
         )
     )
     return _attach_cached(out, [pairs])
+
+
+def canonical_representatives(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    order_cols: typing.Sequence[str],
+    *,
+    payload_cols: typing.Sequence[str] = (),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """One BEST row per duplicate cluster: close ``pairs`` into
+    connected components, label every row of ``df`` with its cluster
+    (rows in no pair are their own singleton cluster), and pick per
+    cluster the row with the lexicographically greatest ``order_cols``
+    tuple — quality score, recency, resolution, whatever "best" means
+    to the corpus. Training-set dedup wants THIS, not keep-first: when
+    a document survives deduplication, keep the longest / cleanest /
+    highest-resolution copy, not whichever crawled first
+    (exact_duplicate_ids / duplicate_clusters implement the reference's
+    keep='first' policy, validation.py:351-364; this is the curation
+    policy layered on the same cluster structure).
+
+    Output: (cluster_id, id, *order_cols, *payload_cols, n_members).
+    ``cluster_id`` is the component's minimum id (the
+    connected_components convention), n_members the cluster size.
+
+    Determinism contract: the id rides the comparison struct right
+    after ``order_cols`` (before any payload), so order-tuple ties
+    resolve to the LARGEST id and payload fields never decide a winner
+    (keep_latest's lexicographic-struct rule, tiebreak built in).
+    Order columns should be non-null.
+
+    Scale shape at 10^12 docs: the cluster map is O(rows-in-pairs) —
+    the star rounds cut lineage eagerly (connected_components) — and
+    joins back to ``df`` on the id; the argmax is keep_latest's
+    map-side-combined ``max(struct(...))`` hash agg fused with the
+    ``count(*)`` in ONE exchange: no window ever sorts a hot cluster
+    through one task, and payload bytes ride the shuffle exactly once
+    (one candidate row per mapper per cluster).
+    """
+    from .graph import connected_components
+
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    labeled = (
+        df.join(cc.withColumnRenamed("id", "__cc_id__"),
+                F.col(id_col) == F.col("__cc_id__"), "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("__cc_id__")
+    )
+    extras = [c for c in payload_cols
+              if c not in order_cols and c != id_col]
+    packed = F.max(F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(id_col).alias("__id__"),
+        *[F.col(c) for c in extras]))
+    agg = labeled.groupBy("cluster_id").agg(
+        packed.alias("__top__"),
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    return agg.select(
+        "cluster_id",
+        F.col("__top__.__id__").alias(id_col),
+        *[F.col("__top__." + c).alias(c) for c in order_cols + extras],
+        "n_members")
