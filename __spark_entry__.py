@@ -3115,6 +3115,70 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_stats_concentration(spark, sf_dir):
+    """Distribution-concentration audit (operators/colstats.py
+    concentration_profile, §2.5): integer-exact Simpson index + top
+    value share per column — the collapsed-column detector (an enum
+    degenerating to a constant keeps nulls at 0 and cardinality > 1
+    while concentration races to 1e6). Columns: events.event_type
+    (5-ish values, high concentration) and user_id-as-discrete (near
+    key-like, low). The plant collapses event_type to 'view' on
+    event_id % 5 != 4 in-query, pushing its simpson_ppm toward 1e6 —
+    both engines derive the exact rationals from the same corpus."""
+    from pandasschema_spark.operators.colstats import concentration_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 != 4, F.lit("view"))
+         .otherwise(F.col("event_type")).alias("event_type"),
+        "user_id")
+    return concentration_profile(ev, ["event_type", "user_id"])
+
+
+def q_pipeline_corpus_curation(spark, sf_dir):
+    """Corpus-curation pipeline as ONE gated frame (the round-5
+    operators composed end-to-end, the LLM-training-data user story):
+    multi-line pages (the text_boilerplate construction) -> drop
+    documents whose boilerplate share exceeds 50% -> exact-dedup the
+    SURVIVORS and keep the canonical best copy (longest raw text,
+    largest-id tiebreak) -> per-language survivor counts. A semantic
+    drift in boilerplate_scan, the threshold filter,
+    exact_duplicate_ids, canonical_representatives OR their
+    composition moves a number. Pages plant a header on even ids
+    (those docs read 2-of-3 boilerplate lines > 50% and drop), and a
+    %3 padded re-crawl copy that must collapse to its longest variant
+    among the odd-id survivors."""
+    from pandasschema_spark.operators.dedup import (
+        canonical_representatives, exact_duplicate_ids)
+    from pandasschema_spark.operators.text import boilerplate_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    page = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("Subscribe to our newsletter!\nFollow us on social!\n"))
+         .otherwise(F.lit("")),
+        F.col("text"))
+    base = docs.select("doc_id", page.alias("text"), "lang")
+    copies = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"), "lang")
+    corpus = base.unionByName(copies)
+    bp = boilerplate_scan(corpus, "text", "doc_id", min_doc_freq=10)
+    kept_ids = bp.where(F.col("boiler_ppm") <= 500_000).select(
+        F.col("id").alias("doc_id"))
+    kept = corpus.join(kept_ids, "doc_id").withColumn(
+        "n_chars", F.length("text"))
+    pairs = exact_duplicate_ids(kept, "text", "doc_id")
+    reps = canonical_representatives(kept.select("doc_id", "text", "n_chars",
+                                                 "lang"),
+                                     "doc_id", pairs, ["n_chars"],
+                                     payload_cols=["lang"],
+                                     id_a="id", id_b="keep_id")
+    return (reps.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_members").cast("long").alias("n_members"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_dedup_canonical(spark, sf_dir):
     """Canonical-representative selection (operators/dedup.py
     canonical_representatives, §2.5): per duplicate cluster, keep the
@@ -3310,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stats_concentration": q_stats_concentration,
+        "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
         "dedup_containment": q_dedup_containment,
@@ -4485,6 +4551,72 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # identical %5 collapse plant, string-cast melt, HUGEINT pair
+        # counts, floor-div ppm — the exact Simpson rationals replayed
+        "stats_concentration": """
+WITH ev AS (
+    SELECT CASE WHEN event_id % 5 != 4 THEN 'view' ELSE event_type END
+               AS event_type,
+           user_id
+    FROM events),
+m AS (
+    SELECT 'event_type' AS col, event_type AS v FROM ev
+    WHERE event_type IS NOT NULL
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR) FROM ev
+    WHERE user_id IS NOT NULL),
+per AS (SELECT col, v, count(*) AS c FROM m GROUP BY 1, 2)
+SELECT col AS "column",
+       CAST(sum(c) AS BIGINT) AS n_nonnull,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CASE WHEN sum(c) > 1
+            THEN CAST(sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+                      // (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS BIGINT)
+            ELSE NULL END AS simpson_ppm,
+       CAST(max(c) AS BIGINT) AS c_max,
+       CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
+           AS top_share_ppm
+FROM per GROUP BY 1
+""",
+        # the full curation derivation: page construction, line
+        # normalization, doc-frequency >= 10 boilerplate, the 50% drop
+        # rule, content-digest clusters over the survivors, the
+        # (n_chars desc, id desc) canonical argmax, per-lang rollup
+        "pipeline_corpus_curation": """
+WITH base AS (
+    SELECT doc_id AS id,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN 'Subscribe to our newsletter!' || chr(10)
+                      || 'Follow us on social!' || chr(10)
+                 ELSE '' END) || text AS text,
+           lang
+    FROM documents),
+corpus AS (
+    SELECT id, text, lang FROM base
+    UNION ALL
+    SELECT id + 1000000000, text || '  ', lang FROM base WHERE id % 3 = 0),
+ln AS (SELECT id, trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) AS nl
+       FROM corpus, unnest(string_split(text, chr(10))) AS u(l)),
+pr AS (SELECT DISTINCT id, md5(nl) AS d FROM ln WHERE nl <> ''),
+hot AS (SELECT d FROM (SELECT d, count(*) AS df FROM pr GROUP BY 1)
+        WHERE df >= 10),
+bp AS (SELECT id, count(*) AS n_lines,
+              sum(CASE WHEN d IN (SELECT d FROM hot) THEN 1 ELSE 0 END) AS nb
+       FROM pr GROUP BY 1),
+keep AS (SELECT id FROM bp WHERE nb * 1000000 // n_lines <= 500000),
+k AS (SELECT c.id, c.lang, length(c.text) AS n_chars,
+             md5(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))) AS cd
+      FROM corpus c JOIN keep USING (id)),
+r AS (SELECT id, lang, n_chars,
+             row_number() OVER (PARTITION BY cd
+                                ORDER BY n_chars DESC, id DESC) AS rn,
+             count(*) OVER (PARTITION BY cd) AS nm
+      FROM k)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nm) AS BIGINT) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM r WHERE rn = 1 GROUP BY 1
 """,
         # clusters == content-digest groups for exact dedup; the argmax
         # (n_chars desc, id desc) and min-id cluster labels replayed

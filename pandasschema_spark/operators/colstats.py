@@ -675,3 +675,62 @@ def group_quantiles(
     return (cum.join(F.broadcast(qdf),
                      (F.col("cum") >= rank) & ((F.col("cum") - F.col("c")) < rank))
             .select("grp", "q_pm", rank.alias("rank"), "n", "value"))
+
+
+def concentration_profile(
+    df: DataFrame,
+    columns: typing.Sequence[str],
+) -> DataFrame:
+    """Integer-exact distribution-concentration audit, one row per
+    column: Simpson's index (the probability two random non-null rows
+    share a value) plus the heaviest value's share. The
+    collapsed-column detector per-column null counts miss — an
+    upstream join that starts fanning one default value, a feature
+    flag stuck on one arm, an enum column quietly degenerating to a
+    constant all keep nulls at 0 and cardinality > 1 while
+    concentration races toward 1; symmetric, a key-like column reads
+    ~0. Entropy is the textbook measure but log() is irrational —
+    Simpson is the SAME monotone story in exact integer arithmetic
+    (the repo's rational-statistics rule).
+
+    Output per column: (column, n_nonnull, n_distinct,
+    simpson_ppm = floor(1e6 * Σc(c−1) / (n(n−1))), c_max,
+    top_share_ppm = floor(1e6 * c_max / n)); simpson_ppm is NULL when
+    n < 2. NULLs are excluded from concentration (they are
+    missingness_profile's story); ppm outputs are bounded <= 1e6 so
+    int64-safe at any scale (the Σc(c−1) intermediate runs in
+    decimal(38): one 10^12-count value is ~10^24, past int64 but far
+    inside decimal headroom).
+
+    Values melt through a string cast so heterogeneous columns share
+    one frame — pass DISCRETE columns (strings, ints, dates); a raw
+    double column renders engine-specifically, so quantize floats
+    first (the exact_quantiles rule).
+
+    Scale shape at 10^12 rows: one codegen melt projection (array of
+    (col, value) structs -> explode, the missingness/hotspots trade:
+    k-fold row multiplication BEFORE a map-side-combined hash agg, so
+    the exchange carries O(Σ per-column distinct) counter rows, never
+    occurrences) -> a second tiny agg to O(columns) rows.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    structs = [F.struct(F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"))
+               for c in columns]
+    melted = (df.select(F.explode(F.array(*structs)).alias("m"))
+                .select(F.col("m.col").alias("col"), F.col("m.v").alias("v"))
+                .where(F.col("v").isNotNull()))
+    per = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    dc = F.col("c").cast("decimal(38,0)")
+    n = F.sum("c").cast("decimal(38,0)")
+    return (per.groupBy(F.col("col").alias("column"))
+            .agg(F.sum("c").cast("long").alias("n_nonnull"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                 F.when(n > 1,
+                        F.floor(F.sum(dc * (dc - 1)) * 1_000_000
+                                / (n * (n - 1))).cast("long"))
+                  .otherwise(F.lit(None).cast("long")).alias("simpson_ppm"),
+                 F.max("c").cast("long").alias("c_max"),
+                 F.floor(F.max("c").cast("decimal(38,0)") * 1_000_000 / n)
+                  .cast("long").alias("top_share_ppm")))
