@@ -197,6 +197,45 @@ def main() -> None:
         "both join sides and the hot count — not four corpus re-scans).",
         plan_of(blocked_pairs(ent, "name", "id", max_block=100))))
 
+    from pandasschema_spark.operators.colstats import concentration_profile
+    from pandasschema_spark.operators.dedup import canonical_representatives
+    from pandasschema_spark.operators.profile import timeline_trend
+    from pandasschema_spark.operators.text import boilerplate_scan
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    sections.append((
+        "Line-boilerplate profile (digest shuffle, broadcast dictionary)",
+        "Claims: lines explode and collapse to md5 digests INSIDE the scan "
+        "task (corpus bytes never shuffle); the doc-frequency agg is "
+        "`partial_count` map-side combined; the >= threshold dictionary "
+        "joins back via `BroadcastHashJoin` — no Window, no sort.",
+        plan_of(boilerplate_scan(docs, "text", "doc_id", min_doc_freq=10))))
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    sections.append((
+        "Canonical representative per duplicate cluster (window-free argmax)",
+        "Claims: `partial_max` of the packed (order, id, payload) struct "
+        "FUSED with `count` in one `HashAggregate` — no Window ever sorts "
+        "a hot cluster through one task; the cluster map joins in once.",
+        plan_of(canonical_representatives(
+            docs.select("doc_id", F.length("text").alias("n_chars"), "lang"),
+            "doc_id", pairs, ["n_chars"], payload_cols=["lang"]))))
+
+    sections.append((
+        "Per-cohort OLS volume trend (two aggs, no window)",
+        "Claims: ONE data-sized `Exchange` for the (group, bucket) count "
+        "agg; the decimal moment sums reduce the aggregated frame to "
+        "O(groups) in a second tiny agg; no Window, no collect.",
+        plan_of(timeline_trend(ev, "ts", group_col="event_type"))))
+
+    sections.append((
+        "Concentration profile (melt -> counter shuffle, never occurrences)",
+        "Claims: the (col, value) melt explodes BEFORE a map-side-combined "
+        "`HashAggregate` (`partial_count`), so the exchange carries "
+        "O(sum distinct) counter rows; second agg is O(columns); no "
+        "CodegenFallback in the melt projection.",
+        plan_of(concentration_profile(ev, ["event_type", "user_id"]))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
