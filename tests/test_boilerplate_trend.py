@@ -204,3 +204,28 @@ def test_trend_plan_two_aggs_one_data_exchange(spark):
     # exchange for the moment agg; nothing else moves
     assert plan.count("Exchange") <= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_boilerplate_plan_broadcast_dict_no_window(spark):
+    df = spark.createDataFrame([(0, "a\nb")], "id long, text string")
+    plan = boilerplate_scan(df, "text", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the hot-line dictionary
+    shuffle_plan = boilerplate_scan(df, "text", "id",
+                                    broadcast_dict=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the huge-dictionary fallback must NOT broadcast
+    assert "BroadcastHashJoin" not in shuffle_plan.replace(
+        "BroadcastHashJoinExec", ""), shuffle_plan
+
+
+def test_containment_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    res = containment_pairs(df, "text", "id")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    release_cached(res)
+    # the similarity self-join is an EQUI-join on the gram key
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
