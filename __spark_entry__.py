@@ -3115,6 +3115,31 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_window(spark, sf_dir):
+    """Time-scoped dedup (operators/dedup.py windowed_duplicate_ids,
+    §2.5): a re-crawl within the freshness window is a duplicate, the
+    same content re-crawled after expiry is a fresh snapshot. Corpus:
+    ids spaced x1000; every third doc re-crawls at +7 (inside window
+    50 — must flag with gap 7 against its NEAREST previous copy) and
+    again at +500 (gap 493 vs the +7 copy — expired, must NOT flag,
+    and must NOT launder against the +0 original either). Natural
+    duplicate texts sit >= 1000 apart, outside any window — but the
+    oracle derives from the data, never assumes it. Runs uncapped
+    because the oracle is uncapped (the dedup_jaccard/None rule)."""
+    from pandasschema_spark.operators.dedup import windowed_duplicate_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select((F.col("doc_id") * 1000).alias("doc_id"), "text")
+    thirds = docs.where(F.col("doc_id") % 3 == 0)
+    fresh = thirds.select((F.col("doc_id") * 1000 + 7).alias("doc_id"),
+                          "text")
+    stale = thirds.select((F.col("doc_id") * 1000 + 500).alias("doc_id"),
+                          "text")
+    corpus = base.unionByName(fresh).unionByName(stale)
+    return windowed_duplicate_ids(corpus, "text", "doc_id", window=50,
+                                  max_content_df=None)
+
+
 def q_stats_concentration(spark, sf_dir):
     """Distribution-concentration audit (operators/colstats.py
     concentration_profile, §2.5): integer-exact Simpson index + top
@@ -3374,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_window": q_dedup_window,
         "stats_concentration": q_stats_concentration,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
@@ -4551,6 +4577,23 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # identical spaced corpus, nearest-previous lag over the content
+        # digest, the <= 50 freshness rule
+        "dedup_window": """
+WITH corpus AS (
+    SELECT doc_id * 1000 AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id * 1000 + 7, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id * 1000 + 500, text FROM documents WHERE doc_id % 3 = 0),
+n AS (SELECT id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS d
+      FROM corpus WHERE text IS NOT NULL),
+l AS (SELECT id, lag(id) OVER (PARTITION BY d ORDER BY id) AS prev_id
+      FROM n)
+SELECT id, prev_id, id - prev_id AS gap
+FROM l WHERE prev_id IS NOT NULL AND id - prev_id <= 50
 """,
         # identical %5 collapse plant, string-cast melt, HUGEINT pair
         # counts, floor-div ppm — the exact Simpson rationals replayed

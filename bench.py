@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     # round-5 additions
     "reconcile_orders",
     "drift_chi2_by",
+    "text_boilerplate",
+    "dedup_canonical",
 ]
 
 

@@ -928,3 +928,55 @@ def canonical_representatives(
         F.col("__top__.__id__").alias(id_col),
         *[F.col("__top__." + c).alias(c) for c in order_cols + extras],
         "n_members")
+
+
+def windowed_duplicate_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int,
+    max_content_df: typing.Optional[int] = 100_000,
+) -> DataFrame:
+    """(id, prev_id, gap) for rows whose normalized content was last
+    seen at most ``window`` id-units earlier — TIME-SCOPED dedup: a
+    page re-crawled the same week is a duplicate to drop, the same
+    page re-crawled six months later is a legitimately fresh snapshot
+    (news sites, wikis, dashboards — content recurrence is only
+    duplication within a freshness horizon). exact_duplicate_ids
+    implements the reference's global keep-first policy
+    (validation.py:351-364); this is the retention-policy variant
+    layered on the same md5 content identity, flagging against the
+    NEAREST previous occurrence (not the first: A at t0, B at t0+W-1,
+    C at t0+W+1 flags B against A and C against B — a chain of stale
+    re-crawls never launders itself by pointing at an expired
+    original).
+
+    Scale shape at 10^12 docs: rows collapse to (id, digest) inside
+    the scan; ONE hash(digest) exchange feeds the lag window (each
+    content's occurrence list sorts within its partition — bounded by
+    ``max_content_df``, the standard groupBy-count + broadcast
+    anti-join hot-key cap, default 100k: a content recurring more
+    often is boilerplate, not a re-crawl; ``None`` = exact). Output is
+    O(flagged rows); corpus bytes never shuffle.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
+    base = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"), digest.alias("__fp__")))
+    if max_content_df is not None:
+        hot = (base.groupBy("__fp__")
+               .agg(F.count(F.lit(1)).alias("__c__"))
+               .where(F.col("__c__") > max_content_df)
+               .select("__fp__"))
+        base = base.join(F.broadcast(hot), "__fp__", "left_anti")
+    w = Window.partitionBy("__fp__").orderBy("id")
+    return (base
+            .withColumn("prev_id", F.lag("id").over(w))
+            .where(F.col("prev_id").isNotNull()
+                   & ((F.col("id") - F.col("prev_id")) <= window))
+            .select("id", "prev_id",
+                    (F.col("id") - F.col("prev_id")).alias("gap")))
