@@ -3358,9 +3358,13 @@ def _attestation_order(names: list) -> list:
     CORRECTNESS_r*.json artifacts: a query's key is the last round in
     which the driver attested it fully green (rows+schema+hash, no err);
     never-green queries (new this round, or red last round) sort to 0 and
-    land at the head. Missing/unreadable artifacts degrade gracefully to
-    insertion order via the name tiebreaker — the driver may run from a
-    pruned checkout.
+    land at the head. Within the never-green tier, queries the driver
+    ATTEMPTED and failed outrank never-attempted ones — a red row is a
+    regression to clear before a new operator's first attestation (the
+    r4 lesson: three hash-red queries must re-attest the round after
+    their oracle fix, not queue behind alphabetically-earlier newcomers).
+    Missing/unreadable artifacts degrade gracefully to insertion order
+    via the name tiebreaker — the driver may run from a pruned checkout.
     """
     import glob
     import json
@@ -3368,6 +3372,7 @@ def _attestation_order(names: list) -> list:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_green = {n: 0 for n in names}
+    attempted = set()
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"r0*(\d+)", os.path.basename(p))
         if not m:
@@ -3379,16 +3384,20 @@ def _attestation_order(names: list) -> list:
         except Exception:
             continue
         for k, v in data.items():
+            if k not in last_green or not isinstance(v, dict):
+                continue
+            attempted.add(k)
             if (
-                k in last_green
-                and isinstance(v, dict)
-                and v.get("rows_match")
+                v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match", True)
                 and not v.get("err")
             ):
                 last_green[k] = max(last_green[k], rnd)
-    return sorted(names, key=lambda n: (last_green[n], n))
+    return sorted(names, key=lambda n: (
+        last_green[n],
+        0 if (last_green[n] == 0 and n in attempted) else 1,
+        n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,34 +19,45 @@ def test_every_query_has_an_oracle():
 
 def _last_green_from_artifacts(names):
     """Independent re-implementation of the front-load rule: last round a
-    query was driver-attested fully green (rows+schema+hash, no err)."""
+    query was driver-attested fully green (rows+schema+hash, no err),
+    plus the set of queries the driver ever attempted at all."""
     import glob
     import json
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last = {n: 0 for n in names}
+    attempted = set()
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(p)).group(1))
         for k, v in json.load(open(p)).items():
-            if (k in last and v.get("rows_match") and v.get("schema_match")
+            if k not in last:
+                continue
+            attempted.add(k)
+            if (v.get("rows_match") and v.get("schema_match")
                     and v.get("hash_match", True) and not v.get("err")):
                 last[k] = max(last[k], rnd)
-    return last
+    return last, attempted
 
 
 def test_registry_orders_least_recently_attested_first():
     """The driver samples 50 of the registered queries and insertion
     order is the only lever; registry order must be exactly
-    (last-green-round asc, name asc) so never-attested and red-last-round
-    queries land in the sample and long-green cohorts rotate back in as
-    the registry grows past 50."""
+    (last-green-round asc, attempted-red-before-never-attempted,
+    name asc) so red rows re-attest the round after their fix, new
+    queries follow, and long-green cohorts rotate back in as the
+    registry grows past 50."""
     names = list(E.queries().keys())
-    last = _last_green_from_artifacts(names)
-    assert names == sorted(names, key=lambda n: (last[n], n))
-    # never-green queries (new or red last round) must lead the file
+    last, attempted = _last_green_from_artifacts(names)
+    key = lambda n: (last[n],
+                     0 if (last[n] == 0 and n in attempted) else 1, n)
+    assert names == sorted(names, key=key)
+    # never-green queries (new or red last round) must lead the file,
+    # with the driver-attempted-and-red ones at the very front
     never = [n for n in names if last[n] == 0]
-    assert names[: len(never)] == sorted(never)
+    assert set(names[: len(never)]) == set(never)
+    red = sorted(n for n in never if n in attempted)
+    assert names[: len(red)] == red
 
 
 def test_oracles_are_nonempty_sql():
