@@ -3198,10 +3198,14 @@ def q_pipeline_corpus_curation(spark, sf_dir):
                                      "doc_id", pairs, ["n_chars"],
                                      payload_cols=["lang"],
                                      id_a="id", id_b="keep_id")
-    return (reps.groupBy("lang")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum("n_members").cast("long").alias("n_members"),
-                 F.sum("n_chars").cast("long").alias("sum_chars")))
+    out = (reps.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_members").cast("long").alias("n_members"),
+                F.sum("n_chars").cast("long").alias("sum_chars")))
+    # re-attach the sub-operator persist handle to the composed frame
+    # (the pipeline_timeline_health convention): one released() frees all
+    out._psf_cached = list(getattr(bp, "_psf_cached", []) or [])
+    return out
 
 
 def q_dedup_canonical(spark, sf_dir):

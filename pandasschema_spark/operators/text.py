@@ -652,7 +652,12 @@ def boilerplate_scan(
     back broadcast by default; pass ``broadcast_dict=False`` when the
     frequent-line dictionary itself is too large to ship (low
     thresholds over huge corpora) and the join falls back to a
-    digest-keyed shuffle join.
+    digest-keyed shuffle join. The distinct (doc, digest) frame feeds
+    BOTH the frequency agg and the join-back, so it persists with the
+    release-handle convention (``operators.dedup.release_cached(out)``
+    / ``with released(out):`` when done) — without it the
+    split+normalize+md5 pipeline scans the corpus twice (measured in
+    PLANS.md before this persist).
     """
     if min_doc_freq < 2:
         raise ValueError("min_doc_freq must be >= 2")
@@ -668,6 +673,8 @@ def boilerplate_scan(
         .agg(F.count(F.lit(1)).alias("__dummy__"))
         .select("id", "__d__")
     )
+    from pyspark.storagelevel import StorageLevel
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         pairs.groupBy("__d__")
         .agg(F.count(F.lit(1)).alias("__df__"))
@@ -677,7 +684,7 @@ def boilerplate_scan(
     if broadcast_dict:
         hot = F.broadcast(hot)
     flagged = pairs.join(hot, "__d__", "left")
-    return (
+    out = (
         flagged.groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -689,3 +696,7 @@ def boilerplate_scan(
             ).cast("long").alias("boiler_ppm"),
         )
     )
+    # release-handle convention (dedup._attach_cached inlined: importing
+    # dedup here would be circular — dedup imports normalized_text_expr)
+    out._psf_cached = [pairs]
+    return out

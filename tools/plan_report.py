@@ -206,7 +206,9 @@ def main() -> None:
     sections.append((
         "Line-boilerplate profile (digest shuffle, broadcast dictionary)",
         "Claims: lines explode and collapse to md5 digests INSIDE the scan "
-        "task (corpus bytes never shuffle); the doc-frequency agg is "
+        "task (corpus bytes never shuffle); the distinct (doc, digest) "
+        "frame persists and BOTH consumers read `InMemoryTableScan` (the "
+        "corpus is scanned once, not per-branch); the doc-frequency agg is "
         "`partial_count` map-side combined; the >= threshold dictionary "
         "joins back via `BroadcastHashJoin` — no Window, no sort.",
         plan_of(boilerplate_scan(docs, "text", "doc_id", min_doc_freq=10))))
