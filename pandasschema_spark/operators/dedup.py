@@ -822,6 +822,11 @@ def source_dup_matrix(
         .agg(F.count(F.lit(1)).alias("__dummy__"))
         .select("__d__", "__s__")
     )
+    # persist BEFORE the cap derivation: the hot-content count, the
+    # anti-join, the size agg and both self-join sides all read the one
+    # cached distinct frame — otherwise the corpus-scanning distinct agg
+    # re-runs per consumer
+    cached = pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     if max_sources_per_content is not None:
         hot = (
             pairs.groupBy("__d__")
@@ -830,7 +835,6 @@ def source_dup_matrix(
             .select("__d__")
         )
         pairs = pairs.join(F.broadcast(hot), "__d__", "left_anti")
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = pairs.groupBy("__s__").agg(F.count(F.lit(1)).alias("n_contents"))
     a = pairs.select("__d__", F.col("__s__").alias("source_a"))
     b = pairs.select("__d__", F.col("__s__").alias("source_b"))
@@ -856,7 +860,7 @@ def source_dup_matrix(
              .cast("long").alias("share_ppm"),
         )
     )
-    return _attach_cached(out, [pairs])
+    return _attach_cached(out, [cached])
 
 
 def canonical_representatives(
