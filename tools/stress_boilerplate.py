@@ -37,13 +37,13 @@ def main() -> None:
     from pandasschema_spark.operators.text import boilerplate_scan
 
     # ~6 lines/doc: two corpus-wide templates (always boilerplate), a
-    # %1009-keyed semi-template (df ~ n/1009 — boilerplate at 1M, the
-    # dictionary stays ~1009 entries), three doc-unique body lines.
+    # %997-keyed semi-template (df ~ 1003 at 1M — just over the 1000
+    # threshold; the dictionary stays ~997 entries), three unique lines.
     i = F.col("id")
     text = F.concat(
         F.lit("subscribe to our newsletter\n"),
         F.lit("all rights reserved worldwide\n"),
-        F.lit("campaign "), (i % 1009).cast("string"), F.lit("\n"),
+        F.lit("campaign "), (i % 997).cast("string"), F.lit("\n"),
         F.lit("body alpha "), i.cast("string"), F.lit("\n"),
         F.lit("body beta "), (i * 31).cast("string"), F.lit("\n"),
         F.lit("body gamma "), (i * 17 + 5).cast("string"))
