@@ -3115,6 +3115,20 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_gram_overlap(spark, sf_dir):
+    """Per-doc common-material score (operators/dedup.py
+    gram_overlap_score, §2.5): the share of each document's distinct
+    trigrams appearing in >= 10 docs corpus-wide — the
+    memorization-risk ranking corpus curation uses where pairwise
+    similarity is O(n^2). Plant-free: the synthetic word-salad corpus
+    has a natural common-trigram floor that both engines must derive
+    identically from the data (df counts, the >= 10 rule, floor ppm)."""
+    from pandasschema_spark.operators.dedup import gram_overlap_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gram_overlap_score(docs, "text", "doc_id", n=3, min_gram_df=10)
+
+
 def q_dedup_window(spark, sf_dir):
     """Time-scoped dedup (operators/dedup.py windowed_duplicate_ids,
     §2.5): a re-crawl within the freshness window is a duplicate, the
@@ -3412,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_gram_overlap": q_dedup_gram_overlap,
         "dedup_window": q_dedup_window,
         "stats_concentration": q_stats_concentration,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
@@ -4590,6 +4605,28 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # the shared gram derivation over the plain corpus; document
+        # frequencies, the >= 10 rule and floor ppm all re-derived
+        "dedup_gram_overlap": """
+WITH norm AS (SELECT doc_id AS id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+gramsets AS (
+    SELECT id,
+           list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gs
+    FROM toks),
+grams AS (SELECT id, u.g FROM gramsets, unnest(gs) AS u(g)),
+gdf AS (SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        WHERE df >= 10)
+SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM gdf) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_common,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM gdf) THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS overlap_ppm
+FROM grams GROUP BY 1
 """,
         # identical spaced corpus, nearest-previous lag over the content
         # digest, the <= 50 freshness rule

@@ -984,3 +984,53 @@ def windowed_duplicate_ids(
                    & ((F.col("id") - F.col("prev_id")) <= window))
             .select("id", "prev_id",
                     (F.col("id") - F.col("prev_id")).alias("gap")))
+
+
+def gram_overlap_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_gram_df: int = 10,
+) -> DataFrame:
+    """Per-document common-material score: (id, n_grams, n_common,
+    overlap_ppm) where ``n_common`` counts the doc's distinct word
+    n-grams that appear in at least ``min_gram_df`` documents
+    corpus-wide. The document-granular answer to "how much of this doc
+    is stock phrasing" — the memorization-risk / near-dup-contamination
+    score corpus curation ranks by (a doc that is 95% corpus-common
+    trigrams adds nothing to training even if no single pair-wise match
+    fires), and the n-gram analogue of boilerplate_scan's line rule
+    (E142): lines catch templates, grams catch phrase-level borrowing
+    that never fills a whole line. Pairwise operators
+    (ngram_jaccard_pairs / containment_pairs) answer "which pairs";
+    this is O(docs) output with no self-join at all.
+
+    Scale shape at 10^12 docs: the shared doc_grams projection
+    (codegen shingles) feeds BOTH the gram document-frequency agg and
+    the join-back, so it persists with the release-handle convention
+    (``release_cached(out)`` when done); what shuffles is the exploded
+    (id, gram) frame once for the df agg — with map-side combine — and
+    once for the final per-doc count; no pair explosion anywhere, so
+    no hot-gram cap is needed (a hot gram costs one counter row, not
+    df^2 pairs).
+    """
+    if min_gram_df < 2:
+        raise ValueError("min_gram_df must be >= 2")
+    grams = doc_grams(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    gdf = (grams.groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("__df__"))
+           .where(F.col("__df__") >= min_gram_df)
+           .select("gram", F.lit(1).alias("__hot__")))
+    flagged = grams.join(gdf, "gram", "left")
+    out = (flagged.groupBy("id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hot__"), F.lit(0)))
+                 .cast("long").alias("n_common"),
+                F.floor(F.sum(F.coalesce(F.col("__hot__"), F.lit(0)))
+                        .cast("decimal(38,0)") * 1_000_000
+                        / F.count(F.lit(1)).cast("decimal(38,0)"))
+                 .cast("long").alias("overlap_ppm")))
+    return _attach_cached(out, [grams])
