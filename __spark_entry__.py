@@ -3115,6 +3115,21 @@ def q_rank_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_drift_embedding(spark, sf_dir):
+    """Embedding centroid drift (operators/drift.py
+    embedding_centroid_drift, §2.5): exact integer cosine² between
+    every label-cohort pair's quantized centroid sums — the
+    encoder-swap detector per-dimension scalar drift misses. Plant
+    free: the 10 label cohorts' natural inter-centroid angles are
+    re-derived in DuckDB (constant generate_series(1,64) explosion,
+    identical IEEE floor(x*100) quantization, HUGEINT dot/norm
+    products) and must agree to the ppm."""
+    from pandasschema_spark.operators.drift import embedding_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding", "label")
+    return embedding_centroid_drift(emb, "embedding", "label", quant=100)
+
+
 def q_dedup_gram_overlap(spark, sf_dir):
     """Per-doc common-material score (operators/dedup.py
     gram_overlap_score, §2.5): the share of each document's distinct
@@ -3426,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "drift_embedding": q_drift_embedding,
         "dedup_gram_overlap": q_dedup_gram_overlap,
         "dedup_window": q_dedup_window,
         "stats_concentration": q_stats_concentration,
@@ -4605,6 +4621,28 @@ SELECT CAST(id - id % 100 AS BIGINT) AS bucket_start,
        CAST(sum(dup) AS BIGINT) AS n_dups,
        CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM fl GROUP BY 1
+""",
+        # constant-series dim explosion, IEEE floor(x*100) quantization,
+        # HUGEINT centroid sums / dot / norms, floor-div ppm
+        "drift_embedding": """
+WITH e AS (
+    SELECT label AS c, s.i AS d,
+           CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 100) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS s(i)
+    WHERE embedding IS NOT NULL AND label IS NOT NULL),
+sums AS (SELECT c, d, CAST(sum(q) AS HUGEINT) AS sv, count(*) AS n
+         FROM e GROUP BY 1, 2),
+per AS (SELECT c, max(n) AS n, sum(sv * sv) AS s2 FROM sums GROUP BY 1),
+dots AS (SELECT a.c AS cohort_a, b.c AS cohort_b, sum(a.sv * b.sv) AS dot
+         FROM sums a JOIN sums b ON a.d = b.d AND a.c < b.c GROUP BY 1, 2)
+SELECT cohort_a, cohort_b,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+            AS INT) AS dot_sign,
+       CASE WHEN pa.s2 * pb.s2 > 0
+            THEN CAST(dot * dot * 1000000 // (pa.s2 * pb.s2) AS BIGINT)
+            ELSE NULL END AS cos2_ppm
+FROM dots JOIN per pa ON pa.c = cohort_a JOIN per pb ON pb.c = cohort_b
 """,
         # the shared gram derivation over the plain corpus; document
         # frequencies, the >= 10 rule and floor ppm all re-derived

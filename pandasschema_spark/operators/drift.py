@@ -468,3 +468,82 @@ def ks_onset(
     from .dedup import _attach_cached
 
     return _attach_cached(out, [hist])
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    cohort_col: str,
+    *,
+    quant: int = 100,
+) -> DataFrame:
+    """Embedding-space drift between cohorts: for every cohort pair
+    (a < b), the exact integer cosine² between the cohorts' CENTROID
+    SUM vectors — the "did the embedding model silently change /
+    did one shard come from a different encoder" detector scalar
+    drift tests cannot see (per-dimension KS flags nothing when a
+    rotation moves mass between dimensions; the inter-centroid angle
+    moves immediately). Embeddings from the same encoder and content
+    distribution keep inter-cohort centroid cosine high and stable;
+    a re-encoded or corrupted shard collapses it.
+
+    Components quantize to ``floor(value * quant)`` BEFORE any sum
+    (float→double is exact, double multiply + floor are IEEE-identical
+    in any engine — the repo's quantize-first rule), so the per-dim
+    centroid sums, the dot product and the squared-cosine rational
+    are exact integers: cos2_ppm = floor(1e6 * dot² / (|A|²·|B|²)),
+    dot_sign carries the (lost-by-squaring) orientation. Output per
+    pair: (cohort_a, cohort_b, n_a, n_b, dot_sign, cos2_ppm); NULL
+    vectors/cohorts excluded; cohorts with a zero centroid (|S|² = 0)
+    report cos2_ppm NULL.
+
+    Scale shape at 10^12 vectors: posexplode multiplies rows by the
+    dimension BEFORE a map-side-combined (cohort, dim) sum agg — the
+    exchange carries O(cohorts × dims) counters; the pair join runs
+    over that tiny frame. Exactness envelope: dot² runs in
+    decimal(38), so per-cohort row counts past ~4·10^6 (at quant=100,
+    unit-normalized inputs, 64 dims) should deterministically sample
+    cohorts first (operators/sampling.py) or lower ``quant`` — the
+    angle estimate does not sharpen with more rows anyway.
+    """
+    if quant < 1:
+        raise ValueError("quant must be >= 1")
+    q = F.floor(F.col("__v__").cast("double") * quant).cast("long")
+    base = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(cohort_col).isNotNull())
+              .select(F.col(cohort_col).alias("__c__"),
+                      F.posexplode(vec_col).alias("__d__", "__v__"))
+              .select("__c__", "__d__", q.alias("__q__")))
+    sums = (base.groupBy("__c__", "__d__")
+                .agg(F.sum("__q__").alias("__s__"),
+                     F.count(F.lit(1)).alias("__n__")))
+    per = (sums.groupBy("__c__")
+               .agg(F.max("__n__").alias("n"),
+                    F.sum(F.col("__s__").cast("decimal(38,0)")
+                          * F.col("__s__")).alias("s2")))
+    a = sums.select(F.col("__c__").alias("cohort_a"), "__d__",
+                    F.col("__s__").alias("__sa__"))
+    b = sums.select(F.col("__c__").alias("cohort_b"), "__d__",
+                    F.col("__s__").alias("__sb__"))
+    dots = (a.join(b, "__d__")
+             .where(F.col("cohort_a") < F.col("cohort_b"))
+             .groupBy("cohort_a", "cohort_b")
+             .agg(F.sum(F.col("__sa__").cast("decimal(38,0)")
+                        * F.col("__sb__")).alias("__dot__")))
+    na = per.select(F.col("__c__").alias("cohort_a"),
+                    F.col("n").alias("n_a"), F.col("s2").alias("__a2__"))
+    nb = per.select(F.col("__c__").alias("cohort_b"),
+                    F.col("n").alias("n_b"), F.col("s2").alias("__b2__"))
+    den = F.col("__a2__") * F.col("__b2__")
+    return (dots.join(F.broadcast(na), "cohort_a")
+                .join(F.broadcast(nb), "cohort_b")
+                .select("cohort_a", "cohort_b",
+                        F.col("n_a").cast("long").alias("n_a"),
+                        F.col("n_b").cast("long").alias("n_b"),
+                        F.signum(F.col("__dot__")).cast("int")
+                         .alias("dot_sign"),
+                        F.when(den > 0,
+                               F.floor(F.col("__dot__") * F.col("__dot__")
+                                       * 1_000_000 / den).cast("long"))
+                         .otherwise(F.lit(None).cast("long"))
+                         .alias("cos2_ppm")))
