@@ -764,6 +764,27 @@ def q_text_chunks(spark, sf_dir):
     return text_chunks(df, "text", "doc_id", size=200, stride=150)
 
 
+def q_text_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk token bookkeeping (operators/text.py
+    sequence_pack, §2.5): each document's start offset in the global
+    whitespace-token stream plus its context-window span at L=512 —
+    the "which pretraining sequences does doc X land in" map. Planted
+    empty docs at doc_id % 23 == 7 exercise the zero-token NULL-span
+    rule; bucket_size=4096 forces the distributed prefix sum across
+    ~15 bucket boundaries at sf0.01 (~150 at sf0.1) while the oracle
+    runs ONE global cumsum — integer associativity says they must
+    agree exactly, which is precisely what the gate attests."""
+    from pandasschema_spark.operators.text import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 7, F.lit(""))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return sequence_pack(docs, "text", "doc_id",
+                         context_len=512, bucket_size=4096)
+
+
 def q_val_trailing_ws(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -3484,6 +3505,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_timeline": q_val_timeline,
         "embedding_validate": q_embedding_validate,
         "text_chunks": q_text_chunks,
+        "text_sequence_pack": q_text_sequence_pack,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -5320,6 +5342,32 @@ SELECT doc_id, lang FROM (
         # same window rule: full windows at i*stride for len>=size, whole
         # short doc as chunk 0, empties drop; substr is char-based in
         # both engines
+        # ONE global cumsum here vs the engine's bucketed two-level
+        # prefix sum — integer addition is associative, so any
+        # disagreement is a real packing bug, not float noise. Casts:
+        # the running sum and // quotients derive from sum() (HUGEINT).
+        "text_sequence_pack": """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 23 = 7 THEN '' ELSE text END AS text
+           FROM documents),
+t AS (SELECT doc_id,
+             COALESCE(CAST(len({toks}) AS BIGINT), 0) AS n_tokens
+      FROM d),
+c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+      FROM t)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(CASE WHEN n_tokens > 0 THEN tok_offset // 512 END AS BIGINT)
+           AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512 END
+            AS BIGINT) AS chunk_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks
+FROM c
+""".format(toks=_TOKS),
         "text_chunks": """
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
            WHERE text IS NOT NULL AND length(text) > 0),

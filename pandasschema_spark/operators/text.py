@@ -21,7 +21,7 @@ import re
 import typing
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -700,3 +700,80 @@ def boilerplate_scan(
     # dedup here would be circular — dedup imports normalized_text_expr)
     out._psf_cached = [pairs]
     return out
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    context_len: int,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Global token-offset map + context-window chunk spans — the
+    concat-and-chunk bookkeeping of LLM pretraining ("documents are
+    concatenated in id order and sliced into ``context_len``-token
+    sequences; which sequences does doc X land in?"). Per document:
+    (id, n_tokens, tok_offset, chunk_first, chunk_last, n_chunks),
+    where ``tok_offset`` is the document's start position in the global
+    token stream (tokens = ``token_count``'s whitespace rule; NULL text
+    occupies zero tokens) and the span is pure integer division on top:
+    chunk_first = off div L, chunk_last = (off + n - 1) div L
+    (zero-token documents span nothing: NULL/NULL/0).
+
+    Contract: ``id_col`` must be a UNIQUE NON-NEGATIVE integer defining
+    the concatenation order — at web scale the ingestion ordinal from
+    plans/rowindex.with_file_ordered_row_index. Duplicate ids make the
+    running sum order-ambiguous across engines; negative ids break the
+    div bucketing (Spark ``div`` truncates toward zero, floor division
+    would not — same family as the epoch floor-division invariant).
+
+    Scale shape — a DISTRIBUTED prefix sum, never a global window: a
+    no-partition running sum over the corpus plans one Exchange
+    SinglePartition carrying every row through one task (the classic
+    Spark window trap). Instead rows bucket by ``id div bucket_size``;
+    per-bucket token totals reduce in one map-side-combined hash agg to
+    O(buckets) rows (10^6 buckets at 10^12 docs with the 2^20 default);
+    the bucket-prefix cumsum runs as a window over THAT aggregate frame
+    only (the drift-histogram convention: single-partition windows are
+    legal over already-aggregated data) and broadcast-joins back; the
+    within-bucket running sum partitions by bucket, so the only
+    corpus-wide exchange is one hash(bucket) shuffle of slim
+    (id, n_tokens) rows with <= bucket_size rows per window partition.
+    Text never shuffles — token counts are computed inside the scan
+    task and only the two integer columns travel.
+    """
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    n_tok = F.coalesce(
+        F.size(tokens_expr(F.col(text_col))).cast("long"), F.lit(0).cast("long"))
+    slim = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.expr("CAST(`{}` AS BIGINT) div {}".format(id_col, bucket_size)).alias("__b__"),
+    )
+    bsum = slim.groupBy("__b__").agg(F.sum("n_tokens").alias("__bt__"))
+    wb = Window.orderBy("__b__").rowsBetween(Window.unboundedPreceding, -1)
+    base = bsum.select(
+        "__b__",
+        F.coalesce(F.sum("__bt__").over(wb), F.lit(0)).cast("long").alias("__base__"),
+    )
+    ww = (Window.partitionBy("__b__").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    within = F.coalesce(F.sum("n_tokens").over(ww), F.lit(0).cast("long"))
+    off = (F.col("__base__") + within).cast("long")
+    packed = (slim.join(F.broadcast(base), "__b__")
+              .select(F.col(id_col), "n_tokens", off.alias("tok_offset")))
+    first = F.expr("tok_offset div {}".format(context_len))
+    last = F.expr("(tok_offset + n_tokens - 1) div {}".format(context_len))
+    has = F.col("n_tokens") > 0
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        F.when(has, first).cast("long").alias("chunk_first"),
+        F.when(has, last).cast("long").alias("chunk_last"),
+        F.when(has, last - first + 1).otherwise(0).cast("long").alias("n_chunks"),
+    )
