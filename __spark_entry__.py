@@ -1746,6 +1746,25 @@ def q_audio_trim_bounds(spark, sf_dir):
         "max_silent_run")
 
 
+def q_audio_utterances(spark, sf_dir):
+    """Silence-split utterance extraction (operators/audio.py
+    utterances, §2.5): maximal voiced-frame runs per clip, frame rule
+    identical to frame_silence/trim_bounds (shared-rule convention).
+    Closed-form oracle over the injection classes: full-silence clips
+    emit nothing; half-silence clips emit one run starting after the
+    (n//2)//fl fully-zeroed leading frames (the straddle frame carries
+    tone); clean/clipped clips emit one full-width run; truncated
+    clips one run over their (n//2)//fl stored frames. Multi-utterance
+    corpora (interior dropouts) and the min_frames threshold are
+    pytest's job (tests/test_utterances.py) — the synthetic classes
+    plant no interior silence."""
+    from pandasschema_spark.operators.audio import utterances
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return utterances(df)
+
+
 def q_audio_len_check(spark, sf_dir):
     """PCM byte-length consistency as a NATIVE cross-column validation:
     length(bytes) == 2 * (sr_hz * dur_ms div 1000), fused into the same
@@ -3634,6 +3653,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "audio_frame_silence": q_audio_frame_silence,
         "audio_trim_bounds": q_audio_trim_bounds,
+        "audio_utterances": q_audio_utterances,
         "audio_len_check": q_audio_len_check,
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
         "audio_resample_stats": q_audio_resample_stats,
@@ -6719,6 +6739,23 @@ SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
                  WHEN cls = 2 THEN (n // 2) // fl
                  ELSE 0 END AS BIGINT) AS max_silent_run
 FROM g
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        # one run per non-fully-silent clip under the injection classes
+        # (no interior silence is ever planted); lead > 0 only for the
+        # half-silence class, nf shrinks only for truncation
+        "audio_utterances": """
+{fields},
+k AS (SELECT i, cls,
+             CASE WHEN cls = 3 THEN (n // 2) // fl ELSE n // fl END AS nf,
+             CASE WHEN cls = 2 THEN (n // 2) // fl ELSE 0 END AS lead
+      FROM g)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(0 AS INT) AS utt_idx,
+       CAST(lead AS BIGINT) AS start_frame,
+       CAST(nf - lead AS BIGINT) AS n_frames,
+       CAST(lead * 10 AS BIGINT) AS start_ms,
+       CAST((nf - lead) * 10 AS BIGINT) AS dur_ms
+FROM k WHERE cls != 0 AND nf - lead > 0
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_len_check": """
 {fields}

@@ -898,3 +898,76 @@ def trim_bounds(df: DataFrame, *, id_col: str = "clip_id",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, TRIM_BOUNDS_SCHEMA)
+
+
+UTTERANCE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("utt_idx", T.IntegerType(), False),
+    T.StructField("start_frame", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("start_ms", T.LongType(), False),
+    T.StructField("dur_ms", T.LongType(), False),
+])
+
+
+def utterances(df: DataFrame, *, id_col: str = "clip_id",
+               bytes_col: str = "bytes", sr_col: str = "sr_hz",
+               frame_ms: int = 10, silent_peak_below: int = 1,
+               min_frames: int = 1) -> DataFrame:
+    """Silence-split utterance extraction: per clip, every maximal run
+    of NON-silent frames at least ``min_frames`` long, as
+    (clip_id, utt_idx, start_frame, n_frames, start_ms, dur_ms) — the
+    ASR-pipeline step between frame_silence ("how much is silent") /
+    trim_bounds ("where does the silence sit") and segment ("slice for
+    training"): a long recording becomes the voiced spans an aligner
+    or transcript matcher consumes.
+
+    Frame classification is IDENTICAL to frame_silence / trim_bounds
+    (frame length ``sr * frame_ms // 1000``, full frames only, silent =
+    peak magnitude strictly below ``silent_peak_below``) — the
+    shared-rule convention: the closed-form injection oracles derived
+    for those operators transfer verbatim. ``utt_idx`` numbers the
+    EMITTED runs 0..k-1 (runs shorter than ``min_frames`` are dropped,
+    not merged — two long spans separated by one sub-threshold blip
+    stay two utterances and the blip vanishes; merging across short
+    SILENCE gaps is the caller's policy via a larger frame_ms).
+
+    One narrow mapInPandas over (id, bytes, sr): corpus bytes never
+    shuffle, the voiced-run scan is the same vectorized padded-diff
+    RLE as trim_bounds, and output rows are 6 scalars per utterance.
+    """
+    if min_frames < 1:
+        raise ValueError("min_frames must be >= 1")
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            raws = b[bytes_col].to_numpy()
+            srs = b[sr_col].to_numpy()
+            rows = {k: [] for k in UTTERANCE_SCHEMA.fieldNames()}
+            for j in range(len(b)):
+                s = _decode(raws[j])
+                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                nf = int(s.size) // fl
+                if not nf:
+                    continue
+                fr = np.abs(s[: nf * fl].reshape(nf, fl)).max(axis=1)
+                voiced = fr >= silent_peak_below
+                padded = np.concatenate(([False], voiced, [False]))
+                edges = np.diff(padded.astype(np.int8))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                idx = 0
+                for st, en in zip(starts.tolist(), ends.tolist()):
+                    if en - st < min_frames:
+                        continue
+                    rows["clip_id"].append(ids[j])
+                    rows["utt_idx"].append(idx)
+                    rows["start_frame"].append(st)
+                    rows["n_frames"].append(en - st)
+                    rows["start_ms"].append(st * frame_ms)
+                    rows["dur_ms"].append((en - st) * frame_ms)
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, UTTERANCE_SCHEMA)
