@@ -2056,6 +2056,19 @@ def q_heavy_hitters_by(spark, sf_dir):
                             "lang", "source", top_k=3)
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-resampled cohort weights (operators/sampling.py
+    temperature_weights, §2.5): weight = exact isqrt(count) (T=2 in the
+    p^(1/T) family) per event_type, with natural vs resampled shares in
+    ppm. The isqrt is floor(sqrt(double)) + the symmetric +/-1 adjust —
+    exact in both engines regardless of double rounding (the squaring
+    compares run HUGEINT/decimal(38)); ppm divisions are floor-div over
+    sum-derived totals, BIGINT-cast per the HUGEINT rule."""
+    from pandasschema_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "events"), "event_type")
+
+
 def q_class_balance(spark, sf_dir):
     """Dataset class-balance check: per-event-type share in integer ppm
     (cnt*1e6 div total) — the imbalance gate a training mix is
@@ -3589,6 +3602,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_coverage": q_dim_coverage,
         "heavy_hitters_by": q_heavy_hitters_by,
         "class_balance": q_class_balance,
+        "sample_temperature": q_sample_temperature,
         "pipeline_balanced_set": q_pipeline_balanced_set,
         "agg_quantiles": q_agg_quantiles,
         "outlier_zscore": q_outlier_zscore,
@@ -5212,6 +5226,29 @@ r AS (SELECT grp, value, cnt,
                                 ORDER BY cnt DESC, value ASC) AS rank
       FROM c)
 SELECT grp, value, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""",
+        # identical exact-isqrt replay: floor(sqrt(double)) then the
+        # symmetric +/-1 adjust with HUGEINT squaring compares — lands
+        # on floor(sqrt(n)) exactly whichever way either engine rounds
+        "sample_temperature": """
+WITH c AS (SELECT event_type AS value, count(*) AS n_rows FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+s0 AS (SELECT value, n_rows,
+              CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS s
+       FROM c),
+s1 AS (SELECT value, n_rows,
+              s - CASE WHEN CAST(s AS HUGEINT) * s > n_rows THEN 1 ELSE 0 END AS s
+       FROM s0),
+s2 AS (SELECT value, n_rows,
+              s + CASE WHEN CAST(s + 1 AS HUGEINT) * (s + 1) <= n_rows
+                       THEN 1 ELSE 0 END AS weight
+       FROM s1),
+t AS (SELECT sum(n_rows) AS tn, sum(weight) AS tw FROM s2)
+SELECT value, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 1000000 // tn AS BIGINT) AS raw_ppm,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(weight * 1000000 // tw AS BIGINT) AS weight_ppm
+FROM s2, t
 """,
         "class_balance": """
 WITH c AS (SELECT event_type AS value, count(*) AS cnt FROM events

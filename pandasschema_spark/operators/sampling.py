@@ -188,3 +188,71 @@ def head_per_group(
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .withColumn("rk", F.col("rk").cast("long")))
+
+
+def _isqrt_expr(x: Column) -> Column:
+    """Exact integer sqrt of a nonnegative BIGINT column, in-plan.
+
+    floor(sqrt(double)) is within +/-1 of the true isqrt for any int64
+    (IEEE-754 sqrt is correctly rounded; the double conversion of x
+    costs at most 1 ulp), so one symmetric adjustment — subtract 1 while
+    s^2 > x, add 1 while (s+1)^2 <= x — lands exactly, in BOTH engines,
+    regardless of which way either rounds. The squaring compares run in
+    decimal(38,0): s ~ 3e9 near int64 max, s^2 ~ 9.2e18 sits on the
+    int64 edge."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    d = s.cast("decimal(38,0)")
+    s = s - F.when(d * d > x.cast("decimal(38,0)"), F.lit(1)).otherwise(0)
+    d = s.cast("decimal(38,0)")
+    s = s + F.when((d + 1) * (d + 1) <= x.cast("decimal(38,0)"), F.lit(1)).otherwise(0)
+    return s.cast("long")
+
+
+def temperature_weights(
+    df: DataFrame,
+    col,
+    *,
+    sqrt_steps: int = 1,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-resampled cohort weights — the multilingual-LLM
+    "sample languages at T" policy (weight ∝ count^(1/T), T = 2^steps)
+    in exact integers: per value of ``col``, (value, n_rows, raw_ppm,
+    weight, weight_ppm) where ``weight = floor(n_rows^(1/2^steps))``
+    via repeated exact isqrt (floor(sqrt(floor(sqrt(x)))) IS
+    floor(x^(1/4)) — the floor-composition identity) and the ppm pair
+    shows the flattening: raw_ppm is the natural share, weight_ppm the
+    share after resampling. Feeds ``weighted_sample`` / quota planners
+    directly; the irrational general-alpha form is deliberately out of
+    scope (the repo's rational-statistics rule — p^(1/T) for other T
+    does not cross engines bit-exactly).
+
+    Scale shape: one map-side-combined count agg to O(values) rows;
+    isqrt, totals (a broadcast single-row agg, the class_balance
+    pattern) and both ppm divisions are arithmetic over that aggregate
+    frame. NULLs excluded from counts and totals (SQL aggregate
+    semantics). ppm outputs bounded <= 1e6, int64-safe at any scale.
+    """
+    if sqrt_steps < 1:
+        raise ValueError("sqrt_steps must be >= 1")
+    if denom < 1:
+        raise ValueError("denom must be >= 1")
+    v = F.col(col) if isinstance(col, str) else col
+    counts = (df.select(v.alias("value")).where(F.col("value").isNotNull())
+              .groupBy("value").agg(F.count(F.lit(1)).alias("n_rows")))
+    w = F.col("n_rows")
+    for _ in range(sqrt_steps):
+        w = _isqrt_expr(w)
+    weighted = counts.select("value", "n_rows", w.alias("weight"))
+    totals = weighted.agg(F.sum("n_rows").alias("__tn__"),
+                          F.sum("weight").alias("__tw__"))
+    return (weighted.crossJoin(F.broadcast(totals))
+            .select(
+                "value",
+                "n_rows",
+                F.expr("n_rows * {} div __tn__".format(int(denom)))
+                 .cast("long").alias("raw_ppm"),
+                "weight",
+                F.expr("weight * {} div __tw__".format(int(denom)))
+                 .cast("long").alias("weight_ppm"),
+            ))
