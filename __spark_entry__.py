@@ -764,6 +764,18 @@ def q_text_chunks(spark, sf_dir):
     return text_chunks(df, "text", "doc_id", size=200, stride=150)
 
 
+def q_text_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language audit (operators/text.py
+    lang_confusion, §2.5): confusion matrix of documents.lang against
+    lang_id's prediction rule (shared via _lang_pred_exprs — the
+    attested text_langid oracle transfers verbatim), with floor-div
+    ppm shares within each declared cohort. Plant-free: the matrix is
+    derived from the data identically in both engines."""
+    from pandasschema_spark.operators.text import lang_confusion
+
+    return lang_confusion(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
 def q_text_sequence_pack(spark, sf_dir):
     """Concat-and-chunk token bookkeeping (operators/text.py
     sequence_pack, §2.5): each document's start offset in the global
@@ -3538,6 +3550,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_validate": q_embedding_validate,
         "text_chunks": q_text_chunks,
         "text_sequence_pack": q_text_sequence_pack,
+        "text_lang_confusion": q_text_lang_confusion,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -6404,6 +6417,40 @@ FROM hits
 """,
         "text_fingerprint": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+""",
+        # the text_langid prediction CASE verbatim, then the confusion
+        # rollup; totals via PARTITION BY window so a NULL declared
+        # lang stays its own cohort (a USING join would drop it)
+        "text_lang_confusion": """
+WITH base AS (
+    SELECT lang, text,
+           CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+    FROM documents
+),
+hits AS (
+    SELECT lang, text,
+           CAST(len(list_filter(w, x -> list_contains(['the','and','is','of','to'], x))) AS BIGINT) AS hits_en,
+           CAST(len(list_filter(w, x -> list_contains(['der','die','und','ist','das'], x))) AS BIGINT) AS hits_de,
+           CAST(len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS BIGINT) AS hits_fr,
+           CAST(len(list_filter(w, x -> list_contains(['el','la','y','es','los'], x))) AS BIGINT) AS hits_es
+    FROM base
+),
+p AS (
+    SELECT lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es, 1) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es, 1) THEN 'de'
+                WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+                WHEN hits_es >= 1 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+),
+c AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 1000000 //
+            sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+FROM c
 """,
         "text_top_terms": """
 WITH norm AS (

@@ -118,6 +118,24 @@ LANG_MARKERS: typing.Dict[str, typing.List[str]] = {
 }
 
 
+def _lang_pred_exprs(text: Column):
+    """(hit-count columns by lang, prediction column) — the ONE
+    definition of the language rule, shared by lang_id and
+    lang_confusion (the frame_silence/trim_bounds shared-rule
+    convention: attested oracles transfer verbatim)."""
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        hit_cols[lang] = token_marker_count_expr(text, markers)
+    has_cjk = text.rlike(r"[一-鿿]")
+    best = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in ["es", "fr", "de", "en"]:  # later wins ties -> en highest priority
+        best = F.when(hit_cols[lang] >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, hit_cols[lang])
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return hit_cols, pred
+
+
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, hits_en, hits_de, hits_fr, hits_es, lang_pred).
 
@@ -126,16 +144,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (en > de > fr > es > unknown); zero hits everywhere -> 'und'.
     CJK fallback: any char in the CJK block -> 'zh' regardless of hits.
     """
-    hit_cols = {}
-    for lang, markers in LANG_MARKERS.items():
-        hit_cols[lang] = token_marker_count_expr(F.col(text_col), markers)
-    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
-    best = F.lit("und")
-    best_hits = F.lit(0).cast("long")
-    for lang in ["es", "fr", "de", "en"]:  # later wins ties -> en highest priority
-        best = F.when(hit_cols[lang] >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
-        best_hits = F.greatest(best_hits, hit_cols[lang])
-    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    hit_cols, pred = _lang_pred_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
         hit_cols["en"].alias("hits_en"),
@@ -777,3 +786,47 @@ def sequence_pack(
         F.when(has, last).cast("long").alias("chunk_last"),
         F.when(has, last - first + 1).otherwise(0).cast("long").alias("n_chunks"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    *,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the
+    mislabeled-language audit of a multilingual corpus (declared lang
+    headers are famously wrong; per-row validation can check that a
+    lang tag is IN a list, only this cross-check can say the tag
+    disagrees with the text). Per (declared, predicted) pair:
+    (lang, lang_pred, n_docs, share_ppm) where share_ppm is the
+    floor-div ppm share WITHIN the declared cohort, so "93% of
+    lang='de' docs predict de, 4% en" reads straight off the rows.
+
+    The prediction rule is lang_id's, verbatim (_lang_pred_exprs —
+    shared-rule convention). A NULL declared lang is its own cohort
+    (the house NULL-group rule: missing tags are a distinct upstream
+    failure, never conflated with any language).
+
+    Scale shape: declared tag and prediction are computed in the SAME
+    codegen projection inside the scan task (no self-join back by id —
+    text never shuffles, ids never travel); one map-side-combined
+    (lang, lang_pred) count agg reduces the corpus to O(langs^2) rows;
+    cohort totals are a sum-over-window on that AGGREGATE frame (the
+    drift-histogram convention — and unlike a join on ``lang``, a
+    window partition groups NULL keys together, which is exactly the
+    NULL-cohort semantics promised above).
+    """
+    if denom < 1:
+        raise ValueError("denom must be >= 1")
+    _, pred = _lang_pred_exprs(F.col(text_col))
+    cells = (df.select(F.col(lang_col).alias("lang"), pred.alias("lang_pred"))
+             .groupBy("lang", "lang_pred")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    cells = cells.withColumn(
+        "__t__", F.sum("n_docs").over(Window.partitionBy("lang")))
+    return cells.select(
+        "lang", "lang_pred", "n_docs",
+        F.expr("n_docs * {} div __t__".format(int(denom)))
+         .cast("long").alias("share_ppm"))
