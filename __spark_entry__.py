@@ -764,6 +764,54 @@ def q_text_chunks(spark, sf_dir):
     return text_chunks(df, "text", "doc_id", size=200, stride=150)
 
 
+def q_pipeline_multilingual_mix(spark, sf_dir):
+    """Composed multilingual training-mix pipeline: label-consistency
+    filter (lang_id's rule tolerating 'und' — an undetected language is
+    not evidence of mislabeling, and the synthetic corpus is English-
+    marker-only so pred==lang alone would keep one cohort) ->
+    temperature weights per declared lang (T=2 exact isqrt) ->
+    data-derived per-cohort md5 sampling rates: rate_ppm(lang) =
+    K * weight div n with K = min over langs of (1e6 * n div weight),
+    so the most-upweighted cohort samples at ~100% and every cohort's
+    expected share lands proportional to its temperature weight.
+    Output per lang: (lang, n_candidates, weight, rate_ppm,
+    n_selected). Exercises E154+E155 composed: the weights feed the
+    thresholds, a drift in either moves n_selected. Integer-exact
+    throughout (longs; the 1e6*n product holds to ~9.2e12 rows per
+    cohort — the class_balance envelope). Declared-NULL docs are
+    excluded up front (no silent join-drop). One lazy plan: the corpus
+    is scanned once for counting and once for the row-local sampling
+    filter (both pruned scans); everything between is O(langs)."""
+    from pandasschema_spark.operators.sampling import (
+        hash_bucket_expr, _isqrt_expr)
+    from pandasschema_spark.operators.text import _lang_pred_exprs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang") \
+        .where(F.col("lang").isNotNull())
+    _, pred = _lang_pred_exprs(F.col("text"))
+    kept = (docs.withColumn("__p__", pred)
+            .where((F.col("__p__") == F.col("lang")) | (F.col("__p__") == "und"))
+            .select("doc_id", "lang"))
+    counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_candidates"))
+    weighted = counts.select(
+        "lang", "n_candidates",
+        _isqrt_expr(F.col("n_candidates")).alias("weight"))
+    k = weighted.agg(F.min(
+        F.expr("1000000 * n_candidates div weight")).alias("__k__"))
+    rates = (weighted.crossJoin(F.broadcast(k))
+             .select("lang", "n_candidates", "weight",
+                     F.expr("__k__ * weight div n_candidates")
+                      .cast("long").alias("rate_ppm")))
+    sel = (kept.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+           .where(hash_bucket_expr(F.col("doc_id"), 1_000_000, "mix")
+                  < F.col("rate_ppm"))
+           .groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected")))
+    return (rates.join(sel, "lang", "left")
+            .select("lang", "n_candidates", "weight", "rate_ppm",
+                    F.coalesce(F.col("n_selected"), F.lit(0))
+                     .cast("long").alias("n_selected")))
+
+
 def q_text_lang_confusion(spark, sf_dir):
     """Declared-vs-detected language audit (operators/text.py
     lang_confusion, §2.5): confusion matrix of documents.lang against
@@ -3551,6 +3599,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_sequence_pack": q_text_sequence_pack,
         "text_lang_confusion": q_text_lang_confusion,
+        "pipeline_multilingual_mix": q_pipeline_multilingual_mix,
         "events_transitions": q_events_transitions,
         "pipeline_clean_transcripts": q_pipeline_clean_transcripts,
         "val_oov": q_val_oov,
@@ -6417,6 +6466,62 @@ FROM hits
 """,
         "text_fingerprint": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+""",
+        # full replay: langid CASE -> consistency filter (pred==lang or
+        # 'und') -> counts -> exact-isqrt weights -> K = min(1e6*n//w)
+        # -> rates -> md5-bucket selection -> per-lang selected counts
+        "pipeline_multilingual_mix": """
+WITH base AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+    FROM documents WHERE lang IS NOT NULL
+),
+hits AS (
+    SELECT doc_id, lang, text,
+           len(list_filter(w, x -> list_contains(['the','and','is','of','to'], x))) AS hits_en,
+           len(list_filter(w, x -> list_contains(['der','die','und','ist','das'], x))) AS hits_de,
+           len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS hits_fr,
+           len(list_filter(w, x -> list_contains(['el','la','y','es','los'], x))) AS hits_es
+    FROM base
+),
+p AS (
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es, 1) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es, 1) THEN 'de'
+                WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+                WHEN hits_es >= 1 THEN 'es'
+                ELSE 'und' END AS pred
+    FROM hits
+),
+kept AS (SELECT doc_id, lang FROM p WHERE pred = lang OR pred = 'und'),
+c AS (SELECT lang, count(*) AS n_candidates FROM kept GROUP BY 1),
+s0 AS (SELECT lang, n_candidates,
+              CAST(floor(sqrt(CAST(n_candidates AS DOUBLE))) AS BIGINT) AS s
+       FROM c),
+s1 AS (SELECT lang, n_candidates,
+              s - CASE WHEN CAST(s AS HUGEINT) * s > n_candidates THEN 1 ELSE 0 END AS s
+       FROM s0),
+s2 AS (SELECT lang, n_candidates,
+              s + CASE WHEN CAST(s + 1 AS HUGEINT) * (s + 1) <= n_candidates
+                       THEN 1 ELSE 0 END AS weight
+       FROM s1),
+k AS (SELECT min(1000000 * n_candidates // weight) AS kk FROM s2),
+rates AS (SELECT lang, n_candidates, weight,
+                 CAST(kk * weight // n_candidates AS BIGINT) AS rate_ppm
+          FROM s2, k),
+sel AS (
+    SELECT kept.lang, count(*) AS n_selected
+    FROM kept JOIN rates USING (lang)
+    WHERE CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < rate_ppm
+    GROUP BY 1
+)
+SELECT rates.lang, CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(weight AS BIGINT) AS weight, rate_ppm,
+       CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected
+FROM rates LEFT JOIN sel ON rates.lang = sel.lang
 """,
         # the text_langid prediction CASE verbatim, then the confusion
         # rollup; totals via PARTITION BY window so a NULL declared
