@@ -3301,6 +3301,31 @@ def q_stats_concentration(spark, sf_dir):
     return concentration_profile(ev, ["event_type", "user_id"])
 
 
+def q_stats_format_mask(spark, sf_dir):
+    """Format-mask histogram (operators/profile.py
+    format_mask_profile, §2.5): per string column, the character-class
+    shape histogram a contract-bootstrap pass reads before writing
+    MatchesPatternValidation rules — digits -> '9', ASCII letters ->
+    'A', separators verbatim. Both variants attested in one frame:
+    'collapsed' (runs collapse, '1-URGENT' -> '9-A' — how many
+    FORMATS) and 'exact' (width-resolving, CAST(o_orderkey) -> '9',
+    '99', ... — the key-magnitude histogram, which binds to SF).
+    Plant-free: both engines re-derive every mask and floor-div share
+    from the same corpus."""
+    from pandasschema_spark.operators.profile import format_mask_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.col("o_orderkey").cast("string").alias("okey_str"))
+    cols = ["o_orderstatus", "o_orderpriority", "okey_str"]
+    a = (format_mask_profile(o, cols, collapse_runs=True)
+         .withColumn("variant", F.lit("collapsed")))
+    b = (format_mask_profile(o, cols, collapse_runs=False)
+         .withColumn("variant", F.lit("exact")))
+    return a.unionByName(b).select(
+        "variant", "column", "mask", "n_rows", "share_ppm")
+
+
 def q_pipeline_corpus_curation(spark, sf_dir):
     """Corpus-curation pipeline as ONE gated frame (the round-5
     operators composed end-to-end, the LLM-training-data user story):
@@ -3558,6 +3583,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_gram_overlap": q_dedup_gram_overlap,
         "dedup_window": q_dedup_window,
         "stats_concentration": q_stats_concentration,
+        "stats_format_mask": q_stats_format_mask,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -4827,6 +4853,41 @@ SELECT col AS "column",
        CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
            AS top_share_ppm
 FROM per GROUP BY 1
+""",
+        # identical digit/letter regex chain (ASCII classes, the
+        # Java/RE2 intersection), both collapse variants, floor-div
+        # shares per (variant, column) — every mask re-derived
+        "stats_format_mask": """
+WITH src AS (
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(o_orderkey AS VARCHAR) AS okey_str
+    FROM orders),
+melt AS (
+    SELECT 'o_orderstatus' AS "column", o_orderstatus AS v FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM src
+    UNION ALL
+    SELECT 'okey_str', okey_str FROM src),
+m AS (
+    SELECT "column",
+           regexp_replace(regexp_replace(v, '[0-9]', '9', 'g'),
+                          '[A-Za-z]', 'A', 'g') AS exact_mask
+    FROM melt),
+vb AS (
+    SELECT 'collapsed' AS variant, "column",
+           regexp_replace(regexp_replace(exact_mask, '9+', '9', 'g'),
+                          'A+', 'A', 'g') AS mask
+    FROM m
+    UNION ALL
+    SELECT 'exact', "column", exact_mask FROM m),
+agg AS (
+    SELECT variant, "column", mask, count(*) AS n_rows
+    FROM vb GROUP BY 1, 2, 3)
+SELECT variant, "column", mask, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 1000000
+            // sum(n_rows) OVER (PARTITION BY variant, "column")
+            AS BIGINT) AS share_ppm
+FROM agg
 """,
         # the full curation derivation: page construction, line
         # normalization, doc-frequency >= 10 boilerplate, the 50% drop

@@ -538,3 +538,90 @@ def timeline_trend(
          .when(num < 0, F.lit("down"))
          .otherwise(F.lit("flat")).alias("direction"),
     )
+
+
+def format_mask_profile(
+    df: DataFrame,
+    columns: typing.Sequence[str],
+    collapse_runs: bool = True,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Format-mask histogram per string column — the shape profiler a
+    schema-inference / contract-bootstrap pass runs before writing
+    pattern rules (the reference stops at MatchesPatternValidation,
+    which CHECKS a known format; this DISCOVERS what formats exist,
+    reference validation.py:268-296 being the checked form): every
+    value maps to its character-class mask (digits -> '9', ASCII
+    letters -> 'A', everything else — punctuation, spaces, non-ASCII —
+    kept verbatim, because the separators ARE the format signal), and
+    masks histogram per column. '1-URGENT' reads '9-AAAAAA'; with
+    ``collapse_runs`` (default) character-class runs collapse
+    ('9+'->'9', 'A+'->'A') so '1-URGENT' and '4-LOW' share one mask
+    '9-A' — the variant that answers "how many FORMATS does this
+    column have" rather than "how many widths".
+
+    Output per (column, mask): (column, mask, n_rows, share_ppm) with
+    share_ppm = floor(n_rows * denom / column total). A NULL value is
+    mask NULL, its own histogram row (a missing value is a shape fact
+    here, unlike concentration_profile's excluded-NULL contract —
+    profiling wants the null share visible next to the format mix).
+    ASCII-only letter classes are deliberate: Java and RE2 agree on
+    [A-Za-z] byte-for-byte, while locale classes like \\p{L} are an
+    engine-divergence trap; non-ASCII letters surviving verbatim into
+    the mask is the documented (and useful — mojibake shows up as its
+    own masks) consequence.
+
+    Strings only — a numeric/date column must be cast by the caller
+    with an explicit, engine-stable rendering (raw double casts render
+    engine-specifically: the exact_quantiles quantize-first rule).
+
+    Scale shape at 10^12 rows: masks are computed INSIDE the scan
+    projection (codegen regexp_replace chain, no HOFs), so raw values
+    never shuffle — the exchange after the melt-explode carries
+    O(sum per-column distinct masks) counter rows via a
+    map-side-combined (col, mask) agg; per-column totals are a
+    sum-over-window on that AGGREGATE frame (the lang_confusion /
+    drift-histogram convention — a window partition also groups the
+    NULL-mask row with its column, no join needed). Collapsed masks
+    are bounded by real format diversity; a pathological free-text or
+    random-unicode column degenerates to O(distinct) masks — run
+    concentration_profile first to find key-like columns and keep them
+    out of ``columns``.
+    """
+    from pyspark.sql import Window
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    from pyspark.sql.types import StringType
+    for c in columns:
+        if not isinstance(df.schema[c].dataType, StringType):
+            raise TypeError(
+                "format_mask_profile needs string columns; {} is {} — "
+                "cast it with an engine-stable rendering first".format(
+                    c, df.schema[c].dataType.simpleString()))
+    if denom < 1:
+        raise ValueError("denom must be >= 1")
+
+    def _mask(col: SparkColumn) -> SparkColumn:
+        m = F.regexp_replace(col, "[0-9]", "9")
+        m = F.regexp_replace(m, "[A-Za-z]", "A")
+        if collapse_runs:
+            m = F.regexp_replace(m, "9+", "9")
+            m = F.regexp_replace(m, "A+", "A")
+        return m
+
+    structs = [F.struct(F.lit(c).alias("col"),
+                        _mask(F.col(c)).alias("mask"))
+               for c in columns]
+    melted = (df.select(F.explode(F.array(*structs)).alias("m"))
+                .select(F.col("m.col").alias("col"),
+                        F.col("m.mask").alias("mask")))
+    per = melted.groupBy("col", "mask").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    per = per.withColumn(
+        "__t__", F.sum("n_rows").over(Window.partitionBy("col")))
+    return per.select(
+        F.col("col").alias("column"), "mask",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("n_rows * {} div __t__".format(int(denom)))
+         .cast("long").alias("share_ppm"))
