@@ -3326,6 +3326,28 @@ def q_stats_format_mask(spark, sf_dir):
         "variant", "column", "mask", "n_rows", "share_ppm")
 
 
+def q_fk_discovery(spark, sf_dir):
+    """Inclusion-dependency discovery (operators/referential.py
+    inclusion_profile, §2.5): which column pairs stand in a subset
+    relation — the FK-mining bootstrap for referential contracts.
+    Candidates: customer.(c_custkey, c_nationkey), orders.o_custkey,
+    nation.n_nationkey, supplier.s_nationkey. The true FKs
+    (o_custkey -> c_custkey, c_nationkey/s_nationkey -> n_nationkey)
+    must read 1e6 ppm; range-coincidence pairs (small nationkeys
+    inside the custkey range) read high one way, low the other — the
+    honest discovery signal. Plant-free: both engines re-derive every
+    distinct set and co-occurrence count from the same corpus."""
+    from pandasschema_spark.operators.referential import inclusion_profile
+
+    return inclusion_profile([
+        ("customer", _t(spark, sf_dir, "customer"),
+         ["c_custkey", "c_nationkey"]),
+        ("orders", _t(spark, sf_dir, "orders"), ["o_custkey"]),
+        ("nation", _t(spark, sf_dir, "nation"), ["n_nationkey"]),
+        ("supplier", _t(spark, sf_dir, "supplier"), ["s_nationkey"]),
+    ])
+
+
 def q_pipeline_corpus_curation(spark, sf_dir):
     """Corpus-curation pipeline as ONE gated frame (the round-5
     operators composed end-to-end, the LLM-training-data user story):
@@ -3584,6 +3606,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window": q_dedup_window,
         "stats_concentration": q_stats_concentration,
         "stats_format_mask": q_stats_format_mask,
+        "fk_discovery": q_fk_discovery,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -4888,6 +4911,39 @@ SELECT variant, "column", mask, CAST(n_rows AS BIGINT) AS n_rows,
             // sum(n_rows) OVER (PARTITION BY variant, "column")
             AS BIGINT) AS share_ppm
 FROM agg
+""",
+        # identical melt -> distinct (col, v) -> co-occurrence counts;
+        # the self-join form is value-equivalent to Spark's
+        # collect_set + pair-explode (each distinct shared value
+        # contributes exactly one pair count either way)
+        "fk_discovery": """
+WITH m AS (
+    SELECT DISTINCT 'customer.c_custkey' AS col,
+           CAST(c_custkey AS VARCHAR) AS v
+    FROM customer WHERE c_custkey IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT 'customer.c_nationkey', CAST(c_nationkey AS VARCHAR)
+    FROM customer WHERE c_nationkey IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+    FROM orders WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT 'nation.n_nationkey', CAST(n_nationkey AS VARCHAR)
+    FROM nation WHERE n_nationkey IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT 'supplier.s_nationkey', CAST(s_nationkey AS VARCHAR)
+    FROM supplier WHERE s_nationkey IS NOT NULL),
+p AS (
+    SELECT a.col AS col_a, b.col AS col_b, count(*) AS n_common
+    FROM m a JOIN m b ON a.v = b.v
+    GROUP BY 1, 2),
+d AS (SELECT col_a AS col, n_common AS n FROM p WHERE col_a = col_b)
+SELECT col_a, col_b,
+       CAST(da.n AS BIGINT) AS n_a, CAST(db.n AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common * 1000000 // da.n AS BIGINT) AS containment_ppm
+FROM p JOIN d da ON p.col_a = da.col JOIN d db ON p.col_b = db.col
+WHERE col_a != col_b AND n_common >= 1
 """,
         # the full curation derivation: page construction, line
         # normalization, doc-frequency >= 10 boilerplate, the 50% drop

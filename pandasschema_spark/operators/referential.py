@@ -319,3 +319,92 @@ def orphan_rate_timeline(
                              / F.sum(nn.cast("int")).cast("decimal(38,0)")))
                   .otherwise(F.lit(0))
                   .cast("long").alias("orphan_ppm")))
+
+
+def inclusion_profile(
+    tables,
+    min_common: int = 1,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Inclusion-dependency discovery (FK mining) across labeled
+    column sets — the bootstrap for referential_violations /
+    InTableValidation (reference validation.py InListValidation being
+    the enumerated-list form): those CHECK a KNOWN key pair; this
+    DISCOVERS which column pairs stand in a subset relation at all,
+    the SPIDER/Bauckmann question a schema-inference pass asks before
+    writing FK contracts. ``tables`` is a sequence of
+    ``(name, DataFrame, columns)``; every labeled column becomes a
+    candidate, and each ordered pair (a, b) that shares at least
+    ``min_common`` distinct values emits
+    (col_a, col_b, n_a, n_b, n_common, containment_ppm) with
+    containment_ppm = floor(n_common * denom / n_a) — 1e6 on the row
+    (a, b) reads "every distinct value of a occurs in b", the FK
+    signature (the mirrored row gives the reverse direction; a
+    range-coincidence pair reads high one way and low the other).
+
+    NULLs never participate (the referential convention: a NULL key is
+    missingness, not a reference). Values melt through a string cast —
+    DISCRETE columns only (the concentration_profile contract; raw
+    doubles render engine-specifically, quantize first). Pairs sharing
+    no value are absent, not zero rows — at p columns the output is
+    bounded by p*(p-1) either way, but absence is how discovery reads.
+
+    Scale shape at 10^12 rows: per table ONE pruned scan melts its
+    columns (codegen array-of-structs explode, k-fold multiplication
+    BEFORE the agg); the single data-sized exchange carries the melt
+    into a map-side-combined collect_set(col) per VALUE — partial sets
+    dedup early and cap at p entries, so a hot value costs p counters,
+    never fan-out. Pair expansion (two chained explodes, codegen
+    Generate — never a HOF lambda) multiplies the O(distinct values)
+    frame by at most p^2 BEFORE the second map-side-combined count
+    agg, and the diagonal rows (a == a) carry each column's distinct
+    count so sizes need no second derivation or persist; two broadcast
+    joins of the O(p) diagonal finish. The exchange volume —
+    O(sum per-column distinct) — is the floor any IND algorithm pays.
+    """
+    named = []
+    for name, df, cols in tables:
+        if not cols:
+            raise ValueError("empty column list for table {!r}".format(name))
+        named.append((name, df, list(cols)))
+    if not named:
+        raise ValueError("tables must be non-empty")
+    labels = ["{}.{}".format(n, c) for n, _, cs in named for c in cs]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate column labels: {}".format(labels))
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+
+    melted = None
+    for name, df, cols in named:
+        structs = [F.struct(F.lit("{}.{}".format(name, c)).alias("col"),
+                            F.col(c).cast("string").alias("v"))
+                   for c in cols]
+        part = (df.select(F.explode(F.array(*structs)).alias("m"))
+                  .select(F.col("m.col").alias("col"),
+                          F.col("m.v").alias("v"))
+                  .where(F.col("v").isNotNull()))
+        melted = part if melted is None else melted.unionByName(part)
+
+    per_value = melted.groupBy("v").agg(F.collect_set("col").alias("cols"))
+    pairs = (per_value
+             .select(F.explode("cols").alias("col_a"), "cols")
+             .select("col_a", F.explode("cols").alias("col_b"))
+             .groupBy("col_a", "col_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    diag = (pairs.where(F.col("col_a") == F.col("col_b"))
+                 .select(F.col("col_a").alias("col"),
+                         F.col("n_common").alias("n")))
+    da = F.broadcast(diag.select(F.col("col").alias("col_a"),
+                                 F.col("n").alias("n_a")))
+    db = F.broadcast(diag.select(F.col("col").alias("col_b"),
+                                 F.col("n").alias("n_b")))
+    return (pairs.where(F.col("col_a") != F.col("col_b"))
+            .where(F.col("n_common") >= int(min_common))
+            .join(da, "col_a").join(db, "col_b")
+            .select("col_a", "col_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.expr("n_common * {} div n_a".format(int(denom)))
+                     .cast("long").alias("containment_ppm")))
