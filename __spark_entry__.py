@@ -2129,6 +2129,24 @@ def q_sample_temperature(spark, sf_dir):
     return temperature_weights(_t(spark, sf_dir, "events"), "event_type")
 
 
+def q_sample_budget(spark, sf_dir):
+    """Largest-remainder budget apportionment (operators/sampling.py
+    apportion_budget, §2.5) composed with temperature_weights: split a
+    1e9-token budget across event_type cohorts exactly proportionally
+    to the T=2 weights, sum(quota) == budget guaranteed (the Hamilton
+    +1 distribution to the largest remainders, value-asc tiebreak).
+    budget*weight runs decimal(38)/HUGEINT; the floor quotient is the
+    exact (bw - bw%W)/W split so no near-boundary rounding exists in
+    either engine. A drift in the isqrt weights, the remainder
+    ranking, OR the tie rule moves a quota by 1 and fails the hash."""
+    from pandasschema_spark.operators.sampling import (
+        apportion_budget, temperature_weights)
+
+    w = temperature_weights(_t(spark, sf_dir, "events"), "event_type") \
+        .select("value", "weight")
+    return apportion_budget(w, "value", "weight", 1_000_000_000)
+
+
 def q_class_balance(spark, sf_dir):
     """Dataset class-balance check: per-event-type share in integer ppm
     (cnt*1e6 div total) — the imbalance gate a training mix is
@@ -3607,6 +3625,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_concentration": q_stats_concentration,
         "stats_format_mask": q_stats_format_mask,
         "fk_discovery": q_fk_discovery,
+        "sample_budget": q_sample_budget,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -5428,6 +5447,38 @@ SELECT value, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(weight AS BIGINT) AS weight,
        CAST(weight * 1000000 // tw AS BIGINT) AS weight_ppm
 FROM s2, t
+""",
+        # identical isqrt chain, then Hamilton: HUGEINT bw = B*w, exact
+        # floor via bw // W, leftover L = B - sum(base), +1 to the L
+        # largest remainders with the value-asc tiebreak
+        "sample_budget": """
+WITH c AS (SELECT event_type AS value, count(*) AS n_rows FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+s0 AS (SELECT value, n_rows,
+              CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS s
+       FROM c),
+s1 AS (SELECT value, n_rows,
+              s - CASE WHEN CAST(s AS HUGEINT) * s > n_rows THEN 1 ELSE 0 END AS s
+       FROM s0),
+s2 AS (SELECT value,
+              s + CASE WHEN CAST(s + 1 AS HUGEINT) * (s + 1) <= n_rows
+                       THEN 1 ELSE 0 END AS weight
+       FROM s1),
+t AS (SELECT sum(CAST(weight AS HUGEINT)) AS w FROM s2),
+q AS (SELECT value, weight,
+             (CAST(1000000000 AS HUGEINT) * weight) // w AS base,
+             (CAST(1000000000 AS HUGEINT) * weight) % w AS rem
+      FROM s2, t),
+l AS (SELECT 1000000000 - sum(base) AS leftover FROM q),
+r AS (SELECT value, weight, base,
+             row_number() OVER (ORDER BY rem DESC, value ASC) AS rk
+      FROM q)
+SELECT value, CAST(weight AS BIGINT) AS weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS quota,
+       CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000
+            // 1000000000 AS BIGINT) AS quota_ppm
+FROM r, l
 """,
         "class_balance": """
 WITH c AS (SELECT event_type AS value, count(*) AS cnt FROM events

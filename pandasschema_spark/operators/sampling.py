@@ -256,3 +256,80 @@ def temperature_weights(
                 F.expr("weight * {} div __tw__".format(int(denom)))
                  .cast("long").alias("weight_ppm"),
             ))
+
+
+def apportion_budget(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — the data-mixing
+    step between ``temperature_weights`` and a training run: split an
+    integer token/row ``budget`` across cohorts EXACTLY proportionally
+    to integer weights, with ``sum(quota) == budget`` guaranteed (the
+    property floor-division alone breaks: floors under-allocate by up
+    to n_cohorts-1, and "just round" over- or under-shoots). Per
+    cohort: quota = floor(budget * w / W) plus one extra for the L
+    cohorts with the largest remainders, L = budget - sum(floors),
+    ties broken by value ascending (deterministic, the ids-decide-ties
+    house rule; a zero remainder never receives — L < n_cohorts by
+    construction). Output (value, weight, quota, quota_ppm) with
+    quota_ppm = floor(quota * 1e6 / budget).
+
+    Input contract: ONE row per cohort (the ``temperature_weights``
+    output shape), non-negative weights, total weight > 0 — this
+    operates on an already-aggregated frame, never the corpus.
+
+    Exactness: budget * weight runs in decimal(38,0); the floor
+    quotient is (bw - pmod(bw, W)) / W — multiplication and pmod are
+    exact on decimals and the division divides EVENLY, so no rounding
+    step ever sees a near-boundary quotient (the floor(a/b)-on-scaled-
+    decimals trap the time-bucket rule documents); verified across the
+    int64 edge against DuckDB HUGEINT // in tests. Envelope:
+    budget * W < 10^38.
+
+    Scale shape: O(cohorts) rows throughout — two single-row broadcast
+    aggs (total weight, leftover count) and one UNPARTITIONED
+    row_number window, deliberate and safe because the frame is the
+    COHORT table (languages, sources, event types), never row-scale
+    data; the corpus-sized work happened upstream in whatever built
+    the weights.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    b = F.lit(int(budget)).cast("decimal(38,0)")
+    base_frame = df.select(
+        F.col(value_col).alias("value"),
+        F.col(weight_col).cast("long").alias("weight"),
+        (b * w).alias("__bw__"))
+    tot = base_frame.agg(
+        F.sum(F.col("weight").cast("decimal(38,0)")).alias("__w__"))
+    q = (base_frame.crossJoin(F.broadcast(tot))
+         .select(
+             "value", "weight",
+             F.expr("CAST((__bw__ - pmod(__bw__, __w__)) / __w__ "
+                    "AS decimal(38,0))").alias("__base__"),
+             F.expr("pmod(__bw__, __w__)").alias("__rem__")))
+    left = q.agg((F.lit(int(budget)).cast("decimal(38,0)")
+                  - F.sum("__base__")).alias("__l__"))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.orderBy(F.col("__rem__").desc(), F.col("value").asc()))
+    return (q.crossJoin(F.broadcast(left))
+            .withColumn("__rk__", rk)
+            .select(
+                "value", "weight",
+                (F.col("__base__")
+                 + F.when(F.col("__rk__") <= F.col("__l__"), F.lit(1))
+                    .otherwise(F.lit(0))).cast("long").alias("quota"))
+            .withColumn(
+                "quota_ppm",
+                # quota*1e6 can pass int64 (budget up to ~1e32): the same
+                # exact decimal split as the base quotient
+                F.expr(
+                    "CAST((CAST(quota AS decimal(38,0)) * 1000000"
+                    " - pmod(CAST(quota AS decimal(38,0)) * 1000000, {b}))"
+                    " / {b} AS long)".format(b=int(budget)))
+                if budget > 0 else F.lit(0).cast("long")))

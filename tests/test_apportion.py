@@ -1,0 +1,68 @@
+"""apportion_budget: exact largest-remainder (Hamilton) apportionment."""
+
+import pytest
+
+from pandasschema_spark.operators.sampling import apportion_budget
+
+
+def _alloc(spark, weights, budget):
+    df = spark.createDataFrame(list(weights.items()), "value string, w long")
+    out = apportion_budget(df, "value", "w", budget).collect()
+    return {r["value"]: r["quota"] for r in out}
+
+
+def test_sum_equals_budget_exactly(spark):
+    # floors alone give 33+33+33 = 99; Hamilton must hand out the +1
+    q = _alloc(spark, {"a": 1, "b": 1, "c": 1}, 100)
+    assert sum(q.values()) == 100
+    # equal weights, equal remainders -> value-asc tiebreak: 'a' gets it
+    assert q == {"a": 34, "b": 33, "c": 33}
+
+
+def test_textbook_hamilton(spark):
+    # weights 5/3/2, budget 7: exact shares 3.5/2.1/1.4, floors 3/2/1,
+    # leftover 1 goes to the largest remainder (.5 -> 'a')
+    assert _alloc(spark, {"a": 5, "b": 3, "c": 2}, 7) == \
+        {"a": 4, "b": 2, "c": 1}
+
+
+def test_zero_weight_never_receives(spark):
+    q = _alloc(spark, {"a": 0, "b": 1}, 5)
+    assert q == {"a": 0, "b": 5}
+
+
+def test_matches_python_reference_across_edge_budgets(spark):
+    weights = {"a": 3037000499, "b": 1, "c": 7, "d": 12345}
+    for budget in (0, 1, 2, 10**15):
+        got = _alloc(spark, weights, budget)
+        W = sum(weights.values())
+        base = {k: budget * w // W for k, w in weights.items()}
+        rem = {k: budget * w % W for k, w in weights.items()}
+        leftover = budget - sum(base.values())
+        order = sorted(weights, key=lambda k: (-rem[k], k))
+        want = {k: base[k] + (1 if order.index(k) < leftover else 0)
+                for k in weights}
+        assert got == want, budget
+        assert sum(got.values()) == budget
+
+
+def test_quota_ppm_and_guard(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 3)], "value string, w long")
+    out = {r["value"]: r for r in
+           apportion_budget(df, "value", "w", 1000).collect()}
+    assert out["b"]["quota_ppm"] == out["b"]["quota"] * 1_000_000 // 1000
+    with pytest.raises(ValueError):
+        apportion_budget(df, "value", "w", -1)
+
+
+def test_plan_is_cohort_frame_only(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 3)], "value string, w long")
+    plan = apportion_budget(df, "value", "w", 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # single-row totals join back as broadcasts (the leftover agg
+    # re-derives its subtree — O(cohorts), recomputation is free); the
+    # only window runs over the O(cohorts) frame (deliberate single
+    # partition, documented)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
