@@ -1988,6 +1988,29 @@ def q_audio_fingerprint_dup(spark, sf_dir):
     return acoustic_dup_pairs(df).select("clip_a", "clip_b")
 
 
+def q_audio_incremental_dup(spark, sf_dir):
+    """Incremental acoustic dedup vs a persisted fingerprint store
+    (operators/audio.py acoustic_incremental_pairs, §2.5): the corpus
+    splits by row parity into STORE (even) and NEW (odd) — every
+    injected re-encode pair (i-5, i) straddles the split because the
+    offset 5 is odd, so the full planted set must surface as cross
+    pairs with the store/new sides resolved by parity. Attests
+    incremental == batch-over-union restricted to cross pairs (the
+    dedup_incremental equality): identical fingerprint rule, union
+    bucket cap, SNR verify. snr_centi_db is float-derived so the
+    oracle projection keeps the pair ids only."""
+    from pandasschema_spark.operators.audio import (
+        acoustic_incremental_pairs, spectral_fingerprint)
+    from pandasschema_spark.sources.datagen import near_dup_clips_df
+
+    df = near_dup_clips_df(spark, NEAR_DUP_N, seed=42, partitions=32)
+    store = df.where(F.col("row_ord") % 2 == 0)
+    new = df.where(F.col("row_ord") % 2 == 1)
+    return acoustic_incremental_pairs(
+        spectral_fingerprint(store), store, new) \
+        .select("clip_store", "clip_new")
+
+
 # ---------------------------------------------------------------------------
 # round-4 additions: order statistics, stratified sampling, CSV ingestion
 # ---------------------------------------------------------------------------
@@ -3800,6 +3823,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_utterances": q_audio_utterances,
         "audio_len_check": q_audio_len_check,
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
+        "audio_incremental_dup": q_audio_incremental_dup,
         "audio_resample_stats": q_audio_resample_stats,
     }
 
@@ -7190,6 +7214,21 @@ FROM g
         "audio_fingerprint_dup": """
 SELECT 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') AS clip_a,
        'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_b
+FROM range({off}, {n}, {mod}) t(i)
+""".format(off=5, n=NEAR_DUP_N, mod=163),
+        # the same closed-form injection set, sides resolved by parity:
+        # offset 5 is odd, so source and re-encode always straddle the
+        # even/odd store/new split — i odd means the source i-5 is the
+        # store side, i even means the re-encode's source is the new side
+        "audio_incremental_dup": """
+SELECT CASE WHEN i % 2 = 1
+            THEN 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0')
+            ELSE 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') END
+           AS clip_store,
+       CASE WHEN i % 2 = 1
+            THEN 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0')
+            ELSE 'clip_' || lpad(CAST(i - {off} AS VARCHAR), 12, '0') END
+           AS clip_new
 FROM range({off}, {n}, {mod}) t(i)
 """.format(off=5, n=NEAR_DUP_N, mod=163),
         "clips_validate": _clips_oracle_sql(),

@@ -729,6 +729,113 @@ def acoustic_dup_pairs(df: DataFrame, *, id_col: str = "clip_id",
     return _attach_cached(out, [fps])
 
 
+INCR_PAIRS_SCHEMA = T.StructType([
+    T.StructField("clip_store", T.StringType(), False),
+    T.StructField("clip_new", T.StringType(), False),
+    T.StructField("snr_centi_db", T.LongType(), False),
+])
+
+
+def acoustic_incremental_pairs(
+        store_fps: DataFrame, store_src: DataFrame, new_df: DataFrame, *,
+        id_col: str = "clip_id", bytes_col: str = "bytes",
+        sr_col: str = "sr_hz", snr_threshold_db: float = 25.0,
+        max_bucket: typing.Optional[int] = 10_000,
+        broadcast_candidates: bool = True) -> DataFrame:
+    """Incremental acoustic dedup against a persisted fingerprint store
+    — the daily-ingest form of ``acoustic_dup_pairs`` (the
+    dedup_incremental convention applied to audio): only the NEW batch
+    is fingerprinted; candidates are fingerprints present on BOTH
+    sides; output is CROSS pairs (clip_store, clip_new, snr_centi_db)
+    only. Store-internal pairs were yesterday's batch run;
+    new-internal pairs are ``acoustic_dup_pairs(new_df)`` — run it
+    separately, this operator never re-reports either.
+
+    Contract (mirrors dedup_incremental): ``store_fps`` is the slim
+    (clip_id, fingerprint) table persisted/staged by a previous
+    ``spectral_fingerprint`` run over the SAME fingerprint rule —
+    identical blocking is what makes incremental == batch-over-union
+    restricted to cross pairs, which is the equality the oracle
+    attests; ``store_src`` supplies store bytes for candidate clips
+    only (the warehouse scan — store PCM is NEVER re-fingerprinted);
+    store and new clip ids must be disjoint. The ``max_bucket`` cap
+    applies to the UNION bucket size (n_store + n_new, the
+    assign_entities rule — a cap that counted only one side would bind
+    differently than the batch run's).
+
+    Scale shape: one narrow fingerprint pass over the new batch
+    (persisted — two consumers; handle attached, release via
+    operators.dedup.release_cached); bucket counting is a
+    map-side-combined tagged-union agg over SLIM rows; candidate
+    fingerprints broadcast back against both slim tables; candidate
+    BYTES are fetched by broadcast id-joins against the two source
+    scans, so corpus bytes never enter a shuffle on either side
+    (``broadcast_candidates=False`` for mostly-duplicate corpora —
+    same trade as acoustic_dup_pairs' broadcast_dup_fp). Verify is the
+    batch op's Arrow-batched scale-normalized SNR, centi-dB integer.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import _attach_cached
+
+    new_fps = _fingerprint_pass(
+        new_df, id_col, bytes_col, sr_col,
+        carry_bytes=False).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tagged = (store_fps.select("fingerprint")
+              .withColumn("__new__", F.lit(0))
+              .unionByName(new_fps.select("fingerprint")
+                           .withColumn("__new__", F.lit(1))))
+    counts = tagged.groupBy("fingerprint").agg(
+        F.sum(F.lit(1) - F.col("__new__")).alias("n_store"),
+        F.sum("__new__").alias("n_new"))
+    cand_fp = counts.where((F.col("n_store") >= 1) & (F.col("n_new") >= 1))
+    if max_bucket is not None:
+        cand_fp = cand_fp.where(
+            (F.col("n_store") + F.col("n_new")) <= int(max_bucket))
+    cand_fp = cand_fp.select("fingerprint")
+    if broadcast_candidates:
+        cand_fp = F.broadcast(cand_fp)
+
+    def _fetch(src: DataFrame, slim: DataFrame, side: str) -> DataFrame:
+        keys = slim.join(cand_fp, "fingerprint")  # slim (clip_id, fp)
+        if broadcast_candidates:
+            keys = F.broadcast(keys)
+        return (src.select(F.col(id_col).alias("clip_id"),
+                           F.col(bytes_col).alias("bytes"))
+                .join(keys, "clip_id")
+                .select(F.col("fingerprint"),
+                        F.col("clip_id").alias("clip_" + side),
+                        F.col("bytes").alias("bytes_" + side)))
+
+    pairs = (_fetch(store_src, store_fps, "store")
+             .join(_fetch(new_df, new_fps, "new"), "fingerprint"))
+
+    thr = float(snr_threshold_db)
+
+    def verify(batches: typing.Iterator[pd.DataFrame]
+               ) -> typing.Iterator[pd.DataFrame]:
+        for batch in batches:
+            cs = batch["clip_store"].to_numpy()
+            cn = batch["clip_new"].to_numpy()
+            rs = batch["bytes_store"].to_numpy()
+            rn = batch["bytes_new"].to_numpy()
+            keep_s, keep_n, keep_snr = [], [], []
+            for j in range(len(batch)):
+                snr = _normalized_snr_db(_decode(rs[j]), _decode(rn[j]))
+                if snr >= thr:
+                    keep_s.append(cs[j])
+                    keep_n.append(cn[j])
+                    keep_snr.append(
+                        10 ** 9 if math.isinf(snr) else int(snr * 100))
+            yield pd.DataFrame({"clip_store": keep_s, "clip_new": keep_n,
+                                "snr_centi_db": keep_snr})
+
+    out = pairs.select("clip_store", "clip_new", "bytes_store",
+                       "bytes_new").mapInPandas(verify, INCR_PAIRS_SCHEMA)
+    return _attach_cached(out, [new_fps])
+
+
 def speech_rate(
     df: DataFrame,
     *,
