@@ -1631,6 +1631,26 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_label_noise(spark, sf_dir):
+    """Label-noise mining by neighborhood vote (operators/similarity.py
+    label_agreement, §2.5): each query vector's 10 nearest corpus
+    neighbors vote with their labels; a row whose own label loses is a
+    mislabel suspect — the embedding-space sibling of lang_confusion's
+    declared-vs-detected rule. Outputs are integer counts/labels only
+    (the cosine ranking underneath carries the ann_cosine_topk
+    determinism contract); majority ties break toward the smallest
+    label. Plant-free: both engines re-derive the neighborhoods and
+    votes from the same corpus."""
+    from pandasschema_spark.operators.similarity import label_agreement
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label")
+    return label_agreement(emb, queries, k=ANN_K)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
@@ -3649,6 +3669,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_format_mask": q_stats_format_mask,
         "fk_discovery": q_fk_discovery,
         "sample_budget": q_sample_budget,
+        "label_noise": q_label_noise,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -6786,6 +6807,38 @@ ranked AS (
 )
 SELECT query_id, vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
 FROM ranked WHERE r <= 10
+""".format(cos=_cos_sql("e.embedding", "q.qv")),
+        # the ann ranking replayed (same cosine fold, same (cos desc,
+        # vec_id) tie order, self excluded), then the neighborhood vote:
+        # majority via (count desc, label asc) row_number — the
+        # smallest-label tie rule — and n_same as the own-label vote
+        "label_noise": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS own_label
+           FROM embeddings WHERE vec_id < 50),
+scored AS (
+    SELECT q.query_id, e.vec_id, e.label AS nl, {cos} AS cos
+    FROM embeddings e, q WHERE e.vec_id != q.query_id),
+ranked AS (
+    SELECT query_id, vec_id, nl,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS r
+    FROM scored),
+votes AS (SELECT query_id, nl, count(*) AS c
+          FROM ranked WHERE r <= 10 GROUP BY 1, 2),
+maj AS (SELECT query_id, nl AS majority_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, nl ASC) AS mr
+        FROM votes),
+tot AS (SELECT query_id, CAST(sum(c) AS BIGINT) AS n_neighbors
+        FROM votes GROUP BY 1)
+SELECT q.query_id, q.own_label, m.majority_label,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS n_same,
+       tot.n_neighbors,
+       m.majority_label != q.own_label AS suspect
+FROM q
+JOIN maj m ON m.query_id = q.query_id AND m.mr = 1
+JOIN tot ON tot.query_id = q.query_id
+LEFT JOIN votes s ON s.query_id = q.query_id AND s.nl = q.own_label
 """.format(cos=_cos_sql("e.embedding", "q.qv")),
         "ann_ivf_topk": """
 WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id % 64 = 7),

@@ -629,3 +629,78 @@ def embedding_validate(
         )
         .where((F.col("n_dims") != dim) | F.col("has_nan") | F.col("is_zero"))
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Label-noise mining by neighborhood vote (the Confident-Learning
+    triage question over an embedding space): for each query vector, its
+    k nearest corpus neighbors by cosine vote with THEIR labels; a row
+    whose own label loses the vote is a mislabel suspect — per-row
+    validation can check a label is IN a list (reference
+    InListValidation), only the geometry can say it is WRONG for the
+    content (the embedding-space sibling of lang_confusion's
+    declared-vs-detected rule). Output per query:
+    (query_id, own_label, majority_label, n_same, n_neighbors, suspect)
+    with majority ties broken toward the SMALLEST label (the
+    ids-decide-ties rule — vote counts never let payload order decide)
+    and suspect = majority_label != own_label. All outputs are integer
+    counts and labels — cross-engine exact; the cosine ranking
+    underneath has the same determinism contract as cosine_topk (arrow
+    matmul vs fold agree on ranking for quantized corpora; impl='expr'
+    is the bitwise mode).
+
+    Scale shape: neighbor search is ``cosine_topk`` (broadcast queries,
+    two-level per-partition top-k — the corpus never shuffles); the
+    O(|Q|·k) neighbor frame then BROADCASTS against one pruned
+    (id, label) corpus scan to fetch neighbor labels (never a shuffle
+    join of the corpus), votes reduce map-side to O(|Q| · labels)
+    counters, the argmax is the house max(struct(cnt, -label)) — no
+    window over data — and own labels ride the broadcast query frame.
+    For corpus-scale query sets swap the brute-force stage for
+    ``ivf_topk`` upstream; the voting stages are unchanged.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    nbrs = cosine_topk(df, queries, id_col=id_col, vec_col=vec_col,
+                       query_id_col=query_id_col,
+                       query_vec_col=query_vec_col, k=k, impl=impl) \
+        .select(query_id_col, id_col)
+    labeled = (df.select(F.col(id_col), F.col(label_col).alias("__nl__"))
+               .join(F.broadcast(nbrs), id_col))
+    votes = (labeled.groupBy(query_id_col, "__nl__")
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    per_q = (votes.groupBy(query_id_col).agg(
+        F.max(F.struct(F.col("__c__"),
+                       (-F.col("__nl__").cast("long")).alias("__negl__")))
+         .alias("__m__"),
+        F.sum("__c__").cast("long").alias("n_neighbors")))
+    own = queries.select(F.col(query_id_col),
+                         F.col(label_col).alias("own_label"))
+    same = (labeled.join(F.broadcast(own), query_id_col)
+            .where(F.col("__nl__") == F.col("own_label"))
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_same")))
+    out = (per_q.join(F.broadcast(own), query_id_col)
+           .join(F.broadcast(same), query_id_col, "left")
+           .select(
+               query_id_col,
+               "own_label",
+               (-F.col("__m__.__negl__")).cast(
+                   df.schema[label_col].dataType.simpleString())
+                .alias("majority_label"),
+               F.coalesce(F.col("n_same"), F.lit(0)).cast("long")
+                .alias("n_same"),
+               "n_neighbors"))
+    return out.withColumn(
+        "suspect", F.col("majority_label") != F.col("own_label"))
