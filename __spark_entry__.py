@@ -3409,6 +3409,51 @@ def q_fk_discovery(spark, sf_dir):
     ])
 
 
+def q_pipeline_schema_bootstrap(spark, sf_dir):
+    """Composed schema-bootstrap pipeline (§2.5): the "write me a
+    Schema from the data" user story as ONE suggestion frame, unioning
+    three attested discovery stages — E116 rule mining (null-ness,
+    inlist, shape, ranges over orders), E157 format masks (a string
+    column whose collapsed-mask histogram has exactly ONE row suggests
+    matches_mask — o_orderstatus fires 'A', o_orderpriority's two
+    masks stay silent), E158 inclusion discovery (pairs at 1e6
+    containment suggest in_table, both directions when both hold).
+    Every rule is re-derived from the data in both engines (the
+    val_suggest convention: the oracle COMPUTES the decisions, never
+    assumes which fire), so a drift in any stage or their composition
+    moves a row. Output: (source, column, check, param)."""
+    from pyspark.sql import Window as W
+
+    from pandasschema_spark.operators.profile import format_mask_profile
+    from pandasschema_spark.operators.referential import inclusion_profile
+    from pandasschema_spark.operators.suggest import suggest_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    mined = suggest_rules(
+        orders, ["o_orderstatus", "o_orderpriority", "o_totalprice"]) \
+        .select(F.lit("mined").alias("source"), "column", "check", "param")
+
+    mp = format_mask_profile(orders, ["o_orderstatus", "o_orderpriority"])
+    single = (mp.withColumn(
+        "__nm__", F.count(F.lit(1)).over(W.partitionBy("column")))
+        .where(F.col("__nm__") == 1)
+        .select(F.lit("mask").alias("source"), "column",
+                F.lit("matches_mask").alias("check"),
+                F.col("mask").alias("param")))
+
+    inc = inclusion_profile([("orders", orders, ["o_custkey"]),
+                             ("customer", cust, ["c_custkey"])])
+    fk = (inc.where(F.col("containment_ppm") == 1_000_000)
+          .select(F.lit("fk").alias("source"),
+                  F.col("col_a").alias("column"),
+                  F.lit("in_table").alias("check"),
+                  F.col("col_b").alias("param")))
+
+    return mined.unionByName(single).unionByName(fk)
+
+
 def q_pipeline_corpus_curation(spark, sf_dir):
     """Corpus-curation pipeline as ONE gated frame (the round-5
     operators composed end-to-end, the LLM-training-data user story):
@@ -3670,6 +3715,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": q_fk_discovery,
         "sample_budget": q_sample_budget,
         "label_noise": q_label_noise,
+        "pipeline_schema_bootstrap": q_pipeline_schema_bootstrap,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -4940,6 +4986,96 @@ SELECT col AS "column",
        CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
            AS top_share_ppm
 FROM per GROUP BY 1
+""",
+        # three attested derivations composed and re-decided from data:
+        # the val_suggest mining rules over orders, the single-mask
+        # matches_mask rule, and the 1e6-containment in_table rule
+        "pipeline_schema_bootstrap": """
+WITH ms AS (
+  SELECT count(*) AS n,
+         count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+         sum(CASE WHEN regexp_matches(o_orderstatus, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS int_s,
+         sum(CASE WHEN regexp_matches(o_orderstatus,
+                  '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                  THEN 1 ELSE 0 END) AS date_s,
+         count(o_orderpriority) AS nn_p,
+         count(DISTINCT o_orderpriority) AS nd_p,
+         sum(CASE WHEN regexp_matches(o_orderpriority, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS int_p,
+         sum(CASE WHEN regexp_matches(o_orderpriority,
+                  '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                  THEN 1 ELSE 0 END) AS date_p,
+         count(o_totalprice) AS nn_t,
+         min(o_totalprice) AS mn_t, max(o_totalprice) AS mx_t
+  FROM orders),
+mined AS (
+  SELECT 'o_orderstatus' AS "column", 'notnull' AS "check", '' AS param
+  FROM ms WHERE nn_s = n AND nn_s > 0
+  UNION ALL
+  SELECT 'o_orderstatus', 'inlist',
+         (SELECT string_agg(v, ', ' ORDER BY v)
+          FROM (SELECT DISTINCT o_orderstatus AS v FROM orders
+                WHERE o_orderstatus IS NOT NULL) t)
+  FROM ms WHERE nd_s BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'o_orderstatus', 'matches_int', '^[+-]?[0-9]+$'
+  FROM ms WHERE int_s = nn_s AND nn_s > 0
+  UNION ALL
+  SELECT 'o_orderstatus', 'dateformat', '%Y-%m-%d'
+  FROM ms WHERE date_s = nn_s AND nn_s > 0
+  UNION ALL
+  SELECT 'o_orderpriority', 'notnull', '' FROM ms WHERE nn_p = n AND nn_p > 0
+  UNION ALL
+  SELECT 'o_orderpriority', 'inlist',
+         (SELECT string_agg(v, ', ' ORDER BY v)
+          FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                WHERE o_orderpriority IS NOT NULL) t)
+  FROM ms WHERE nd_p BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'o_orderpriority', 'matches_int', '^[+-]?[0-9]+$'
+  FROM ms WHERE int_p = nn_p AND nn_p > 0
+  UNION ALL
+  SELECT 'o_orderpriority', 'dateformat', '%Y-%m-%d'
+  FROM ms WHERE date_p = nn_p AND nn_p > 0
+  UNION ALL
+  SELECT 'o_totalprice', 'notnull', '' FROM ms WHERE nn_t = n AND nn_t > 0
+  UNION ALL
+  SELECT 'o_totalprice', 'inrange',
+         '[' || CAST(mn_t AS VARCHAR) || ', ' || CAST(mx_t AS VARCHAR) || ']'
+  FROM ms WHERE nn_t > 0),
+mm AS (
+  SELECT 'o_orderstatus' AS "column",
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             o_orderstatus, '[0-9]', '9', 'g'), '[A-Za-z]', 'A', 'g'),
+             '9+', '9', 'g'), 'A+', 'A', 'g') AS mask
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             o_orderpriority, '[0-9]', '9', 'g'), '[A-Za-z]', 'A', 'g'),
+             '9+', '9', 'g'), 'A+', 'A', 'g')
+  FROM orders),
+magg AS (SELECT "column", mask FROM mm GROUP BY 1, 2),
+msingle AS (SELECT "column", min(mask) AS mask FROM magg
+            GROUP BY 1 HAVING count(*) = 1),
+fm AS (
+  SELECT DISTINCT 'orders.o_custkey' AS col,
+         CAST(o_custkey AS VARCHAR) AS v
+  FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'customer.c_custkey', CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey IS NOT NULL),
+fp AS (SELECT a.col AS col_a, b.col AS col_b, count(*) AS n_common
+       FROM fm a JOIN fm b ON a.v = b.v GROUP BY 1, 2),
+fd AS (SELECT col_a AS col, n_common AS nn FROM fp WHERE col_a = col_b)
+SELECT 'mined' AS source, "column", "check", param FROM mined
+UNION ALL
+SELECT 'mask', "column", 'matches_mask', mask FROM msingle
+UNION ALL
+SELECT 'fk', col_a, 'in_table', col_b
+FROM fp JOIN fd ON fp.col_a = fd.col
+WHERE col_a != col_b AND n_common * 1000000 // fd.nn = 1000000
 """,
         # identical digit/letter regex chain (ASCII classes, the
         # Java/RE2 intersection), both collapse variants, floor-div
