@@ -3409,6 +3409,24 @@ def q_fk_discovery(spark, sf_dir):
     ])
 
 
+def q_dedup_snapshot_overlap(spark, sf_dir):
+    """Corpus snapshot resemblance (operators/sketch.py
+    kmv_similarity, §2.5): deterministic KMV bottom-k Jaccard between
+    two overlapping document snapshots (doc_id %3 vs %5 retention
+    slices) over normalized-content hashes — the O(k) "how much did
+    the corpus change" number between table_diff's exact key list and
+    the duplication timelines. md5 order makes the estimate
+    engine-identical; at every gate SF the snapshots exceed k=256,
+    so the ESTIMATOR path itself is what both engines replay and
+    attest — the exact-under-k path is pytest-locked."""
+    from pandasschema_spark.operators.sketch import kmv_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 3 != 0).select("text")
+    b = docs.where(F.col("doc_id") % 5 != 0).select("text")
+    return kmv_similarity(a, b, "text", k=256, normalize_text=True)
+
+
 def q_pipeline_schema_bootstrap(spark, sf_dir):
     """Composed schema-bootstrap pipeline (§2.5): the "write me a
     Schema from the data" user story as ONE suggestion frame, unioning
@@ -3716,6 +3734,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget": q_sample_budget,
         "label_noise": q_label_noise,
         "pipeline_schema_bootstrap": q_pipeline_schema_bootstrap,
+        "dedup_snapshot_overlap": q_dedup_snapshot_overlap,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -4986,6 +5005,36 @@ SELECT col AS "column",
        CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
            AS top_share_ppm
 FROM per GROUP BY 1
+""",
+        # bottom-k md5 replay over the exact-dedup normalization: the
+        # union k-set is bottom-k(A-k UNION B-k) (the standard bottom-k
+        # identity), intersection counted against both k-sets
+        "dedup_snapshot_overlap": """
+WITH a AS (
+  SELECT DISTINCT substr(md5(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g'))), 1, 16) AS h
+  FROM documents WHERE doc_id % 3 != 0 AND text IS NOT NULL),
+b AS (
+  SELECT DISTINCT substr(md5(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g'))), 1, 16) AS h
+  FROM documents WHERE doc_id % 5 != 0 AND text IS NOT NULL),
+ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) t
+      ORDER BY h LIMIT 256),
+s AS (SELECT count(*) AS n_union,
+             sum(CASE WHEN h IN (SELECT h FROM ka)
+                       AND h IN (SELECT h FROM kb)
+                      THEN 1 ELSE 0 END) AS n_inter
+      FROM u)
+SELECT CAST((SELECT count(*) FROM ka) AS BIGINT) AS n_kept_a,
+       CAST((SELECT count(*) FROM kb) AS BIGINT) AS n_kept_b,
+       CAST(n_union AS BIGINT) AS n_union_kept,
+       CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+       CASE WHEN n_union > 0
+            THEN CAST(n_inter * 1000000 // n_union AS BIGINT)
+            ELSE NULL END AS jaccard_ppm
+FROM s
 """,
         # three attested derivations composed and re-decided from data:
         # the val_suggest mining rules over orders, the single-mask

@@ -186,3 +186,73 @@ def cms_estimate(
         )
         out[key] = int(est)
     return out
+
+
+def kmv_similarity(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    *,
+    col_b: typing.Optional[str] = None,
+    k: int = 1024,
+    normalize_text: bool = False,
+) -> DataFrame:
+    """Deterministic KMV set-resemblance between two table snapshots —
+    the "how much did the corpus change" number that table_diff (which
+    keys) and the duplication timelines (when) do not give in O(k):
+    bottom-k distinct md5 hashes per side, the union's bottom-k (a
+    subset of the two k-sets by the standard bottom-k identity), and
+    the Broder estimate jaccard_ppm = |union-k ∩ A-k ∩ B-k| * 1e6 //
+    |union-k|. One row: (n_kept_a, n_kept_b, n_union_kept, n_inter,
+    jaccard_ppm); when both sides' distinct counts are < k the number
+    is EXACT Jaccard, and either way it is deterministic (md5 order,
+    no RNG) — the same run on the same snapshots hashes identically in
+    any engine, which is what makes it gateable. jaccard_ppm is NULL
+    when both sides are empty. ``normalize_text=True`` hashes the
+    exact-dedup normalization (lower / collapse whitespace / trim) so
+    re-encoded whitespace reads as the same content.
+
+    Scale shape (per side, the kmv_distinct machinery): one codegen
+    hash projection, an Arrow batch-local bottom-k pre-reduce — the
+    value set never shuffles, the exchange carries O(batches x k)
+    16-hex rows — then an exact window rank over that reduced frame.
+    The set algebra runs on <= 2k driver rows (exact Python ints, the
+    drift-operator convention for O(k) driver math).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ca, cb = col, (col_b or col)
+
+    def _kset(df: DataFrame, c: str) -> typing.List[str]:
+        v = F.col(c)
+        if normalize_text:
+            from .text import normalized_text_expr
+            v = normalized_text_expr(v)
+        h = F.substring(F.md5(v.cast("string").cast("binary")), 1, 16)
+        stacked = (df.select(h.alias("h")).where(F.col("h").isNotNull()))
+
+        def _reduce(batches: typing.Iterator[pd.DataFrame]
+                    ) -> typing.Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pdf.drop_duplicates().sort_values(
+                    "h", kind="mergesort").head(k)
+
+        reduced = stacked.mapInPandas(
+            _reduce, schema="h string").distinct()
+        w = Window.orderBy("h")
+        rows = (reduced.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k).select("h").collect())
+        return [r["h"] for r in rows]
+
+    ka, kb_ = set(_kset(df_a, ca)), set(_kset(df_b, cb))
+    union_k = sorted(ka | kb_)[:k]
+    n_union = len(union_k)
+    n_inter = sum(1 for h in union_k if h in ka and h in kb_)
+    jacc = (n_inter * 1_000_000 // n_union) if n_union else None
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(len(ka), len(kb_), n_union, n_inter, jacc)],
+        "n_kept_a long, n_kept_b long, n_union_kept long, "
+        "n_inter long, jaccard_ppm long")
