@@ -1845,6 +1845,23 @@ def q_audio_utterances(spark, sf_dir):
     return utterances(df)
 
 
+def q_pipeline_asr_prep(spark, sf_dir):
+    """Composed ASR-prep pipeline (§2.5): silence-split utterance
+    extraction (E153) feeding the length-bucket packing audit (E110)
+    — the batcher question asked about UTTERANCE durations, not clip
+    durations (trimming silence moves clips down the ladder: a
+    half-silent 160 ms clip packs as an 80 ms utterance). Ladder
+    50/100/150 ms over the voiced spans; the oracle composes both
+    closed forms (utterance spans per injection class -> CASE ladder
+    -> pad arithmetic), so a drift in the frame rule, the span
+    extraction, OR the pad math moves a row."""
+    from pandasschema_spark.operators.audio import pack_audit, utterances
+    from pandasschema_spark.sources.datagen import audio_quality_clips_df
+
+    df = audio_quality_clips_df(spark, AUDIO_N, seed=42, partitions=32)
+    return pack_audit(utterances(df), (50, 100, 150), dur_col="dur_ms")
+
+
 def q_audio_len_check(spark, sf_dir):
     """PCM byte-length consistency as a NATIVE cross-column validation:
     length(bytes) == 2 * (sr_hz * dur_ms div 1000), fused into the same
@@ -3907,6 +3924,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_silence": q_audio_frame_silence,
         "audio_trim_bounds": q_audio_trim_bounds,
         "audio_utterances": q_audio_utterances,
+        "pipeline_asr_prep": q_pipeline_asr_prep,
         "audio_len_check": q_audio_len_check,
         "audio_fingerprint_dup": q_audio_fingerprint_dup,
         "audio_incremental_dup": q_audio_incremental_dup,
@@ -7375,6 +7393,33 @@ SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
        CAST(lead * 10 AS BIGINT) AS start_ms,
        CAST((nf - lead) * 10 AS BIGINT) AS dur_ms
 FROM k WHERE cls != 0 AND nf - lead > 0
+""".format(fields=_audio_fields_sql(AUDIO_N)),
+        # the utterances closed form (spans per injection class) feeding
+        # the pack_audit replay: CASE ladder over UTTERANCE durations,
+        # one agg, exact pad arithmetic
+        "pipeline_asr_prep": """
+{fields},
+k AS (SELECT i, cls,
+             CASE WHEN cls = 3 THEN (n // 2) // fl ELSE n // fl END AS nf,
+             CASE WHEN cls = 2 THEN (n // 2) // fl ELSE 0 END AS lead
+      FROM g),
+u AS (SELECT (nf - lead) * 10 AS dur
+      FROM k WHERE cls != 0 AND nf - lead > 0),
+b AS (SELECT dur,
+             CASE WHEN dur <= 50 THEN 50 WHEN dur <= 100 THEN 100
+                  WHEN dur <= 150 THEN 150 ELSE NULL END AS bucket_ms
+      FROM u),
+gg AS (SELECT bucket_ms, CAST(count(*) AS BIGINT) AS n_clips,
+              CAST(sum(dur) AS BIGINT) AS sum_dur_ms
+       FROM b GROUP BY bucket_ms)
+SELECT CAST(bucket_ms AS BIGINT) AS bucket_ms, n_clips, sum_dur_ms,
+       CASE WHEN bucket_ms IS NOT NULL
+            THEN CAST(bucket_ms * n_clips - sum_dur_ms AS BIGINT)
+            END AS pad_ms,
+       CASE WHEN bucket_ms IS NOT NULL
+            THEN CAST(((bucket_ms * n_clips - sum_dur_ms) * 1000000)
+                      // (bucket_ms * n_clips) AS BIGINT) END AS pad_ppm
+FROM gg
 """.format(fields=_audio_fields_sql(AUDIO_N)),
         "audio_len_check": """
 {fields}
