@@ -238,6 +238,33 @@ def main() -> None:
         "CodegenFallback in the melt projection.",
         plan_of(concentration_profile(ev, ["event_type", "user_id"]))))
 
+    from pandasschema_spark.operators.profile import format_mask_profile
+    from pandasschema_spark.operators.referential import inclusion_profile
+    orders = spark.read.parquet(sf_dir + "/orders.parquet")
+    cust = spark.read.parquet(sf_dir + "/customer.parquet")
+
+    sections.append((
+        "Format-mask profile (scan-side codegen masks, window over the "
+        "aggregate only)",
+        "Claims: the regexp mask chain runs INSIDE the scan projection "
+        "(`Generate explode` of pre-masked structs — raw values never "
+        "shuffle); `partial_count` map-side combine; the single `Window` "
+        "sits ABOVE the final `HashAggregate`, over the O(masks) frame.",
+        plan_of(format_mask_profile(
+            orders, ["o_orderstatus", "o_orderpriority"]))))
+
+    sections.append((
+        "Inclusion-dependency discovery (distinct melt -> collect_set -> "
+        "diagonal broadcasts)",
+        "Claims: one melt scan per table; `partial_collect_set`/object "
+        "hash agg dedups per value map-side (a hot value costs p "
+        "entries); pair expansion is chained `Generate explode` (codegen,"
+        " never a HOF lambda); the O(p) diagonal joins back as TWO "
+        "`BroadcastHashJoin`s — no SortMergeJoin anywhere.",
+        plan_of(inclusion_profile([
+            ("orders", orders, ["o_custkey"]),
+            ("customer", cust, ["c_custkey", "c_nationkey"])]))))
+
     md = ["# PLANS — executed physical plans of headline operators",
           "",
           "Generated by `python tools/plan_report.py` at `{}`. These are the"
