@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "drift_chi2_by",
     "text_boilerplate",
     "dedup_canonical",
+    "stats_format_mask",
+    "fk_discovery",
 ]
 
 
