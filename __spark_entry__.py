@@ -2207,6 +2207,34 @@ def q_sample_budget(spark, sf_dir):
     return apportion_budget(w, "value", "weight", 1_000_000_000)
 
 
+def q_pipeline_quota_sample(spark, sf_dir):
+    """Composed exact-mixing pipeline (§2.5): temperature weights
+    (E154) -> Hamilton quotas for a 1000-row budget (E159) -> exact
+    per-cohort selection of the quota rows whose md5(event_id) sorts
+    first (quota_sample, the head_per_group order key). Output per
+    cohort: (value, quota, n_selected, sum_ids) — sum_ids attests
+    WHICH rows were picked, not just how many, so a drift in the
+    weights, the apportionment, the md5 ranking OR the tie rule moves
+    a number. Quota-0 cohorts survive as zero rows (left join from the
+    quota frame — the gate must not assume every cohort draws)."""
+    from pandasschema_spark.operators.sampling import (
+        apportion_budget, quota_sample, temperature_weights)
+
+    ev = _t(spark, sf_dir, "events")
+    w = temperature_weights(ev, "event_type").select("value", "weight")
+    quotas = apportion_budget(w, "value", "weight", 1000)
+    sel = quota_sample(ev, "event_type", "event_id", quotas)
+    agg = (sel.groupBy(F.col("event_type").alias("value"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_selected"),
+                F.sum("event_id").cast("long").alias("sum_ids")))
+    return (quotas.select("value", "quota").join(agg, "value", "left")
+            .select("value", "quota",
+                    F.coalesce(F.col("n_selected"), F.lit(0))
+                     .cast("long").alias("n_selected"),
+                    F.coalesce(F.col("sum_ids"), F.lit(0))
+                     .cast("long").alias("sum_ids")))
+
+
 def q_class_balance(spark, sf_dir):
     """Dataset class-balance check: per-event-type share in integer ppm
     (cnt*1e6 div total) — the imbalance gate a training mix is
@@ -3752,6 +3780,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "pipeline_schema_bootstrap": q_pipeline_schema_bootstrap,
         "dedup_snapshot_overlap": q_dedup_snapshot_overlap,
+        "pipeline_quota_sample": q_pipeline_quota_sample,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -5727,6 +5756,48 @@ SELECT value, CAST(weight AS BIGINT) AS weight,
        CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000
             // 1000000000 AS BIGINT) AS quota_ppm
 FROM r, l
+""",
+        # the sample_budget Hamilton replay at budget 1000, then the
+        # exact per-cohort selection: md5(event_id) rank within cohort,
+        # keep rk <= quota, counts + id sums attest the chosen SET;
+        # left join keeps quota-0 cohorts as zero rows
+        "pipeline_quota_sample": """
+WITH c AS (SELECT event_type AS value, count(*) AS n_rows FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+s0 AS (SELECT value, n_rows,
+              CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS s
+       FROM c),
+s1 AS (SELECT value, n_rows,
+              s - CASE WHEN CAST(s AS HUGEINT) * s > n_rows THEN 1 ELSE 0 END AS s
+       FROM s0),
+s2 AS (SELECT value,
+              s + CASE WHEN CAST(s + 1 AS HUGEINT) * (s + 1) <= n_rows
+                       THEN 1 ELSE 0 END AS weight
+       FROM s1),
+t AS (SELECT sum(CAST(weight AS HUGEINT)) AS w FROM s2),
+q AS (SELECT value, weight,
+             (CAST(1000 AS HUGEINT) * weight) // w AS base,
+             (CAST(1000 AS HUGEINT) * weight) % w AS rem
+      FROM s2, t),
+l AS (SELECT 1000 - sum(base) AS leftover FROM q),
+r AS (SELECT value, base,
+             row_number() OVER (ORDER BY rem DESC, value ASC) AS rk
+      FROM q),
+qq AS (SELECT value,
+              base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+       FROM r, l),
+rnk AS (SELECT event_type AS value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR))) AS erk
+        FROM events
+        WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+sel AS (SELECT rnk.value, event_id
+        FROM rnk JOIN qq ON rnk.value = qq.value WHERE erk <= quota)
+SELECT qq.value, CAST(qq.quota AS BIGINT) AS quota,
+       CAST(count(sel.event_id) AS BIGINT) AS n_selected,
+       CAST(COALESCE(sum(sel.event_id), 0) AS BIGINT) AS sum_ids
+FROM qq LEFT JOIN sel ON qq.value = sel.value
+GROUP BY 1, 2
 """,
         "class_balance": """
 WITH c AS (SELECT event_type AS value, count(*) AS cnt FROM events

@@ -333,3 +333,42 @@ def apportion_budget(
                     " - pmod(CAST(quota AS decimal(38,0)) * 1000000, {b}))"
                     " / {b} AS long)".format(b=int(budget)))
                 if budget > 0 else F.lit(0).cast("long")))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quotas: DataFrame,
+    *,
+    value_col: str = "value",
+    quota_col: str = "quota",
+) -> DataFrame:
+    """Exact per-cohort quota sampling — the selection stage after
+    ``apportion_budget``: within each cohort, keep the ``quota`` rows
+    whose md5(id) sorts first (the ``head_per_group`` order key, so
+    reruns, retries and both engines pick row-for-row the same set;
+    fractional md5-bucket sampling hits a quota only in expectation —
+    this hits it exactly, short only when the cohort is smaller than
+    its quota). ``quotas`` is the O(cohorts) (value, quota) frame;
+    cohorts absent from it — including the NULL cohort, which
+    temperature_weights never emits — are unsampled by contract.
+    Returns the input columns plus ``rk``.
+
+    Scale shape: the O(cohorts) quota frame broadcasts; one exchange
+    on the group key + per-group sort (the head_per_group shape, same
+    hot-group note: pre-filter with an md5 threshold sized from
+    approximate counts when cohorts are unbounded, then rank exactly
+    — two-phase keeps the sort bounded without changing the set).
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    q = F.broadcast(quotas.select(
+        F.col(value_col).alias(group_col),
+        F.col(quota_col).alias("__q__")))
+    w = Window.partitionBy(group_col).orderBy(h)
+    return (df.where(F.col(id_col).isNotNull())
+            .join(q, group_col)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= F.col("__q__"))
+            .drop("__q__")
+            .withColumn("rk", F.col("rk").cast("long")))
