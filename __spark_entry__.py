@@ -5093,14 +5093,14 @@ WITH ms AS (
          sum(CASE WHEN regexp_matches(o_orderstatus, '^[+-]?[0-9]+$')
                   THEN 1 ELSE 0 END) AS int_s,
          sum(CASE WHEN regexp_matches(o_orderstatus,
-                  '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                  '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
                   THEN 1 ELSE 0 END) AS date_s,
          count(o_orderpriority) AS nn_p,
          count(DISTINCT o_orderpriority) AS nd_p,
          sum(CASE WHEN regexp_matches(o_orderpriority, '^[+-]?[0-9]+$')
                   THEN 1 ELSE 0 END) AS int_p,
          sum(CASE WHEN regexp_matches(o_orderpriority,
-                  '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                  '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
                   THEN 1 ELSE 0 END) AS date_p,
          count(o_totalprice) AS nn_t,
          min(o_totalprice) AS mn_t, max(o_totalprice) AS mx_t
