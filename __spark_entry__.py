@@ -1651,6 +1651,21 @@ def q_label_noise(spark, sf_dir):
     return label_agreement(emb, queries, k=ANN_K)
 
 
+def q_ann_hyperplane_sig(spark, sf_dir):
+    """Sign-random-projection signatures (operators/similarity.py
+    hyperplane_signature, §2.5): 48 deterministic md5-derived
+    hyperplanes, components quantized floor(v*1e6) before any
+    arithmetic, so every plane sum is an exact integer and the
+    signature attests BIT-FOR-BIT across engines — the train-free
+    cosine-LSH blocking key (banding/candidates are pytest's job;
+    this gate locks the core signature math every band depends on)."""
+    from pandasschema_spark.operators.similarity import (
+        hyperplane_signature)
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return hyperplane_signature(emb, 64, n_planes=48)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
@@ -3781,6 +3796,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_schema_bootstrap": q_pipeline_schema_bootstrap,
         "dedup_snapshot_overlap": q_dedup_snapshot_overlap,
         "pipeline_quota_sample": q_pipeline_quota_sample,
+        "ann_hyperplane_sig": q_ann_hyperplane_sig,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -7082,6 +7098,31 @@ ranked AS (
 SELECT query_id, vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
 FROM ranked WHERE r <= 10
 """.format(cos=_cos_sql("e.embedding", "q.qv")),
+        # identical plane derivation (md5 first-hex-char sign), the
+        # drift-oracle generate_series dim explosion, floor-quantized
+        # integer sums, bit p set when the sum is >= 0
+        "ann_hyperplane_sig": """
+WITH pl AS (
+  SELECT p, d,
+         CASE WHEN substr(md5('hp:' || CAST(p AS VARCHAR) || ':'
+                           || CAST(d AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(48) t(p), range(64) u(d)),
+base AS (
+  SELECT vec_id, gs.d - 1 AS d,
+         CAST(floor(CAST(embedding[gs.d] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) AS gs(d)
+  WHERE vec_id < 200 AND embedding IS NOT NULL),
+s AS (SELECT vec_id, p, sum(sgn * q) AS s
+      FROM base JOIN pl ON base.d = pl.d GROUP BY 1, 2)
+SELECT vec_id,
+       CAST(sum(CASE WHEN s >= 0
+                     THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                     ELSE 0 END) AS BIGINT) AS sig
+FROM s GROUP BY 1
+""",
         # the ann ranking replayed (same cosine fold, same (cos desc,
         # vec_id) tie order, self excluded), then the neighborhood vote:
         # majority via (count desc, label asc) row_number — the

@@ -704,3 +704,130 @@ def label_agreement(
                "n_neighbors"))
     return out.withColumn(
         "suspect", F.col("majority_label") != F.col("own_label"))
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 48,
+    quant: int = 1_000_000,
+    salt: str = "hp",
+) -> DataFrame:
+    """Sign-random-projection (cosine LSH) signature per vector — the
+    TRAIN-FREE blocking key for embedding near-dup at corpus scale
+    (ivf_topk needs a centroid-training pass; this needs nothing):
+    bit p of the signature is the side of deterministic hyperplane p
+    the vector falls on, planes derived from md5(salt:p:dim) signs
+    (+1 when the first hex char is 0-7), so two engines build
+    byte-identical planes with no RNG and no stored model. Vectors
+    with cosine near 1 agree on almost all bits (P(bit differs) =
+    angle/pi — Charikar's SimHash for real vectors; the text simhash64
+    is the same construction over gram hashes).
+
+    Components quantize floor(v * quant) BEFORE any arithmetic (the
+    embedding_centroid_drift rule: float->double exact, double multiply
+    + floor IEEE-identical), so every plane sum is an exact integer and
+    a signature can be attested bit-for-bit across engines. A zero sum
+    counts as positive (>= 0) — deterministic both sides. NULL
+    embeddings are excluded; ``dim`` is the caller's contract
+    (embedding_validate is the gate that enforces it). n_planes <= 62
+    keeps the signature a positive int64.
+
+    Scale shape at 10^12 vectors: the P x dim sign table (<= ~4k rows)
+    BROADCASTS against the posexplode'd (id, dim, q) frame — the only
+    exchanges are the map-side-combined (id, plane) sum agg and the
+    O(id) signature rollup; per-row md5 work is ZERO (signs live in the
+    broadcast, never recomputed per vector).
+    """
+    if not (1 <= n_planes <= 62):
+        raise ValueError("n_planes must be in [1, 62]")
+    if dim < 1 or quant < 1:
+        raise ValueError("dim and quant must be >= 1")
+    spark = df.sparkSession
+    planes = (spark.range(n_planes).select(F.col("id").alias("__p__"))
+              .crossJoin(spark.range(dim).select(F.col("id").alias("__d__")))
+              .select("__p__", "__d__",
+                      F.when(F.substring(F.md5(F.encode(F.concat_ws(
+                          ":", F.lit(salt), F.col("__p__"),
+                          F.col("__d__")), "UTF-8")), 1, 1)
+                          .isin(*"01234567"),
+                          F.lit(1)).otherwise(F.lit(-1))
+                      .cast("long").alias("__sign__")))
+    base = (df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col),
+                    F.posexplode(vec_col).alias("__d__", "__v__"))
+            .select(id_col, "__d__",
+                    F.floor(F.col("__v__").cast("double") * quant)
+                     .cast("long").alias("__q__")))
+    sums = (base.join(F.broadcast(planes), "__d__")
+            .groupBy(id_col, "__p__")
+            .agg(F.sum(F.col("__sign__") * F.col("__q__")).alias("__s__")))
+    return (sums.groupBy(id_col)
+            .agg(F.sum(F.when(
+                F.col("__s__") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p__ AS INT))"))
+                .otherwise(F.lit(0).cast("long"))).cast("long").alias("sig")))
+
+
+def cosine_lsh_candidates(
+    df: DataFrame,
+    dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 48,
+    chunk_bits: int = 16,
+    quant: int = 1_000_000,
+    salt: str = "hp",
+    max_bucket: typing.Optional[int] = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs from hyperplane signatures: pairs
+    agreeing on >= 1 of the signature's ``chunk_bits``-bit chunks (the
+    simhash_candidates Hamming-ball banding — 48 planes / 16-bit chunks
+    catches every pair within Hamming distance 2, i.e. near-parallel
+    vectors). Candidates ONLY — verify with exact cosine
+    (``cosine_topk`` / a threshold compare) before acting; precision is
+    the verifier's job, this stage buys the O(n^2) -> O(collisions)
+    reduction without IVF's training pass.
+
+    Hot chunks (degenerate corpora: many zero vectors, constant
+    embeddings) are capped by the house rule — groupBy-count +
+    broadcast anti-join at ``max_bucket`` members per (chunk_idx,
+    value); None = exact. The signature frame persists (two consumers);
+    release via operators.dedup.release_cached(result).
+    """
+    if n_planes % chunk_bits != 0:
+        raise ValueError("n_planes must be a multiple of chunk_bits")
+    from pyspark import StorageLevel
+
+    from .dedup import _attach_cached
+
+    sigs = hyperplane_signature(
+        df, dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        quant=quant, salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
+    n_chunks = n_planes // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("sig"), i * chunk_bits)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(n_chunks)])).alias("chunk_idx", "chunk_val"))
+    if max_bucket is not None:
+        hot = (chunked.groupBy("chunk_idx", "chunk_val")
+               .agg(F.count(F.lit(1)).alias("__n__"))
+               .where(F.col("__n__") > int(max_bucket))
+               .select("chunk_idx", "chunk_val"))
+        chunked = chunked.join(F.broadcast(hot),
+                               ["chunk_idx", "chunk_val"], "left_anti")
+    a = chunked.select("chunk_idx", "chunk_val",
+                       F.col(id_col).alias("id_a"))
+    b = chunked.select("chunk_idx", "chunk_val",
+                       F.col(id_col).alias("id_b"))
+    out = (a.join(b, ["chunk_idx", "chunk_val"])
+           .where(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct())
+    return _attach_cached(out, [sigs])
