@@ -1666,6 +1666,41 @@ def q_ann_hyperplane_sig(spark, sf_dir):
     return hyperplane_signature(emb, 64, n_planes=48)
 
 
+def q_pipeline_embed_dedup(spark, sf_dir):
+    """Composed train-free embedding dedup (§2.5): cosine-LSH banding
+    (E166) proposes candidates, the exact left-fold cosine verifies at
+    >= 0.9 — the full blocking->verify user story with no IVF training
+    pass. Exact copies planted in-query (vec_id+10000, SAME embedding:
+    identical signatures, so ALL chunks match and recall on the plant
+    is structural, not probabilistic); natural chunk collisions are
+    re-derived and cosine-filtered identically in both engines. The
+    threshold compares on floor(cos*1e6) so no float boundary crosses
+    engines. Runs uncapped per the dedup_window/None convention (the
+    capped default is the production path; the cap rule is
+    pytest-locked in test_cosine_lsh)."""
+    from pandasschema_spark.operators.dedup import _attach_cached
+    from pandasschema_spark.operators.similarity import (
+        cosine_lsh_candidates, dot_expr, norm_expr)
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300) \
+        .select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    cands = cosine_lsh_candidates(corpus, 64, n_planes=48, chunk_bits=16,
+                                  max_bucket=None)
+    va = corpus.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("__va__"))
+    vb = corpus.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("__vb__"))
+    cos = (dot_expr(F.col("__va__"), F.col("__vb__"))
+           / (norm_expr(F.col("__va__")) * norm_expr(F.col("__vb__"))))
+    out = (cands.join(va, "id_a").join(vb, "id_b")
+           .select("id_a", "id_b",
+                   F.floor(cos * 1e6).cast("long").alias("cos_e6"))
+           .where(F.col("cos_e6") >= 900_000))
+    return _attach_cached(out, getattr(cands, "_psf_cached", []))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
@@ -3797,6 +3832,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snapshot_overlap": q_dedup_snapshot_overlap,
         "pipeline_quota_sample": q_pipeline_quota_sample,
         "ann_hyperplane_sig": q_ann_hyperplane_sig,
+        "pipeline_embed_dedup": q_pipeline_embed_dedup,
         "pipeline_corpus_curation": q_pipeline_corpus_curation,
         "dedup_canonical": q_dedup_canonical,
         "text_boilerplate": q_text_boilerplate,
@@ -7123,6 +7159,46 @@ SELECT vec_id,
                      ELSE 0 END) AS BIGINT) AS sig
 FROM s GROUP BY 1
 """,
+        # the full blocking->verify replay: the ann_hyperplane_sig
+        # derivation over the union corpus (exact copies at +10000),
+        # 16-bit chunk banding, distinct pairs, then the left-fold
+        # cosine with the floor(1e6) integer threshold
+        "pipeline_embed_dedup": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+corpus AS (SELECT vec_id, embedding FROM e
+           UNION ALL SELECT vec_id + 10000, embedding FROM e),
+pl AS (
+  SELECT p, d,
+         CASE WHEN substr(md5('hp:' || CAST(p AS VARCHAR) || ':'
+                           || CAST(d AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(48) t(p), range(64) u(d)),
+base AS (
+  SELECT vec_id, gs.d - 1 AS d,
+         CAST(floor(CAST(embedding[gs.d] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM corpus, generate_series(1, 64) AS gs(d)),
+s AS (SELECT vec_id, p, sum(sgn * q) AS s
+      FROM base JOIN pl ON base.d = pl.d GROUP BY 1, 2),
+sig AS (SELECT vec_id,
+               sum(CASE WHEN s >= 0
+                        THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                        ELSE 0 END) AS sg
+        FROM s GROUP BY 1),
+ch AS (SELECT vec_id, i AS chunk_idx,
+              (sg >> CAST(16 * i AS INT)) & 65535 AS chunk_val
+       FROM sig, range(3) r(i)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM ch a JOIN ch b
+           ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         WHERE a.vec_id < b.vec_id),
+v AS (SELECT cand.id_a, cand.id_b, {cos} AS cos
+      FROM cand JOIN corpus ea ON ea.vec_id = cand.id_a
+                JOIN corpus eb ON eb.vec_id = cand.id_b)
+SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+FROM v WHERE floor(cos * 1000000) >= 900000
+""".format(cos=_cos_sql("ea.embedding", "eb.embedding")),
         # the ann ranking replayed (same cosine fold, same (cos desc,
         # vec_id) tie order, self excluded), then the neighborhood vote:
         # majority via (count desc, label asc) row_number — the
