@@ -2083,9 +2083,12 @@ def q_audio_incremental_dup(spark, sf_dir):
     offset 5 is odd, so the full planted set must surface as cross
     pairs with the store/new sides resolved by parity. Attests
     incremental == batch-over-union restricted to cross pairs (the
-    dedup_incremental equality): identical fingerprint rule, union
-    bucket cap, SNR verify. snr_centi_db is float-derived so the
-    oracle projection keeps the pair ids only."""
+    dedup_incremental equality): identical fingerprint rule, SNR
+    verify. Runs max_bucket=None because the closed-form oracle is
+    uncapped (the dedup_window/None rule — a cap must never bind only
+    at untested SFs); the capped default is the production path,
+    pytest-locked in test_audio_incremental. snr_centi_db is
+    float-derived so the oracle projection keeps the pair ids only."""
     from pandasschema_spark.operators.audio import (
         acoustic_incremental_pairs, spectral_fingerprint)
     from pandasschema_spark.sources.datagen import near_dup_clips_df
@@ -2094,7 +2097,7 @@ def q_audio_incremental_dup(spark, sf_dir):
     store = df.where(F.col("row_ord") % 2 == 0)
     new = df.where(F.col("row_ord") % 2 == 1)
     return acoustic_incremental_pairs(
-        spectral_fingerprint(store), store, new) \
+        spectral_fingerprint(store), store, new, max_bucket=None) \
         .select("clip_store", "clip_new")
 
 
@@ -7150,7 +7153,8 @@ base AS (
          CAST(floor(CAST(embedding[gs.d] AS DOUBLE) * 1000000)
               AS BIGINT) AS q
   FROM embeddings, generate_series(1, 64) AS gs(d)
-  WHERE vec_id < 200 AND embedding IS NOT NULL),
+  WHERE vec_id < 200 AND embedding IS NOT NULL
+    AND len(embedding) = 64),
 s AS (SELECT vec_id, p, sum(sgn * q) AS s
       FROM base JOIN pl ON base.d = pl.d GROUP BY 1, 2)
 SELECT vec_id,
@@ -7178,7 +7182,8 @@ base AS (
   SELECT vec_id, gs.d - 1 AS d,
          CAST(floor(CAST(embedding[gs.d] AS DOUBLE) * 1000000)
               AS BIGINT) AS q
-  FROM corpus, generate_series(1, 64) AS gs(d)),
+  FROM corpus, generate_series(1, 64) AS gs(d)
+  WHERE embedding IS NOT NULL AND len(embedding) = 64),
 s AS (SELECT vec_id, p, sum(sgn * q) AS s
       FROM base JOIN pl ON base.d = pl.d GROUP BY 1, 2),
 sig AS (SELECT vec_id,

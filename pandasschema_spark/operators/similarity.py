@@ -672,33 +672,46 @@ def label_agreement(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # cosine_topk's output columns are always (query_id, vec_id, cos)
+    # regardless of the input column names — rename here so caller
+    # names flow through correctly
     nbrs = cosine_topk(df, queries, id_col=id_col, vec_col=vec_col,
                        query_id_col=query_id_col,
                        query_vec_col=query_vec_col, k=k, impl=impl) \
-        .select(query_id_col, id_col)
-    labeled = (df.select(F.col(id_col), F.col(label_col).alias("__nl__"))
-               .join(F.broadcast(nbrs), id_col))
-    votes = (labeled.groupBy(query_id_col, "__nl__")
+        .select(F.col("query_id").alias("__qid__"),
+                F.col("vec_id").alias("__nid__"))
+    labeled = (df.select(F.col(id_col).alias("__nid__"),
+                         F.col(label_col).alias("__nl__"))
+               .join(F.broadcast(nbrs), "__nid__"))
+    votes = (labeled.groupBy("__qid__", "__nl__")
              .agg(F.count(F.lit(1)).alias("__c__")))
-    per_q = (votes.groupBy(query_id_col).agg(
-        F.max(F.struct(F.col("__c__"),
-                       (-F.col("__nl__").cast("long")).alias("__negl__")))
-         .alias("__m__"),
-        F.sum("__c__").cast("long").alias("n_neighbors")))
-    own = queries.select(F.col(query_id_col),
+    tot = votes.groupBy("__qid__").agg(
+        F.sum("__c__").cast("long").alias("n_neighbors"),
+        F.max("__c__").alias("__cmax__"))
+    # smallest label among the count-tied winners — min() is generic
+    # over any orderable label type (ints AND strings), unlike a
+    # negate-and-max trick which NULLs out non-numerics
+    maj = (votes.join(F.broadcast(tot.select("__qid__", "__cmax__")),
+                      "__qid__")
+           .where(F.col("__c__") == F.col("__cmax__"))
+           .groupBy("__qid__")
+           .agg(F.min("__nl__").alias("majority_label")))
+    own = queries.select(F.col(query_id_col).alias("__qid__"),
                          F.col(label_col).alias("own_label"))
-    same = (labeled.join(F.broadcast(own), query_id_col)
+    # n_same reads straight off the aggregated votes frame — never a
+    # second corpus scan
+    same = (votes.join(F.broadcast(own), "__qid__")
             .where(F.col("__nl__") == F.col("own_label"))
-            .groupBy(query_id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_same")))
-    out = (per_q.join(F.broadcast(own), query_id_col)
-           .join(F.broadcast(same), query_id_col, "left")
+            .groupBy("__qid__")
+            .agg(F.sum("__c__").cast("long").alias("n_same")))
+    out = (tot.select("__qid__", "n_neighbors")
+           .join(F.broadcast(own), "__qid__")
+           .join(F.broadcast(maj), "__qid__")
+           .join(F.broadcast(same), "__qid__", "left")
            .select(
-               query_id_col,
+               F.col("__qid__").alias(query_id_col),
                "own_label",
-               (-F.col("__m__.__negl__")).cast(
-                   df.schema[label_col].dataType.simpleString())
-                .alias("majority_label"),
+               "majority_label",
                F.coalesce(F.col("n_same"), F.lit(0)).cast("long")
                 .alias("n_same"),
                "n_neighbors"))
@@ -732,9 +745,11 @@ def hyperplane_signature(
     + floor IEEE-identical), so every plane sum is an exact integer and
     a signature can be attested bit-for-bit across engines. A zero sum
     counts as positive (>= 0) — deterministic both sides. NULL
-    embeddings are excluded; ``dim`` is the caller's contract
-    (embedding_validate is the gate that enforces it). n_planes <= 62
-    keeps the signature a positive int64.
+    embeddings AND vectors whose length != ``dim`` are excluded (an
+    empty or short vector has no defensible signature, and a silent
+    posexplode drop would diverge from any fixed-dim replay —
+    embedding_validate is the gate that FLAGS them first). n_planes
+    <= 62 keeps the signature a positive int64.
 
     Scale shape at 10^12 vectors: the P x dim sign table (<= ~4k rows)
     BROADCASTS against the posexplode'd (id, dim, q) frame — the only
@@ -756,7 +771,8 @@ def hyperplane_signature(
                           .isin(*"01234567"),
                           F.lit(1)).otherwise(F.lit(-1))
                       .cast("long").alias("__sign__")))
-    base = (df.where(F.col(vec_col).isNotNull())
+    base = (df.where(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == int(dim)))
             .select(F.col(id_col),
                     F.posexplode(vec_col).alias("__d__", "__v__"))
             .select(id_col, "__d__",

@@ -79,3 +79,11 @@ def test_guards_and_plan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("md5") <= 2 * 16 * DIM, "md5 must not be per-row"
+
+
+def test_dim_mismatch_vectors_are_excluded(spark):
+    # regression: an empty or short vector has no defensible signature;
+    # a silent posexplode drop would diverge from fixed-dim replays
+    df = _emb(spark, [(0, [1.0] * DIM), (1, []), (2, [1.0] * (DIM - 1))])
+    rows = hyperplane_signature(df, DIM, n_planes=16).collect()
+    assert {r["vec_id"] for r in rows} == {0}

@@ -65,3 +65,24 @@ def test_guard_and_plan(spark):
     # votes/majority are aggregates, never a data-scale window sort
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_string_labels_and_custom_column_names(spark):
+    # regression: the tie-break must be generic over orderable label
+    # types, and caller column names must flow through cosine_topk's
+    # hardcoded output names
+    rows = [(0, [1.0, 0.0], "dog"),
+            (1, [1.0, 0.001], "cat"), (2, [1.0, 0.002], "cat"),
+            (3, [1.0, 0.003], "bird"), (4, [1.0, 0.004], "bird")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, emb array<float>, cls string")
+    queries = (df.where(F.col("doc_id") == 0)
+               .select(F.col("doc_id").alias("qid"),
+                       F.col("emb").alias("qv"), "cls"))
+    row, = label_agreement(
+        df, queries, id_col="doc_id", vec_col="emb", label_col="cls",
+        query_id_col="qid", query_vec_col="qv", k=4).collect()
+    # 2-2 tie between 'cat' and 'bird' -> smallest string wins
+    assert row["majority_label"] == "bird"
+    assert row["own_label"] == "dog" and row["suspect"]
+    assert row["n_same"] == 0 and row["n_neighbors"] == 4

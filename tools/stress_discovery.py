@@ -63,7 +63,8 @@ def main() -> None:
     rows = inclusion_profile(
         [("child", child, ["id", "fk"]), ("parent", parent, ["pid"])],
     ).collect()
-    out["inclusion_sec"] = round(time.time() - t0, 1)
+    t_inc = time.time() - t0
+    out["inclusion_sec"] = round(t_inc, 1)
     got = {(r["col_a"], r["col_b"]): r for r in rows}
     fkp = got[("child.fk", "parent.pid")]
     assert fkp["containment_ppm"] == 1_000_000, fkp  # planted FK
@@ -78,7 +79,8 @@ def main() -> None:
         .alias("s"))
     t0 = time.time()
     masks = format_mask_profile(strings, ["s"]).collect()
-    out["mask_sec"] = round(time.time() - t0, 1)
+    t_mask = time.time() - t0
+    out["mask_sec"] = round(t_mask, 1)
     assert {r["mask"] for r in masks} == {"A-9@A9"}, masks
     assert sum(r["n_rows"] for r in masks) == n
 
@@ -89,13 +91,14 @@ def main() -> None:
     t0 = time.time()
     cnt = (quota_sample(ev, "g", "id", quotas)
            .groupBy("g").count().collect())
-    out["quota_sec"] = round(time.time() - t0, 1)
+    t_q = time.time() - t0
+    out["quota_sec"] = round(t_q, 1)
     assert {r["g"]: r["count"] for r in cnt} == \
         {str(i): 10_000 for i in range(5)}, cnt
 
-    out["inclusion_rows_per_sec"] = int(n / out["inclusion_sec"])
-    out["mask_rows_per_sec"] = int(n / out["mask_sec"])
-    out["quota_rows_per_sec"] = int(n / out["quota_sec"])
+    # divide by raw elapsed (rounded values can be 0.0 on fast runs)
+    for k, sec in (("inclusion", t_inc), ("mask", t_mask), ("quota", t_q)):
+        out[k + "_rows_per_sec"] = int(n / max(sec, 1e-6))
     print(json.dumps(out))
     spark.stop()
 
