@@ -3485,6 +3485,27 @@ def q_stats_format_mask(spark, sf_dir):
         "variant", "column", "mask", "n_rows", "share_ppm")
 
 
+def q_key_discovery(spark, sf_dir):
+    """Candidate-key discovery (operators/colstats.py key_discovery,
+    §2.5): which column sets uniquely identify orders rows — the third
+    profiling leg next to fd_profile and inclusion_profile.
+    o_orderkey must read is_key; o_custkey / o_orderstatus read their
+    true uniqueness shortfall in ppm; the composite (o_custkey,
+    o_orderdate) is data-decided. Plant-free: both engines re-derive
+    every distinct count (DuckDB count(DISTINCT (row)) == Spark's
+    expand-rewritten multi-countDistinct, both skipping
+    NULL-component rows)."""
+    from pandasschema_spark.operators.colstats import key_discovery
+
+    return key_discovery(_t(spark, sf_dir, "orders"), [
+        ["o_orderkey"],
+        ["o_custkey"],
+        ["o_orderstatus"],
+        ["o_custkey", "o_orderdate"],
+        ["o_custkey", "o_orderkey"],
+    ])
+
+
 def q_fk_discovery(spark, sf_dir):
     """Inclusion-dependency discovery (operators/referential.py
     inclusion_profile, §2.5): which column pairs stand in a subset
@@ -3829,6 +3850,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_concentration": q_stats_concentration,
         "stats_format_mask": q_stats_format_mask,
         "fk_discovery": q_fk_discovery,
+        "key_discovery": q_key_discovery,
         "sample_budget": q_sample_budget,
         "label_noise": q_label_noise,
         "pipeline_schema_bootstrap": q_pipeline_schema_bootstrap,
@@ -5262,6 +5284,53 @@ SELECT variant, "column", mask, CAST(n_rows AS BIGINT) AS n_rows,
             // sum(n_rows) OVER (PARTITION BY variant, "column")
             AS BIGINT) AS share_ppm
 FROM agg
+""",
+        # one stats pass, the same NULL rule both engines: a composite
+        # counts only rows with EVERY component non-null (the CASE-to-
+        # NULL-struct guard — DuckDB's bare (a,b) row is non-NULL even
+        # with NULL fields, Spark's countDistinct skips such rows)
+        "key_discovery": """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS d1, count(o_orderkey) AS u1,
+         count(DISTINCT o_custkey) AS d2, count(o_custkey) AS u2,
+         count(DISTINCT o_orderstatus) AS d3, count(o_orderstatus) AS u3,
+         count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                              AND o_orderdate IS NOT NULL
+                             THEN (o_custkey, o_orderdate) END) AS d4,
+         sum(CASE WHEN o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                  THEN 1 ELSE 0 END) AS u4,
+         count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                              AND o_orderkey IS NOT NULL
+                             THEN (o_custkey, o_orderkey) END) AS d5,
+         sum(CASE WHEN o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+                  THEN 1 ELSE 0 END) AS u5
+  FROM orders)
+SELECT 'o_orderkey' AS candidate, CAST(n AS BIGINT) AS n_rows,
+       CAST(u1 AS BIGINT) AS n_nonnull, CAST(d1 AS BIGINT) AS n_distinct,
+       CASE WHEN u1 > 0 THEN CAST(d1 * 1000000 // u1 AS BIGINT) END
+           AS unique_ppm,
+       (n > 0 AND u1 = n AND d1 = u1) AS is_key FROM s
+UNION ALL
+SELECT 'o_custkey', CAST(n AS BIGINT), CAST(u2 AS BIGINT),
+       CAST(d2 AS BIGINT),
+       CASE WHEN u2 > 0 THEN CAST(d2 * 1000000 // u2 AS BIGINT) END,
+       (n > 0 AND u2 = n AND d2 = u2) FROM s
+UNION ALL
+SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(u3 AS BIGINT),
+       CAST(d3 AS BIGINT),
+       CASE WHEN u3 > 0 THEN CAST(d3 * 1000000 // u3 AS BIGINT) END,
+       (n > 0 AND u3 = n AND d3 = u3) FROM s
+UNION ALL
+SELECT 'o_custkey+o_orderdate', CAST(n AS BIGINT), CAST(u4 AS BIGINT),
+       CAST(d4 AS BIGINT),
+       CASE WHEN u4 > 0 THEN CAST(d4 * 1000000 // u4 AS BIGINT) END,
+       (n > 0 AND u4 = n AND d4 = u4) FROM s
+UNION ALL
+SELECT 'o_custkey+o_orderkey', CAST(n AS BIGINT), CAST(u5 AS BIGINT),
+       CAST(d5 AS BIGINT),
+       CASE WHEN u5 > 0 THEN CAST(d5 * 1000000 // u5 AS BIGINT) END,
+       (n > 0 AND u5 = n AND d5 = u5) FROM s
 """,
         # identical melt -> distinct (col, v) -> co-occurrence counts;
         # the self-join form is value-equivalent to Spark's

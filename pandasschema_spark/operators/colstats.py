@@ -734,3 +734,69 @@ def concentration_profile(
                  F.max("c").cast("long").alias("c_max"),
                  F.floor(F.max("c").cast("decimal(38,0)") * 1_000_000 / n)
                   .cast("long").alias("top_share_ppm")))
+
+
+def key_discovery(
+    df: DataFrame,
+    candidates: typing.Sequence[typing.Sequence[str]],
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Candidate-key (unique column combination) discovery — the third
+    leg of the schema-profiling triad next to fd_profile (which columns
+    DETERMINE others) and inclusion_profile (which columns REFERENCE
+    others): for each candidate column set, is it a key, and how far
+    from one is it? Per candidate: (candidate, n_rows, n_nonnull,
+    n_distinct, unique_ppm, is_key) where n_nonnull counts rows with
+    EVERY component non-null (a row with a NULL component can never be
+    distinguished by the candidate, the SQL UNIQUE-constraint
+    convention — countDistinct skips those rows for the same reason),
+    unique_ppm = floor(n_distinct * denom / n_nonnull) (NULL when no
+    usable rows), and is_key = all rows usable AND all usable rows
+    distinct AND the table is non-empty. Feeds IsDistinctValidation /
+    composite-uniqueness contracts the way suggest_rules feeds value
+    checks.
+
+    Scale shape at 10^12 rows: ONE aggregation pass — Spark rewrites
+    the multi-countDistinct agg through an Expand (k-fold row
+    multiplication BEFORE map-side partial aggregation, the same shape
+    as the melt-profilers), so the exchange carries per-candidate
+    distinct groups, never occurrences, and no candidate triggers its
+    own scan. Exact counts (no sketch); for a quick screen over huge
+    wide tables run kmv_distinct per column first and only promote
+    plausible candidates. O(candidates) output built driver-side from
+    the single agg row (the suggest_rules convention).
+    """
+    cands = [list(c) for c in candidates]
+    if not cands or any(not c for c in cands):
+        raise ValueError("candidates must be non-empty column lists")
+    for c in cands:
+        missing = [x for x in c if x not in df.columns]
+        if missing:
+            raise ValueError("columns absent from frame: {}".format(missing))
+    labels = ["+".join(c) for c in cands]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate candidates: {}".format(labels))
+
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, cand in enumerate(cands):
+        usable = F.lit(True)
+        for col in cand:
+            usable = usable & F.col(col).isNotNull()
+        aggs.append(F.countDistinct(*[F.col(col) for col in cand])
+                    .alias("__d{}__".format(i)))
+        aggs.append(F.sum(F.when(usable, 1).otherwise(0))
+                    .cast("long").alias("__u{}__".format(i)))
+    row = df.agg(*aggs).collect()[0]
+
+    n = int(row["__n__"])
+    out = []
+    for i, label in enumerate(labels):
+        nd = int(row["__d{}__".format(i)] or 0)
+        nu = int(row["__u{}__".format(i)] or 0)
+        ppm = (nd * int(denom) // nu) if nu > 0 else None
+        out.append((label, n, nu, nd, ppm,
+                    n > 0 and nu == n and nd == nu))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "candidate string, n_rows long, n_nonnull long, "
+             "n_distinct long, unique_ppm long, is_key boolean")
