@@ -298,6 +298,19 @@ def apportion_budget(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    # Eager weight-domain guard (cheap by contract: the input is the
+    # O(cohorts) aggregate frame, never the corpus). Without it an
+    # all-zero total makes pmod(bw, 0) / the decimal division yield
+    # NULL quotas SILENTLY, and a negative weight corrupts the
+    # largest-remainder ordering — fail fast instead.
+    chk = df.agg(
+        F.min(F.col(weight_col).cast("long")).alias("__wmin__"),
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("__wsum__"),
+    ).collect()[0]
+    if chk["__wmin__"] is not None and chk["__wmin__"] < 0:
+        raise ValueError("apportion_budget: weights must be non-negative")
+    if chk["__wsum__"] is None or chk["__wsum__"] <= 0:
+        raise ValueError("apportion_budget: total weight must be > 0")
     w = F.col(weight_col).cast("decimal(38,0)")
     b = F.lit(int(budget)).cast("decimal(38,0)")
     base_frame = df.select(

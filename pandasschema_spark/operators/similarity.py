@@ -654,8 +654,14 @@ def label_agreement(
     (query_id, own_label, majority_label, n_same, n_neighbors, suspect)
     with majority ties broken toward the SMALLEST label (the
     ids-decide-ties rule — vote counts never let payload order decide)
-    and suspect = majority_label != own_label. All outputs are integer
-    counts and labels — cross-engine exact; the cosine ranking
+    and suspect = majority_label != own_label. Contract: query labels
+    must be NON-NULL — a NULL own_label makes ``suspect`` NULL (SQL
+    three-valued !=, neither True nor False), so a downstream
+    ``where(suspect)`` silently drops that query instead of flagging
+    it; filter or impute NULL-labeled queries BEFORE mining (the gated
+    oracle attests exactly this NULL-propagating semantics, so the
+    engine will not coalesce it away underneath you). All outputs are
+    integer counts and labels — cross-engine exact; the cosine ranking
     underneath has the same determinism contract as cosine_topk (arrow
     matmul vs fold agree on ranking for quantized corpora; impl='expr'
     is the bitwise mode).

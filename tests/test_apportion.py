@@ -55,6 +55,20 @@ def test_quota_ppm_and_guard(spark):
         apportion_budget(df, "value", "w", -1)
 
 
+def test_weight_domain_guard(spark):
+    # all-zero total previously produced silent NULL quotas (pmod by 0);
+    # negative weights corrupt the largest-remainder ordering
+    zeros = spark.createDataFrame([("a", 0), ("b", 0)], "value string, w long")
+    with pytest.raises(ValueError, match="total weight"):
+        apportion_budget(zeros, "value", "w", 100)
+    neg = spark.createDataFrame([("a", 5), ("b", -1)], "value string, w long")
+    with pytest.raises(ValueError, match="non-negative"):
+        apportion_budget(neg, "value", "w", 100)
+    empty = spark.createDataFrame([], "value string, w long")
+    with pytest.raises(ValueError, match="total weight"):
+        apportion_budget(empty, "value", "w", 100)
+
+
 def test_plan_is_cohort_frame_only(spark):
     df = spark.createDataFrame([("a", 1), ("b", 3)], "value string, w long")
     plan = apportion_budget(df, "value", "w", 100)._jdf.queryExecution() \
