@@ -37,6 +37,46 @@ def test_bloom_bitmap_partitioning_invariant(spark):
     assert b1 == b2
 
 
+def test_bloom_index_matrix_matches_hex_path():
+    """The vectorized (n, k) index matrix must reproduce the scalar
+    hex-chunk rule bit for bit — it IS the engine-portability contract
+    the DuckDB oracle replays (md5 hex chunk i == raw digest bytes
+    [4i, 4i+4) big-endian)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from pandasschema_spark.operators.referential import (
+        _bloom_index_matrix,
+        _bloom_indexes_hex,
+    )
+
+    vals = ["", "a", "hello world", "1234567890", "ünicøde", "None"]
+    for k in (1, 2, 3, 4):
+        mat = _bloom_index_matrix(vals, k, 4093)
+        assert mat.shape == (len(vals), k)
+        for row, v in zip(mat, vals):
+            h = hashlib.md5(v.encode("utf-8")).hexdigest()
+            assert list(row) == _bloom_indexes_hex(h, k, 4093), v
+    with _pytest.raises(ValueError, match="k <= 4"):
+        _bloom_index_matrix(vals, 5, 4093)
+
+
+def test_bloom_build_tree_combine_same_bitmap(spark):
+    """Forcing the many-partition tree-combine level (combine_above below
+    the partition count) must yield the identical bitmap as the direct
+    collect — the combine is pure OR re-association. This is the driver-
+    OOM guard for 10k-partition x GB-bitmap builds."""
+    from pandasschema_spark.operators.referential import BLOOM_COMBINE_ABOVE
+
+    dim = (spark.range(0, 2000).repartition(40)
+           .select(F.col("id").cast("string").alias("v")))
+    direct = build_bloom(dim, "v", n_bits=1 << 12, k=3)          # 40 <= 64
+    assert 40 <= BLOOM_COMBINE_ABOVE
+    treed = build_bloom(dim, "v", n_bits=1 << 12, k=3, combine_above=8)
+    assert direct == treed
+
+
 def test_bloom_screen_plan_no_join(spark):
     """The screen must be a single scan + Arrow filter — zero joins,
     zero exchanges on the fact side."""
