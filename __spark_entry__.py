@@ -5310,27 +5310,27 @@ SELECT 'o_orderkey' AS candidate, CAST(n AS BIGINT) AS n_rows,
        CAST(u1 AS BIGINT) AS n_nonnull, CAST(d1 AS BIGINT) AS n_distinct,
        CASE WHEN u1 > 0 THEN CAST(d1 * 1000000 // u1 AS BIGINT) END
            AS unique_ppm,
-       (n > 0 AND u1 = n AND d1 = u1) AS is_key FROM s
+       (n > 0 AND u1 = n AND d1 = u1) AS is_key, true AS exact FROM s
 UNION ALL
 SELECT 'o_custkey', CAST(n AS BIGINT), CAST(u2 AS BIGINT),
        CAST(d2 AS BIGINT),
        CASE WHEN u2 > 0 THEN CAST(d2 * 1000000 // u2 AS BIGINT) END,
-       (n > 0 AND u2 = n AND d2 = u2) FROM s
+       (n > 0 AND u2 = n AND d2 = u2), true FROM s
 UNION ALL
 SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(u3 AS BIGINT),
        CAST(d3 AS BIGINT),
        CASE WHEN u3 > 0 THEN CAST(d3 * 1000000 // u3 AS BIGINT) END,
-       (n > 0 AND u3 = n AND d3 = u3) FROM s
+       (n > 0 AND u3 = n AND d3 = u3), true FROM s
 UNION ALL
 SELECT 'o_custkey+o_orderdate', CAST(n AS BIGINT), CAST(u4 AS BIGINT),
        CAST(d4 AS BIGINT),
        CASE WHEN u4 > 0 THEN CAST(d4 * 1000000 // u4 AS BIGINT) END,
-       (n > 0 AND u4 = n AND d4 = u4) FROM s
+       (n > 0 AND u4 = n AND d4 = u4), true FROM s
 UNION ALL
 SELECT 'o_custkey+o_orderkey', CAST(n AS BIGINT), CAST(u5 AS BIGINT),
        CAST(d5 AS BIGINT),
        CASE WHEN u5 > 0 THEN CAST(d5 * 1000000 // u5 AS BIGINT) END,
-       (n > 0 AND u5 = n AND d5 = u5) FROM s
+       (n > 0 AND u5 = n AND d5 = u5), true FROM s
 """,
         # identical melt -> distinct (col, v) -> co-occurrence counts;
         # the self-join form is value-equivalent to Spark's

@@ -736,10 +736,33 @@ def concentration_profile(
                   .cast("long").alias("top_share_ppm")))
 
 
+#: auto-route bound for key_discovery: when len(candidates) * n_rows
+#: (the Expand's row-multiplication volume) exceeds this, a KMV screen
+#: prunes hopeless candidates before the exact multi-countDistinct pass.
+#: 8e9 cells ~= the point where a 32-slot local Expand stage visibly
+#: dominates the scan; on a cluster the same ratio holds per executor.
+KEY_SCREEN_CELL_BUDGET = 8_000_000_000
+#: candidate-count floor below which the route is never considered (the
+#: Expand factor is harmless and the unrouted path stays single-pass —
+#: no extra count() scan is paid).
+KEY_SCREEN_MIN_CANDIDATES = 8
+#: survival bar: a candidate stays in the exact pass when its KMV
+#: distinct estimate is >= this fraction (ppm) of n_rows. A true key has
+#: distinct == n_rows and KMV error at k=1024 is ~3%, so 50% is a wide
+#: safety margin — the screen can only drop candidates that are far
+#: from keys (their exact shortfall is then not reported; re-run them
+#: explicitly if the ppm matters).
+KEY_SCREEN_SURVIVE_PPM = 500_000
+
+
 def key_discovery(
     df: DataFrame,
     candidates: typing.Sequence[typing.Sequence[str]],
     denom: int = 1_000_000,
+    *,
+    screen_cell_budget: int = KEY_SCREEN_CELL_BUDGET,
+    screen_min_candidates: int = KEY_SCREEN_MIN_CANDIDATES,
+    screen_k: int = 1024,
 ) -> DataFrame:
     """Candidate-key (unique column combination) discovery — the third
     leg of the schema-profiling triad next to fd_profile (which columns
@@ -752,7 +775,9 @@ def key_discovery(
     convention — countDistinct skips those rows for the same reason),
     unique_ppm = floor(n_distinct * denom / n_nonnull) (NULL when no
     usable rows), and is_key = all rows usable AND all usable rows
-    distinct AND the table is non-empty. Feeds IsDistinctValidation /
+    distinct AND the table is non-empty, and exact = whether the row's
+    counts are exact (always true unless the KMV auto-route screened
+    the candidate out — see below). Feeds IsDistinctValidation /
     composite-uniqueness contracts the way suggest_rules feeds value
     checks.
 
@@ -761,10 +786,25 @@ def key_discovery(
     multiplication BEFORE map-side partial aggregation, the same shape
     as the melt-profilers), so the exchange carries per-candidate
     distinct groups, never occurrences, and no candidate triggers its
-    own scan. Exact counts (no sketch); for a quick screen over huge
-    wide tables run kmv_distinct per column first and only promote
-    plausible candidates. O(candidates) output built driver-side from
-    the single agg row (the suggest_rules convention).
+    own scan. O(candidates) output built driver-side from the single
+    agg row (the suggest_rules convention).
+
+    KMV auto-route (the documented mitigation, now the default): the
+    Expand multiplies every row by len(candidates), so at
+    >= ``screen_min_candidates`` candidates AND
+    len(candidates) * n_rows > ``screen_cell_budget`` cells the
+    operator first runs a kmv_distinct screen over one md5-composite
+    column per candidate (fixed-width per-component digests — no
+    separator-collision ambiguity; NULL when any component is NULL,
+    matching the usable-row rule) and exact-counts ONLY the survivors
+    (estimate >= KEY_SCREEN_SURVIVE_PPM of n_rows — a true key sits at
+    ~100% and KMV error is ~1/sqrt(k), so the screen never drops a
+    key). Screened-out candidates are reported with exact = false,
+    n_distinct = the KMV estimate, n_nonnull/unique_ppm = NULL and
+    is_key = false; re-run them explicitly when the exact shortfall
+    matters. The route costs one extra count() pass and the KMV scan,
+    and is never taken below ``screen_min_candidates`` — the narrow
+    single-pass plan (plan-locked) is unchanged there.
     """
     cands = [list(c) for c in candidates]
     if not cands or any(not c for c in cands):
@@ -777,8 +817,35 @@ def key_discovery(
     if len(set(labels)) != len(labels):
         raise ValueError("duplicate candidates: {}".format(labels))
 
+    screened: typing.Dict[str, int] = {}
+    exact_idx = list(range(len(cands)))
+    if len(cands) >= screen_min_candidates:
+        n_rows = df.count()
+        if len(cands) * n_rows > screen_cell_budget:
+            from .sketch import kmv_distinct
+
+            comp = []
+            for i, cand in enumerate(cands):
+                usable = F.lit(True)
+                for col in cand:
+                    usable = usable & F.col(col).isNotNull()
+                comp.append(F.when(usable, F.concat(*[
+                    F.md5(F.col(col).cast("string").cast("binary"))
+                    for col in cand])).alias("__cand{}__".format(i)))
+            est = {r["column"]: int(r["est_distinct"])
+                   for r in kmv_distinct(df.select(*comp),
+                                         ["__cand{}__".format(i)
+                                          for i in range(len(cands))],
+                                         k=screen_k).collect()}
+            exact_idx = [i for i in range(len(cands))
+                         if est["__cand{}__".format(i)] * 1_000_000
+                         >= KEY_SCREEN_SURVIVE_PPM * n_rows]
+            screened = {labels[i]: est["__cand{}__".format(i)]
+                        for i in range(len(cands)) if i not in set(exact_idx)}
+
     aggs = [F.count(F.lit(1)).alias("__n__")]
-    for i, cand in enumerate(cands):
+    for i in exact_idx:
+        cand = cands[i]
         usable = F.lit(True)
         for col in cand:
             usable = usable & F.col(col).isNotNull()
@@ -789,14 +856,19 @@ def key_discovery(
     row = df.agg(*aggs).collect()[0]
 
     n = int(row["__n__"])
+    exact_set = set(exact_idx)
     out = []
     for i, label in enumerate(labels):
-        nd = int(row["__d{}__".format(i)] or 0)
-        nu = int(row["__u{}__".format(i)] or 0)
-        ppm = (nd * int(denom) // nu) if nu > 0 else None
-        out.append((label, n, nu, nd, ppm,
-                    n > 0 and nu == n and nd == nu))
+        if i in exact_set:
+            nd = int(row["__d{}__".format(i)] or 0)
+            nu = int(row["__u{}__".format(i)] or 0)
+            ppm = (nd * int(denom) // nu) if nu > 0 else None
+            out.append((label, n, nu, nd, ppm,
+                        n > 0 and nu == n and nd == nu, True))
+        else:
+            out.append((label, n, None, screened[label], None, False, False))
     spark = df.sparkSession
     return spark.createDataFrame(
         out, "candidate string, n_rows long, n_nonnull long, "
-             "n_distinct long, unique_ppm long, is_key boolean")
+             "n_distinct long, unique_ppm long, is_key boolean, "
+             "exact boolean")

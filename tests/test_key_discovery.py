@@ -43,6 +43,57 @@ def test_empty_frame_and_all_null(spark):
         (0, None, False)
 
 
+def test_kmv_screen_auto_route(spark):
+    """Forced route (tiny cell budget, >= 8 candidates): the true key
+    survives the screen and stays exact; far-from-key candidates are
+    screened out with exact=false, the KMV estimate in n_distinct
+    (exact here — under k distinct values the k-set is the value set),
+    and NULL n_nonnull/unique_ppm."""
+    rows = [(i, i % 3, "c", i % 2, i % 5, i % 7, i % 11, i % 13)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "id long, a long, b string, c long, d long, e long, "
+              "f long, g long")
+    cands = [["id"], ["a"], ["b"], ["c"], ["d"], ["e"], ["f"], ["a", "d"]]
+    got = _rows(key_discovery(df, cands, screen_cell_budget=10))
+    key = got["id"]
+    assert key["exact"] and key["is_key"] and key["n_distinct"] == 400
+    assert key["unique_ppm"] == 1_000_000
+    expect_est = {"a": 3, "b": 1, "c": 2, "d": 5, "e": 7, "f": 11,
+                  "a+d": 15}
+    for label, est in expect_est.items():
+        r = got[label]
+        assert not r["exact"] and not r["is_key"], label
+        assert r["n_distinct"] == est, label
+        assert r["n_nonnull"] is None and r["unique_ppm"] is None, label
+        assert r["n_rows"] == 400, label
+    # below the candidate-count floor the route is never taken, even
+    # with a tiny budget — the single-pass plan (below) is unchanged
+    unrouted = _rows(key_discovery(df, cands[:3], screen_cell_budget=10))
+    assert all(r["exact"] for r in unrouted.values())
+    assert unrouted["a"]["n_nonnull"] == 400
+
+
+def test_kmv_screen_null_components(spark):
+    """A NULL component nulls the composite screen column (usable-row
+    rule) — the screen must not credit unusable rows with distinctness."""
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "x{}".format(i)) for i in range(200)],
+        "id long, g string")
+    # need >= 8 candidates to arm the route: pad with distinct aliases
+    df = df.selectExpr("*", "id AS id2", "id AS id3", "id AS id4",
+                       "id AS id5")
+    got = _rows(key_discovery(
+        df, [["id"], ["g"], ["id", "g"], ["id2"], ["id3"], ["id4"],
+             ["id5"], ["g", "id"]],
+        screen_cell_budget=10))
+    # g has 100 usable distinct values of 200 rows = exactly at the 50%
+    # bar -> survives and is exact; its composite with id likewise
+    assert got["g"]["exact"] and got["g"]["n_nonnull"] == 100
+    assert got["id+g"]["exact"] and got["id+g"]["n_distinct"] == 100
+    assert got["id"]["is_key"] and got["id"]["exact"]
+
+
 def test_single_pass_plan_and_guards(spark):
     df = spark.createDataFrame([(1, "a")], "id long, g string")
     with pytest.raises(ValueError):
