@@ -1972,6 +1972,97 @@ def q_audio_wav_validate(spark, sf_dir):
     return wav_header_stats(df)
 
 
+# ---------------------------------------------------------------------------
+# image/video media queries (operators/multimodal.py, §2.5 E13/E169):
+# the audio-oracle playbook applied to the FIMG/FVID fake format — every
+# pixel is (seed + i [+ frame] + 7x + 13y + 31ch) % 256, so DuckDB
+# re-derives decode/resize/frame-sample outputs from the generation rule
+# with grid unnests (no media bytes cross engines). Intensity sums are
+# recovered EXACTLY from the double mean (sum <= ~7e5 and npix <= 2688
+# are both exact in f64, so round(mean * npix) == the integer sum).
+# ---------------------------------------------------------------------------
+
+MEDIA_N = 1200
+
+
+def q_media_features(spark, sf_dir):
+    """Image decode + feature extraction (operators/multimodal.py
+    image_features): actual width/height/channels and the exact pixel
+    intensity sum per decodable row; video rows fail the image decode
+    by contract (poison-pill isolation) and come back ok=false with
+    NULL features."""
+    from pandasschema_spark.operators.multimodal import image_features, media_df
+
+    df = media_df(spark, MEDIA_N, seed=42, partitions=16)
+    feats = image_features(df)
+    return feats.select(
+        "media_id", "width", "height", "channels", "ok",
+        F.round(F.col("mean_intensity") * F.col("width") * F.col("height")
+                * F.col("channels")).cast("long").alias("sum_intensity"))
+
+
+def q_media_resize(spark, sf_dir):
+    """Nearest-neighbor resize to 8x8 re-validated by decoding the
+    resized payload: resized pixel (x, y, ch) is source pixel
+    (x*w//8, y*h//8, ch), so the oracle replays the index mapping
+    inside the generation rule. Video rows fail the image resize and
+    stay ok=false."""
+    from pandasschema_spark.operators.multimodal import (
+        image_features,
+        media_df,
+        resize_images,
+    )
+
+    df = media_df(spark, MEDIA_N, seed=42, partitions=16)
+    feats = image_features(resize_images(df, 8, 8))
+    return feats.select(
+        "media_id", "width", "height", "ok",
+        F.round(F.col("mean_intensity") * F.col("width") * F.col("height")
+                * F.col("channels")).cast("long").alias("sum_intensity"))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling (every 2nd of 4 frames -> indexes 0 and 2),
+    each re-encoded frame decoded back: frame f's pixels shift the seed
+    by f, so the per-frame intensity sum attests the sampler picked the
+    RIGHT frames, not just the right count. fid = media_id*10 +
+    frame_idx (media ordinals, a real key — the LINEITEM_ROW caveat
+    does not apply)."""
+    from pandasschema_spark.operators.multimodal import (
+        image_features,
+        media_df,
+        sample_frames,
+    )
+
+    df = media_df(spark, MEDIA_N, seed=42, partitions=16)
+    frames = sample_frames(df, every_k=2)
+    fid = (F.col("media_id") * 10 + F.col("frame_idx")).alias("fid")
+    feats = image_features(frames.select(fid, "payload"), id_col="fid")
+    return feats.select(
+        F.col("media_id").alias("fid"), "width", "height", "ok",
+        F.round(F.col("mean_intensity") * F.col("width") * F.col("height")
+                * F.col("channels")).cast("long").alias("sum_intensity"))
+
+
+def q_media_integrity(spark, sf_dir):
+    """Media constraint suite over the defect-injected table
+    (multimodal.py media_defect_df, the AUDIO_INJECT_MOD playbook):
+    declared-dimensions-vs-decoded cross-column Arrow check + kind
+    in-list + id distinct. Exactly the injected image rows violate —
+    lying header (class 0) decodes to the wrong width, truncation
+    (class 1) fails the reshape, foreign magic (class 2) refuses to
+    decode — and each class's payload LENGTH is the closed-form value
+    the oracle renders."""
+    from pandasschema_spark.operators.multimodal import (
+        media_defect_df,
+        media_integrity_checks,
+    )
+
+    df = media_defect_df(spark, MEDIA_N, seed=42, partitions=16)
+    schema = media_integrity_checks(df)
+    return _violations(schema, df, ["media_id", "kind", "payload"], "media_id")
+
+
 AUDIO_EMBED_N = 2000
 
 
@@ -3869,6 +3960,10 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_digest": q_violations_digest,
         "agg_distinct_kmv": q_agg_distinct_kmv,
         "table_checksum": q_table_checksum,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
+        "media_integrity": q_media_integrity,
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
         "table_diff": q_table_diff,
@@ -4165,6 +4260,21 @@ WITH f AS (
     FROM range(0, {n}) t(i)
 ),
 g AS (SELECT i, cls, sr, (sr * dur) // 1000 AS n, sr // 100 AS fl FROM f)
+""".format(n=n)
+
+
+def _media_grid_sql(n: int) -> str:
+    """Closed-form per-row fields CTE for the media oracles
+    (operators/multimodal.py media_df): row i is a (16 + i%17) x
+    (16 + i%13) x 3 image, every 5th row a 4-frame video; pixel
+    (x, y, ch) of image i (frame f) is (42 + i [+ f] + 7x + 13y + 31ch)
+    % 256, so grid unnests re-derive every decode output without any
+    media bytes crossing engines."""
+    return """
+WITH g AS (
+    SELECT i, 16 + i % 17 AS w, 16 + i % 13 AS h, (i % 5 = 0) AS is_vid
+    FROM range(0, {n}) t(i)
+)
 """.format(n=n)
 
 
@@ -7690,6 +7800,72 @@ SELECT CAST(i AS BIGINT) AS row, 'bytes' AS "column",
        'stored PCM length does not match sr_hz * dur_ms' AS message
 FROM g WHERE cls = 3
 """.format(fields=_audio_fields_sql(AUDIO_N)),
+        # image rows re-derived pixel-by-pixel from the generation rule
+        # (grid unnests); video rows fail the image decode by contract
+        "media_features": """
+{g},
+px AS (SELECT i, w, h, unnest(range(w)) AS x FROM g WHERE NOT is_vid),
+py AS (SELECT i, w, h, x, unnest(range(h)) AS y FROM px),
+pc AS (SELECT i, w, h, x, y, unnest(range(3)) AS ch FROM py),
+s AS (SELECT i, w, h,
+             CAST(sum((42 + i + 7*x + 13*y + 31*ch) % 256) AS BIGINT) AS si
+      FROM pc GROUP BY i, w, h)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+       true AS ok, si AS sum_intensity
+FROM s
+UNION ALL
+SELECT CAST(i AS BIGINT), NULL, NULL, NULL, false, NULL
+FROM g WHERE is_vid
+""".format(g=_media_grid_sql(MEDIA_N)),
+        # nearest-neighbor index map replayed INSIDE the generation rule:
+        # resized pixel (x, y, ch) = source pixel (x*w//8, y*h//8, ch)
+        "media_resize": """
+{g},
+px AS (SELECT i, w, h, unnest(range(8)) AS x FROM g WHERE NOT is_vid),
+py AS (SELECT i, w, h, x, unnest(range(8)) AS y FROM px),
+pc AS (SELECT i, w, h, x, y, unnest(range(3)) AS ch FROM py),
+s AS (SELECT i,
+             CAST(sum((42 + i + 7*((x*w)//8) + 13*((y*h)//8) + 31*ch) % 256)
+                  AS BIGINT) AS si
+      FROM pc GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height, true AS ok, si AS sum_intensity
+FROM s
+UNION ALL
+SELECT CAST(i AS BIGINT), NULL, NULL, false, NULL FROM g WHERE is_vid
+""".format(g=_media_grid_sql(MEDIA_N)),
+        # every-2nd of 4 frames -> indexes 0 and 2; frame f shifts the
+        # pixel seed by f, so the sums attest WHICH frames were sampled
+        "media_frame_sample": """
+{g},
+fr AS (SELECT i, w, h, unnest([0, 2]) AS f FROM g WHERE is_vid),
+px AS (SELECT i, w, h, f, unnest(range(w)) AS x FROM fr),
+py AS (SELECT i, w, h, f, x, unnest(range(h)) AS y FROM px),
+pc AS (SELECT i, w, h, f, x, y, unnest(range(3)) AS ch FROM py),
+s AS (SELECT i, f, w, h,
+             CAST(sum((42 + i + f + 7*x + 13*y + 31*ch) % 256) AS BIGINT) AS si
+      FROM pc GROUP BY i, f, w, h)
+SELECT CAST(i * 10 + f AS BIGINT) AS fid, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, true AS ok, si AS sum_intensity
+FROM s
+""".format(g=_media_grid_sql(MEDIA_N)),
+        # the MEDIA_INJECT_MOD closed form: injected image rows violate
+        # the decode-consistency check, each class with its closed-form
+        # payload length (class 1 truncates to 9 + (w*h*3)//2 bytes)
+        "media_integrity": """
+WITH d AS (
+    SELECT i, 16 + i % 17 AS w, 16 + i % 13 AS h, (i // 89) % 3 AS cls
+    FROM range(0, {n}) t(i)
+    WHERE i > 0 AND i % 89 = 0 AND i % 5 != 0
+)
+SELECT CAST(i AS BIGINT) AS row, 'payload' AS "column",
+       '<binary ' || CAST(CASE WHEN cls = 1 THEN 9 + (w*h*3)//2
+                               ELSE 9 + w*h*3 END AS VARCHAR)
+                  || ' bytes>' AS value,
+       'payload does not decode to the declared dimensions' AS message
+FROM d
+""".format(n=MEDIA_N),
         "audio_segment": """
 {fields},
 k AS (SELECT i, sr, CASE WHEN cls = 3 THEN n // 2 ELSE n END AS ns, sr // 40 AS sl FROM g)

@@ -98,6 +98,43 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+#: media-payload defect injection (the AUDIO_INJECT_MOD playbook,
+#: sources/datagen.py:147-163, applied to FIMG): every IMAGE row with
+#: i % MEDIA_INJECT_MOD == 0 and i > 0 carries one defect, class
+#: (i // MEDIA_INJECT_MOD) % 3:
+#:   0 lying header   (declared width column = actual + 1; payload intact)
+#:   1 truncation     (payload cut to 9 + (w*h*3)//2 bytes -> decode fails)
+#:   2 foreign magic  (b"XIMG" prefix -> no codec -> decode refuses)
+#: Video rows (i % 5 == 0) are never injected, so every defect exercises
+#: the image decode path and the oracle stays one CASE over the rule.
+MEDIA_INJECT_MOD = 89
+MEDIA_N_CLASSES = 3
+
+
+def media_injected_class(i: int) -> typing.Optional[int]:
+    if i > 0 and i % MEDIA_INJECT_MOD == 0 and i % 5 != 0:
+        return (i // MEDIA_INJECT_MOD) % MEDIA_N_CLASSES
+    return None
+
+
+def _media_row(seed: int, i: int, inject: bool = False):
+    w, h = 16 + i % 17, 16 + i % 13
+    if i % 5 == 0:
+        frames = np.stack([synth_image(seed + i + f, w, h) for f in range(4)])
+        return (i, "video", encode_fake_video(frames), w, h)
+    payload = encode_fake_image(synth_image(seed + i, w, h))
+    decl_w = w
+    if inject:
+        cls = media_injected_class(i)
+        if cls == 0:
+            decl_w = w + 1
+        elif cls == 1:
+            payload = payload[: 9 + (w * h * 3) // 2]
+        elif cls == 2:
+            payload = b"XIMG" + payload[4:]
+    return (i, "image", payload, decl_w, h)
+
+
 def media_df(spark: SparkSession, n: int, seed: int = 42, *, partitions: int = None) -> DataFrame:
     """Distributed deterministic media table: row i is an image of
     (16 + i%17) x (16 + i%13), every 5th row a 4-frame video."""
@@ -105,15 +142,23 @@ def media_df(spark: SparkSession, n: int, seed: int = 42, *, partitions: int = N
 
     def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for i in b["id"]:
-                i = int(i)
-                w, h = 16 + i % 17, 16 + i % 13
-                if i % 5 == 0:
-                    frames = np.stack([synth_image(seed + i + f, w, h) for f in range(4)])
-                    rows.append((i, "video", encode_fake_video(frames), w, h))
-                else:
-                    rows.append((i, "image", encode_fake_image(synth_image(seed + i, w, h)), w, h))
+            rows = [_media_row(seed, int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_defect_df(spark: SparkSession, n: int, seed: int = 42, *,
+                    partitions: int = None) -> DataFrame:
+    """media_df with deterministic payload defects per
+    ``media_injected_class`` — drives the media_integrity oracle the way
+    audio_quality_clips_df drives the audio suite. Non-injected rows are
+    byte-identical to media_df's."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_media_row(seed, int(i), inject=True) for i in b["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return rng.mapInPandas(gen, MEDIA_SCHEMA)

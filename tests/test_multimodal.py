@@ -73,6 +73,47 @@ def test_sample_frames(spark, media):
     assert arr.ndim == 3
 
 
+def test_media_defect_df_injection(spark):
+    """media_defect_df: non-injected rows byte-identical to media_df;
+    each injected class materializes its documented defect; videos are
+    never injected."""
+    n = 400
+    clean = {r["media_id"]: r for r in M.media_df(spark, n, partitions=4).collect()}
+    tainted = {r["media_id"]: r for r in M.media_defect_df(spark, n, partitions=4).collect()}
+    assert set(clean) == set(tainted)
+    injected = {i: M.media_injected_class(i) for i in range(n)
+                if M.media_injected_class(i) is not None}
+    assert injected == {89: 1, 178: 2, 267: 0, 356: 1}  # 445 is a video row
+    for i in range(n):
+        c, t = clean[i], tainted[i]
+        cls = injected.get(i)
+        if cls is None:
+            assert bytes(c["payload"]) == bytes(t["payload"]) and \
+                c["width"] == t["width"], i
+            continue
+        w, h = 16 + i % 17, 16 + i % 13
+        if cls == 0:
+            assert t["width"] == w + 1 and bytes(t["payload"]) == bytes(c["payload"])
+            assert M.decode_image(bytes(t["payload"])).shape == (h, w, 3)
+        elif cls == 1:
+            assert len(bytes(t["payload"])) == 9 + (w * h * 3) // 2
+            with pytest.raises(Exception):
+                M.decode_image(bytes(t["payload"]))
+        else:
+            assert bytes(t["payload"])[:4] == b"XIMG"
+            with pytest.raises(NotImplementedError):
+                M.decode_image(bytes(t["payload"]))
+
+
+def test_media_defect_integrity_flags_exactly_injected(spark):
+    n = 400
+    df = M.media_defect_df(spark, n, partitions=4)
+    res = M.media_integrity_checks(df).validate(
+        df, columns=["media_id", "kind", "payload"], row_key="media_id")
+    got = {(r["row"], r["column"]) for r in res.violations.collect()}
+    assert got == {(i, "payload") for i in (89, 178, 267, 356)}
+
+
 def test_media_constraint_suite(spark, media):
     # clean table -> 0 violations
     schema = M.media_integrity_checks(media)
