@@ -3532,6 +3532,38 @@ def q_dedup_window(spark, sf_dir):
                                   max_content_df=None)
 
 
+def q_dedup_window_incremental(spark, sf_dir):
+    """Incremental time-scoped dedup (operators/dedup.py
+    incremental_window_duplicates, §2.5): yesterday's corpus persists
+    only its (id, fingerprint) frame; today's batch flags against the
+    store AND itself. Store = every doc at id*1000; new batch = every
+    third doc re-crawled at +7 (cross-batch flag vs the store, gap 7)
+    and +14 (IN-batch flag vs the +7 row — the nearest-previous rule
+    across the store/new boundary), every fifth doc at +500 (expired
+    vs any predecessor — must not flag). The oracle replays
+    batch-over-union restricted to new ids — the attested equality
+    that makes incremental == batch (the dedup_incremental
+    convention). Runs uncapped because the oracle is uncapped (the
+    dedup_window/None rule)."""
+    from pandasschema_spark.operators.dedup import (
+        incremental_window_duplicates,
+        window_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store_texts = docs.select((F.col("doc_id") * 1000).alias("doc_id"), "text")
+    thirds = docs.where(F.col("doc_id") % 3 == 0)
+    fifths = docs.where(F.col("doc_id") % 5 == 0)
+    new = (thirds.select((F.col("doc_id") * 1000 + 7).alias("doc_id"), "text")
+           .unionByName(thirds.select(
+               (F.col("doc_id") * 1000 + 14).alias("doc_id"), "text"))
+           .unionByName(fifths.select(
+               (F.col("doc_id") * 1000 + 500).alias("doc_id"), "text")))
+    store = window_fingerprints(store_texts, "text", "doc_id")
+    return incremental_window_duplicates(new, store, "text", "doc_id",
+                                         window=50, max_content_df=None)
+
+
 def q_stats_concentration(spark, sf_dir):
     """Distribution-concentration audit (operators/colstats.py
     concentration_profile, §2.5): integer-exact Simpson index + top
@@ -3938,6 +3970,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_embedding": q_drift_embedding,
         "dedup_gram_overlap": q_dedup_gram_overlap,
         "dedup_window": q_dedup_window,
+        "dedup_window_incremental": q_dedup_window_incremental,
         "stats_concentration": q_stats_concentration,
         "stats_format_mask": q_stats_format_mask,
         "fk_discovery": q_fk_discovery,
@@ -5212,6 +5245,30 @@ l AS (SELECT id, lag(id) OVER (PARTITION BY d ORDER BY id) AS prev_id
       FROM n)
 SELECT id, prev_id, id - prev_id AS gap
 FROM l WHERE prev_id IS NOT NULL AND id - prev_id <= 50
+""",
+        # batch-over-union restricted to new-batch ids — the equality
+        # incremental_window_duplicates attests (shared fingerprint rule)
+        "dedup_window_incremental": """
+WITH store AS (SELECT doc_id * 1000 AS id, text FROM documents),
+newb AS (
+    SELECT doc_id * 1000 + 7 AS id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id * 1000 + 14, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id * 1000 + 500, text FROM documents WHERE doc_id % 5 = 0),
+u AS (
+    SELECT id, 0 AS is_new,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+    FROM store WHERE text IS NOT NULL
+    UNION ALL
+    SELECT id, 1,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    FROM newb WHERE text IS NOT NULL),
+l AS (SELECT id, is_new,
+             lag(id) OVER (PARTITION BY d ORDER BY id) AS prev_id
+      FROM u)
+SELECT id, prev_id, id - prev_id AS gap
+FROM l WHERE is_new = 1 AND prev_id IS NOT NULL AND id - prev_id <= 50
 """,
         # identical %5 collapse plant, string-cast melt, HUGEINT pair
         # counts, floor-div ppm — the exact Simpson rationals replayed

@@ -968,19 +968,88 @@ def windowed_duplicate_ids(
 
     if window < 1:
         raise ValueError("window must be >= 1")
-    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
-    base = (df.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col).alias("id"), digest.alias("__fp__")))
+    base = window_fingerprints(df, text_col, id_col)
     if max_content_df is not None:
-        hot = (base.groupBy("__fp__")
+        hot = (base.groupBy("fingerprint")
                .agg(F.count(F.lit(1)).alias("__c__"))
                .where(F.col("__c__") > max_content_df)
-               .select("__fp__"))
-        base = base.join(F.broadcast(hot), "__fp__", "left_anti")
-    w = Window.partitionBy("__fp__").orderBy("id")
+               .select("fingerprint"))
+        base = base.join(F.broadcast(hot), "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("id")
     return (base
             .withColumn("prev_id", F.lag("id").over(w))
             .where(F.col("prev_id").isNotNull()
+                   & ((F.col("id") - F.col("prev_id")) <= window))
+            .select("id", "prev_id",
+                    (F.col("id") - F.col("prev_id")).alias("gap")))
+
+
+def window_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The (id, fingerprint) projection windowed_duplicate_ids and
+    incremental_window_duplicates share — ONE digest rule (md5 of
+    normalized text), the _banded_sigs convention: incremental equals
+    batch only because both sides fingerprint identically, so the rule
+    lives in exactly one place. This is also the slim frame to persist
+    warehouse-side as the store (16-byte digest + id per row; corpus
+    bytes stay in the scan task)."""
+    digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"), digest.alias("fingerprint")))
+
+
+def incremental_window_duplicates(
+    new_df: DataFrame,
+    store_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int,
+    max_content_df: typing.Optional[int] = 100_000,
+) -> DataFrame:
+    """Incremental time-scoped dedup: the daily-ingest form of
+    :func:`windowed_duplicate_ids` (the incremental_lsh_pairs /
+    acoustic_incremental_pairs convention applied to the freshness
+    window). ``store_fps`` is the persisted (id, fingerprint) frame
+    :func:`window_fingerprints` emits — the store's TEXTS are never
+    re-read or re-hashed; only the new batch pays the normalize->md5
+    projection. Emits (id, prev_id, gap) for NEW rows whose content was
+    last seen at most ``window`` id-units earlier, where the nearest
+    previous occurrence may sit in the store (a re-crawl of yesterday's
+    page) or earlier in the new batch itself (an intra-day re-crawl) —
+    store-internal flags were yesterday's run and are never re-reported.
+
+    Batch equivalence (what the oracle attests): the result equals
+    ``windowed_duplicate_ids(store_texts UNION new_texts)`` restricted
+    to new-batch ids, because fingerprints come from the shared rule
+    and the hot-content cap counts over the UNION of both sides (so a
+    boilerplate content is dropped wholesale from both — never capped
+    on one side only). Append ``window_fingerprints(new_df, ...)`` to
+    the store after the run.
+
+    Scale shape at a 10^12-row store: both sides are slim (id, 16-byte
+    digest) rows; ONE hash(fingerprint) exchange feeds the lag window
+    (per-content occurrence lists bounded by the cap); output is
+    O(flagged new rows); corpus bytes never shuffle on either side.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    new_fp = window_fingerprints(new_df, text_col, id_col)
+    union = (store_fps.select("id", "fingerprint", F.lit(0).alias("__new__"))
+             .unionByName(new_fp.select(
+                 "id", "fingerprint", F.lit(1).alias("__new__"))))
+    if max_content_df is not None:
+        hot = (union.groupBy("fingerprint")
+               .agg(F.count(F.lit(1)).alias("__c__"))
+               .where(F.col("__c__") > max_content_df)
+               .select("fingerprint"))
+        union = union.join(F.broadcast(hot), "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    return (union
+            .withColumn("prev_id", F.lag("id").over(w))
+            .where((F.col("__new__") == 1)
+                   & F.col("prev_id").isNotNull()
                    & ((F.col("id") - F.col("prev_id")) <= window))
             .select("id", "prev_id",
                     (F.col("id") - F.col("prev_id")).alias("gap")))
