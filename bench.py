@@ -131,6 +131,13 @@ BENCH_QUERIES = [
     "dedup_canonical",
     "stats_format_mask",
     "fk_discovery",
+    # round-6 additions: the heaviest composites (CC rounds / blocking /
+    # multi-stage closed-form pipelines) so a regression in those paths
+    # is visible per-round, per the r5 verdict
+    "pipeline_corpus_curation",
+    "pipeline_quota_sample",
+    "pipeline_reconcile",
+    "entity_resolution",
 ]
 
 
