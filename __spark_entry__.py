@@ -2063,6 +2063,30 @@ def q_media_integrity(spark, sf_dir):
     return _violations(schema, df, ["media_id", "kind", "payload"], "media_id")
 
 
+def q_dedup_image_ahash(spark, sf_dir):
+    """Perceptual image dedup (operators/multimodal.py image_ahash +
+    image_dup_pairs, §2.5): 56-bit integer average-hash (8x7 nearest-
+    neighbor downsample, strict 56*gray > total threshold) banded on
+    14-bit chunks — LOSSLESS for the gated Hamming <= 3 threshold
+    (pigeonhole over 4 chunks), so the oracle is the plain all-pairs
+    Hamming ball with NO banding replay needed. Corpus: the media
+    table's images plus every 7th image re-planted at id + 1e6 (exact
+    copies -> hamming 0, structural recall per the pipeline_embed_dedup
+    convention); natural shifted-gradient collisions are data-decided
+    and re-derived identically in both engines. Runs uncapped because
+    the oracle is uncapped (the dedup_window/None rule); videos are
+    absent by the decode contract."""
+    from pandasschema_spark.operators.multimodal import image_dup_pairs, media_df
+
+    media = media_df(spark, MEDIA_N, seed=42, partitions=16)
+    plants = (media.where((F.col("kind") == "image")
+                          & (F.col("media_id") % 7 == 1))
+              .select((F.col("media_id") + 1_000_000).alias("media_id"),
+                      "kind", "payload", "width", "height"))
+    corpus = media.unionByName(plants)
+    return image_dup_pairs(corpus, max_hamming=3, max_bucket=None)
+
+
 AUDIO_EMBED_N = 2000
 
 
@@ -3997,6 +4021,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "media_integrity": q_media_integrity,
+        "dedup_image_ahash": q_dedup_image_ahash,
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
         "table_diff": q_table_diff,
@@ -7907,6 +7932,36 @@ SELECT CAST(i * 10 + f AS BIGINT) AS fid, CAST(w AS INT) AS width,
        CAST(h AS INT) AS height, true AS ok, si AS sum_intensity
 FROM s
 """.format(g=_media_grid_sql(MEDIA_N)),
+        # the 56-bit ahash re-derived per image from the pixel rule; the
+        # Hamming<=3 ball needs no banding replay (lossless at 4 chunks)
+        "dedup_image_ahash": """
+WITH g AS (SELECT i, 16 + i % 17 AS w, 16 + i % 13 AS h
+           FROM range(0, {n}) t(i) WHERE i % 5 != 0),
+ids AS (
+    SELECT i, i AS id, w, h FROM g
+    UNION ALL
+    SELECT i, i + 1000000, w, h FROM g WHERE i % 7 = 1),
+cx AS (SELECT i, id, w, h, unnest(range(8)) AS x FROM ids),
+cy AS (SELECT i, id, w, h, x, unnest(range(7)) AS y FROM cx),
+cell AS (
+    SELECT id, y * 8 + x AS p,
+           ((42 + i + 7*((x*w)//8) + 13*((y*h)//7)) % 256
+            + (42 + i + 7*((x*w)//8) + 13*((y*h)//7) + 31) % 256
+            + (42 + i + 7*((x*w)//8) + 13*((y*h)//7) + 62) % 256) // 3
+               AS gray
+    FROM cy),
+tot AS (SELECT id, sum(gray) AS total FROM cell GROUP BY id),
+hsh AS (
+    SELECT c.id,
+           CAST(sum(CASE WHEN 56 * c.gray > t.total
+                         THEN CAST(1 AS BIGINT) << c.p
+                         ELSE 0 END) AS BIGINT) AS hv
+    FROM cell c JOIN tot t USING (id) GROUP BY c.id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+FROM hsh a JOIN hsh b ON a.id < b.id
+WHERE bit_count(xor(a.hv, b.hv)) <= 3
+""".format(n=MEDIA_N),
         # the MEDIA_INJECT_MOD closed form: injected image rows violate
         # the decode-consistency check, each class with its closed-form
         # payload length (class 1 truncates to 9 + (w*h*3)//2 bytes)

@@ -263,6 +263,120 @@ def sample_frames(df: DataFrame, every_k: int = 2, *, payload_col: str = "payloa
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+AHASH_GRID_W, AHASH_GRID_H = 8, 7  # 56 bits — int64-positive (the <=62-bit rule)
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), False),
+])
+
+
+def image_ahash(df: DataFrame, *, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """(id, ahash) perceptual average-hash over decodable images — the
+    image analogue of simhash64/acoustic fingerprints, closing the
+    dedup-modality set (text, audio, embeddings, now pixels): nearest-
+    neighbor downsample to 8x7 (the resize_images index map), integer
+    grayscale gray = (c0 + c1 + c2) // 3 per cell, bit p set iff
+    56 * gray[p] > sum(gray) — integer cross-multiplication, never a
+    float mean (the house threshold rule), with strict > so ties read 0
+    deterministically in both engines. 56 bits keep the hash
+    int64-positive (the hyperplane_signature <= 62-bit rule). Rows that
+    fail to decode are ABSENT (poison-pill isolation: dedup ranges over
+    what decodes; media_integrity_checks owns the failures). One narrow
+    mapInPandas pass; payload bytes never leave their scan task — only
+    (id, 8-byte hash) rows shuffle downstream."""
+    gw, gh = AHASH_GRID_W, AHASH_GRID_H
+    n_cells = gw * gh
+
+    def run(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes = [], []
+            for _, row in b.iterrows():
+                try:
+                    arr = decode_image(row[payload_col]).astype(np.int64)
+                except Exception:
+                    continue
+                h, w, _ = arr.shape
+                yi = np.arange(gh) * h // gh
+                xi = np.arange(gw) * w // gw
+                cells = arr[yi[:, None], xi[None, :], :]
+                gray = cells.sum(axis=2) // 3          # (gh, gw) ints
+                total = int(gray.sum())
+                bits = (n_cells * gray.reshape(-1) > total)
+                val = 0
+                for p in np.nonzero(bits)[0]:
+                    val |= 1 << int(p)
+                ids.append(row[id_col])
+                hashes.append(val)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "ahash": pd.Series(hashes, dtype="int64")})
+
+    return df.select(id_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
+                    id_col: str = "media_id", max_hamming: int = 3,
+                    chunk_bits: int = 14,
+                    max_bucket: typing.Optional[int] = 10_000) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (id_a, id_b, hamming) for
+    decodable images whose 56-bit average-hashes differ in at most
+    ``max_hamming`` bits. Candidates come from ``chunk_bits``-bit chunk
+    equality (the simhash_candidates banding applied to pixels); for
+    ``max_hamming <= n_chunks - 1`` (default 3 vs 4 chunks) the banding
+    is LOSSLESS by pigeonhole — at most max_hamming chunks can be
+    touched, so one chunk always matches and the output is EXACTLY all
+    pairs within the Hamming ball, never a recall estimate. Larger
+    thresholds keep exact precision (the verify step is exact) with
+    recall = the banding guarantee. ``max_bucket`` is the house
+    hot-chunk cap (groupBy-count + broadcast anti-join; a chunk shared
+    by more images than that is a degenerate constant pattern, not
+    near-duplication; None = exact).
+
+    Scale shape at 10^10 images: payloads are hashed in their scan task
+    (one narrow pass, bytes never shuffle); everything after is
+    (id, int64) rows — posexplode to 4 chunk rows per image BEFORE the
+    self-join on (chunk_idx, chunk_val), verify is a row-local
+    bit_count(xor) over two joined hash columns."""
+    from pyspark import StorageLevel
+
+    if chunk_bits < 1 or 56 % chunk_bits:
+        raise ValueError("chunk_bits must divide 56")
+    n_chunks = 56 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    sigs = image_ahash(df, payload_col=payload_col, id_col=id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    chunked = sigs.select(
+        "id",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("ahash"), i * chunk_bits)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"))
+    if max_bucket is not None:
+        hot = (chunked.groupBy("chunk_idx", "chunk_val")
+               .agg(F.count(F.lit(1)).alias("__c__"))
+               .where(F.col("__c__") > max_bucket)
+               .select("chunk_idx", "chunk_val"))
+        chunked = chunked.join(F.broadcast(hot),
+                               ["chunk_idx", "chunk_val"], "left_anti")
+    a = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"))
+    b = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"))
+    cands = (a.join(b, ["chunk_idx", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    ha = sigs.select(F.col("id").alias("id_a"), F.col("ahash").alias("__ha__"))
+    hb = sigs.select(F.col("id").alias("id_b"), F.col("ahash").alias("__hb__"))
+    out = (cands.join(ha, "id_a").join(hb, "id_b")
+           .withColumn("hamming", F.bit_count(
+               F.col("__ha__").bitwiseXOR(F.col("__hb__"))).cast("long"))
+           .where(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [sigs])
+
+
 def media_integrity_checks(df: DataFrame):
     """The media table's constraint suite, reusing the validation engine:
     declared width/height must match the decoded payload (cross-column
