@@ -2087,6 +2087,31 @@ def q_dedup_image_ahash(spark, sf_dir):
     return image_dup_pairs(corpus, max_hamming=3, max_bucket=None)
 
 
+def q_dedup_video_frames(spark, sf_dir):
+    """Perceptual video dedup via sampled-frame hashes
+    (operators/multimodal.py video_dup_pairs, §2.5): videos whose
+    every-2nd frames pairwise sit within Hamming 3 under image_ahash,
+    both sides contributing the same frame set. Composes the gated
+    pieces (sample_frames -> image_ahash -> frame-indexed banding ->
+    exact verify agg); the banding is lossless at <= 3 exactly as in
+    dedup_image_ahash, so the oracle is the plain per-frame Hamming
+    join with an all-frames HAVING — no banding replay. Corpus: the
+    media table's videos plus every 3rd video re-planted at id + 1e6
+    (exact copies -> max_hamming_seen 0 on both frames, structural
+    recall); natural neighboring-gradient video pairs are data-decided
+    and re-derived identically. Uncapped per the None rule."""
+    from pandasschema_spark.operators.multimodal import media_df, video_dup_pairs
+
+    media = media_df(spark, MEDIA_N, seed=42, partitions=16)
+    plants = (media.where((F.col("kind") == "video")
+                          & (F.col("media_id") % 15 == 0))
+              .select((F.col("media_id") + 1_000_000).alias("media_id"),
+                      "kind", "payload", "width", "height"))
+    corpus = media.unionByName(plants)
+    return video_dup_pairs(corpus, every_k=2, max_hamming=3,
+                           max_bucket=None)
+
+
 AUDIO_EMBED_N = 2000
 
 
@@ -4022,6 +4047,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_integrity": q_media_integrity,
         "dedup_image_ahash": q_dedup_image_ahash,
+        "dedup_video_frames": q_dedup_video_frames,
         "audio_triage": q_audio_triage,
         "table_checksum_by": q_table_checksum_by,
         "table_diff": q_table_diff,
@@ -7961,6 +7987,42 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
 FROM hsh a JOIN hsh b ON a.id < b.id
 WHERE bit_count(xor(a.hv, b.hv)) <= 3
+""".format(n=MEDIA_N),
+        # per-frame hash replay (frame f shifts the pixel seed by f);
+        # the all-frames condition is the HAVING count(*) = 2 (every
+        # video samples frames {0, 2}), lossless at Hamming <= 3
+        "dedup_video_frames": """
+WITH g AS (SELECT i, 16 + i % 17 AS w, 16 + i % 13 AS h
+           FROM range(0, {n}) t(i) WHERE i % 5 = 0),
+vids AS (
+    SELECT i, i AS id, w, h FROM g
+    UNION ALL
+    SELECT i, i + 1000000, w, h FROM g WHERE i % 15 = 0),
+fr AS (SELECT i, id, w, h, unnest([0, 2]) AS f FROM vids),
+cx AS (SELECT i, id, w, h, f, unnest(range(8)) AS x FROM fr),
+cy AS (SELECT i, id, w, h, f, x, unnest(range(7)) AS y FROM cx),
+cell AS (
+    SELECT id, f, y * 8 + x AS p,
+           ((42 + i + f + 7*((x*w)//8) + 13*((y*h)//7)) % 256
+            + (42 + i + f + 7*((x*w)//8) + 13*((y*h)//7) + 31) % 256
+            + (42 + i + f + 7*((x*w)//8) + 13*((y*h)//7) + 62) % 256) // 3
+               AS gray
+    FROM cy),
+tot AS (SELECT id, f, sum(gray) AS total FROM cell GROUP BY id, f),
+hsh AS (SELECT c.id, c.f,
+               CAST(sum(CASE WHEN 56 * c.gray > t.total
+                             THEN CAST(1 AS BIGINT) << c.p
+                             ELSE 0 END) AS BIGINT) AS hv
+        FROM cell c JOIN tot t ON c.id = t.id AND c.f = t.f
+        GROUP BY c.id, c.f),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.hv, b.hv)) AS d
+    FROM hsh a JOIN hsh b ON a.id < b.id AND a.f = b.f)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(max(d) AS BIGINT) AS max_hamming_seen
+FROM pairs GROUP BY id_a, id_b
+HAVING max(d) <= 3 AND count(*) = 2
 """.format(n=MEDIA_N),
         # the MEDIA_INJECT_MOD closed form: injected image rows violate
         # the decode-consistency check, each class with its closed-form

@@ -377,6 +377,106 @@ def image_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
     return _attach_cached(out, [sigs])
 
 
+#: frame-id packing for video_dup_pairs: fid = media_id * FID_BASE +
+#: frame_idx. FVID's frame count is a u16, so frame_idx < 65536 always
+#: fits; media ids must stay in [0, 2^63 / FID_BASE) (~1.4e14) —
+#: raise_error-guarded in the projection, far above any real id space.
+FID_BASE = 1 << 16
+
+
+def video_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
+                    id_col: str = "media_id", every_k: int = 2,
+                    max_hamming: int = 3,
+                    max_bucket: typing.Optional[int] = 10_000) -> DataFrame:
+    """Perceptual near-duplicate VIDEO pairs via sampled-frame hashes:
+    (id_a, id_b, n_frames, max_hamming_seen) for videos whose every
+    k-th frames pairwise (same frame index) sit within ``max_hamming``
+    bits of each other under image_ahash, with BOTH videos contributing
+    the same sampled-frame index set (a truncated re-encode is not a
+    duplicate of its source — different coverage, different asset).
+    Composes the gated pieces: sample_frames fans videos to frames,
+    image_ahash fingerprints each frame, candidates band per
+    (frame_idx, chunk); at ``max_hamming <= 3`` the banding is lossless
+    exactly as in image_dup_pairs (any qualifying pair agrees on some
+    chunk of its frame-0 hashes), so the output is the exact predicate,
+    not a recall estimate.
+
+    Scale shape at 10^9 videos: frames are decoded and hashed inside
+    their scan task (two narrow mapInPandas stages; pixels never
+    shuffle); downstream is (fid, int64) rows — chunk rows multiply by
+    4 x sampled frames BEFORE the self-join, the house hot-chunk cap
+    bounds degenerate patterns, and the verify agg joins the two slim
+    hash frames on (pair, frame_idx) and reduces map-side to one row
+    per pair."""
+    frames = sample_frames(df, every_k=every_k, payload_col=payload_col,
+                           id_col=id_col)
+    # fid packing must not overflow int64 — fail LOUD on out-of-range
+    # ids (never a silent drop: a vanished video reads as "no dup")
+    in_range = (F.col("media_id") >= 0) & \
+        (F.col("media_id") < (1 << 63) // FID_BASE)
+    fid = F.when(in_range,
+                 F.col("media_id") * FID_BASE + F.col("frame_idx")) \
+        .otherwise(F.raise_error(
+            "video_dup_pairs: media id out of [0, 2^47) fid range")) \
+        .alias("fid")
+    fhash = (image_ahash(frames.select(fid, "payload"),
+                         id_col="fid", payload_col="payload")
+             .select(F.expr("id DIV {}".format(FID_BASE)).alias("vid"),
+                     (F.col("id") % FID_BASE).cast("int").alias("frame_idx"),
+                     "ahash"))
+    from pyspark import StorageLevel
+
+    fhash = fhash.persist(StorageLevel.MEMORY_AND_DISK)
+    n_chunks, chunk_bits = 4, 14
+    mask = (1 << chunk_bits) - 1
+    chunked = fhash.select(
+        "vid", "frame_idx",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("ahash"), i * chunk_bits)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"))
+    if max_bucket is not None:
+        hot = (chunked.groupBy("frame_idx", "chunk_idx", "chunk_val")
+               .agg(F.count(F.lit(1)).alias("__c__"))
+               .where(F.col("__c__") > max_bucket)
+               .select("frame_idx", "chunk_idx", "chunk_val"))
+        chunked = chunked.join(F.broadcast(hot),
+                               ["frame_idx", "chunk_idx", "chunk_val"],
+                               "left_anti")
+    a = chunked.select("frame_idx", "chunk_idx", "chunk_val",
+                       F.col("vid").alias("id_a"))
+    b = chunked.select("frame_idx", "chunk_idx", "chunk_val",
+                       F.col("vid").alias("id_b"))
+    cands = (a.join(b, ["frame_idx", "chunk_idx", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    counts = fhash.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("__nf__"))
+    ha = fhash.select(F.col("vid").alias("id_a"), "frame_idx",
+                      F.col("ahash").alias("__ha__"))
+    hb = fhash.select(F.col("vid").alias("id_b"), "frame_idx",
+                      F.col("ahash").alias("__hb__"))
+    matched = (cands.join(ha, "id_a").join(hb, ["id_b", "frame_idx"])
+               .withColumn("__d__", F.bit_count(
+                   F.col("__ha__").bitwiseXOR(F.col("__hb__"))))
+               .groupBy("id_a", "id_b")
+               .agg(F.count(F.lit(1)).alias("__nm__"),
+                    F.max("__d__").cast("long").alias("max_hamming_seen")))
+    ca = counts.select(F.col("vid").alias("id_a"), F.col("__nf__").alias("__na__"))
+    cb = counts.select(F.col("vid").alias("id_b"), F.col("__nf__").alias("__nb__"))
+    out = (matched.join(ca, "id_a").join(cb, "id_b")
+           .where((F.col("__nm__") == F.col("__na__"))
+                  & (F.col("__nm__") == F.col("__nb__"))
+                  & (F.col("max_hamming_seen") <= max_hamming))
+           .select("id_a", "id_b",
+                   F.col("__nm__").cast("long").alias("n_frames"),
+                   "max_hamming_seen"))
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [fhash])
+
+
 def media_integrity_checks(df: DataFrame):
     """The media table's constraint suite, reusing the validation engine:
     declared width/height must match the decoded payload (cross-column

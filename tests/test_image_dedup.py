@@ -86,6 +86,52 @@ def test_hot_chunk_cap_drops_wholesale(spark):
     assert exact.count() == 20 * 19 // 2 + 1
 
 
+def _vid(cell_grids):
+    """List of (7, 8) gray grids -> an FVID payload (one frame each,
+    all channels equal so the frame's gray cells are the grid)."""
+    from pandasschema_spark.operators.multimodal import encode_fake_video
+
+    frames = np.stack([
+        np.repeat(np.asarray(g, dtype=np.uint8)[:, :, None], 3, axis=2)
+        for g in cell_grids])
+    return encode_fake_video(frames)
+
+
+def test_video_dup_pairs_all_frames_and_count_rule(spark):
+    """Videos match only when EVERY sampled frame pair is within the
+    ball AND both contribute the same frame set: an exact copy matches
+    at 0; a video sharing frame 0 but diverging at frame 2 is excluded;
+    a truncated video (fewer sampled frames) is excluded even though
+    its one frame matches."""
+    from pandasschema_spark.operators.multimodal import video_dup_pairs
+
+    base = [[200 if (y * 8 + x) % 2 == 0 else 100 for x in range(8)]
+            for y in range(7)]
+    far = [[100 if (y * 8 + x) % 2 == 0 else 200 for x in range(8)]
+           for y in range(7)]
+    other = [[200 if x < 4 else 100 for x in range(8)] for y in range(7)]
+    rows = [
+        (0, _vid([base, far, other])),   # samples frames {0, 2}
+        (1, _vid([base, far, other])),   # exact copy -> (0,1) ham 0
+        (2, _vid([base, far, far])),     # frame 0 matches, frame 2 far
+        (3, _vid([base])),               # truncated: samples {0} only
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): (r["n_frames"], r["max_hamming_seen"])
+           for r in video_dup_pairs(df, every_k=2, max_bucket=None).collect()}
+    assert got == {(0, 1): (2, 0)}
+
+
+def test_video_fid_overflow_fails_loud(spark):
+    from pandasschema_spark.operators.multimodal import video_dup_pairs
+
+    base = [[100] * 8] * 7
+    df = spark.createDataFrame(
+        [(1 << 50, _vid([base, base, base]))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="fid range"):
+        video_dup_pairs(df, max_bucket=None).collect()
+
+
 def test_guards_and_poison_pill(spark):
     rows = [(0, _flat([[100] * 8] * 7)), (1, b"garbage")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
