@@ -78,6 +78,27 @@ def main() -> None:
     integ_sec = round(time.time() - t0, 2)
     assert n_viol == expect_bad, (n_viol, expect_bad)
 
+    # perceptual dedup leg (smaller corpus: the banding self-join is the
+    # quadratic-ish part the hot-chunk cap governs; at this size the
+    # production-default cap never binds, so plants are structurally
+    # recalled — exact copies share every chunk)
+    from pandasschema_spark.operators.multimodal import image_dup_pairs
+
+    n_dedup = min(n_media, 60_000)
+    base = media_df(spark, n_dedup, seed=42, partitions=parts)
+    plants = (base.where((F.col("kind") == "image")
+                         & (F.col("media_id") % 97 == 1))
+              .select((F.col("media_id") + 10_000_000).alias("media_id"),
+                      "kind", "payload", "width", "height"))
+    expect_plants = sum(1 for i in range(n_dedup)
+                        if i % 97 == 1 and i % 5 != 0)
+    t0 = time.time()
+    pairs = image_dup_pairs(base.unionByName(plants))
+    planted_found = pairs.where(
+        F.col("id_b") - F.col("id_a") == 10_000_000).count()
+    dedup_sec = round(time.time() - t0, 2)
+    assert planted_found == expect_plants, (planted_found, expect_plants)
+
     print(json.dumps({
         "n_media": n_media, "cpus": cpus,
         "features_sec": feat_sec,
@@ -87,6 +108,10 @@ def main() -> None:
         "integrity_sec": integ_sec,
         "integrity_media_per_sec": round(n_media / integ_sec, 1),
         "violations_found": n_viol,
+        "dedup_corpus": n_dedup,
+        "dedup_sec": dedup_sec,
+        "dedup_media_per_sec": round(n_dedup / dedup_sec, 1),
+        "dedup_planted_recalled": planted_found,
     }))
     spark.stop()
 
