@@ -802,9 +802,12 @@ def key_discovery(
     key). Screened-out candidates are reported with exact = false,
     n_distinct = the KMV estimate, n_nonnull/unique_ppm = NULL and
     is_key = false; re-run them explicitly when the exact shortfall
-    matters. The route costs one extra count() pass and the KMV scan,
-    and is never taken below ``screen_min_candidates`` — the narrow
-    single-pass plan (plan-locked) is unchanged there.
+    matters. Cost accounting, stated plainly: below
+    ``screen_min_candidates`` nothing changes — the plan-locked
+    single-pass shape, no extra work. At or above it, ONE count() pass
+    (metadata-cheap on columnar sources: Spark prunes a bare count to
+    an empty read schema) evaluates the cell budget; the KMV scan is
+    then paid only when the budget actually trips.
     """
     cands = [list(c) for c in candidates]
     if not cands or any(not c for c in cands):

@@ -1026,6 +1026,15 @@ def incremental_window_duplicates(
     on one side only). Append ``window_fingerprints(new_df, ...)`` to
     the store after the run.
 
+    Id contract: ids are unique within each side (they are ingest
+    ordinals). A CROSS-side collision — the same id on both sides, a
+    replayed ingest — is handled deterministically: the window orders
+    (id, side) with the store row first, so a same-id same-content
+    re-ingest flags the NEW row against its store twin with gap 0
+    (a replay of known content is a duplicate; an arbitrary per-task
+    tie-break here would make the run nondeterministic, the
+    SPARK-23207 class of hazard the salted-join rule exists for).
+
     Scale shape at a 10^12-row store: both sides are slim (id, 16-byte
     digest) rows; ONE hash(fingerprint) exchange feeds the lag window
     (per-content occurrence lists bounded by the cap); output is
@@ -1045,7 +1054,9 @@ def incremental_window_duplicates(
                .where(F.col("__c__") > max_content_df)
                .select("fingerprint"))
         union = union.join(F.broadcast(hot), "fingerprint", "left_anti")
-    w = Window.partitionBy("fingerprint").orderBy("id")
+    # secondary sort on the side flag: store (0) before new (1) at equal
+    # id — the deterministic replayed-ingest rule from the docstring
+    w = Window.partitionBy("fingerprint").orderBy("id", "__new__")
     return (union
             .withColumn("prev_id", F.lag("id").over(w))
             .where((F.col("__new__") == 1)

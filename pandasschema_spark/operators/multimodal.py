@@ -315,6 +315,24 @@ def image_ahash(df: DataFrame, *, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
 
 
+def _ahash_chunks(df: DataFrame, chunk_bits: int, extra_cols) -> DataFrame:
+    """posexplode a 56-bit ``ahash`` column into (chunk_idx, chunk_val)
+    rows — shared by image_dup_pairs and video_dup_pairs (the
+    _banded_sigs convention: both losslessness contracts depend on
+    IDENTICAL chunking, so the rule lives in exactly one place)."""
+    if chunk_bits < 1 or 56 % chunk_bits:
+        raise ValueError("chunk_bits must divide 56")
+    n_chunks = 56 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    return df.select(
+        *extra_cols,
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("ahash"), i * chunk_bits)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"))
+
+
 def image_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
                     id_col: str = "media_id", max_hamming: int = 3,
                     chunk_bits: int = 14,
@@ -340,19 +358,9 @@ def image_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
     bit_count(xor) over two joined hash columns."""
     from pyspark import StorageLevel
 
-    if chunk_bits < 1 or 56 % chunk_bits:
-        raise ValueError("chunk_bits must divide 56")
-    n_chunks = 56 // chunk_bits
-    mask = (1 << chunk_bits) - 1
     sigs = image_ahash(df, payload_col=payload_col, id_col=id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    chunked = sigs.select(
-        "id",
-        F.posexplode(F.array(*[
-            (F.shiftright(F.col("ahash"), i * chunk_bits)
-             .bitwiseAND(F.lit(mask)))
-            for i in range(n_chunks)
-        ])).alias("chunk_idx", "chunk_val"))
+    chunked = _ahash_chunks(sigs, chunk_bits, ["id"])
     if max_bucket is not None:
         hot = (chunked.groupBy("chunk_idx", "chunk_val")
                .agg(F.count(F.lit(1)).alias("__c__"))
@@ -386,7 +394,7 @@ FID_BASE = 1 << 16
 
 def video_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
                     id_col: str = "media_id", every_k: int = 2,
-                    max_hamming: int = 3,
+                    max_hamming: int = 3, chunk_bits: int = 14,
                     max_bucket: typing.Optional[int] = 10_000) -> DataFrame:
     """Perceptual near-duplicate VIDEO pairs via sampled-frame hashes:
     (id_a, id_b, n_frames, max_hamming_seen) for videos whose every
@@ -427,15 +435,7 @@ def video_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
     from pyspark import StorageLevel
 
     fhash = fhash.persist(StorageLevel.MEMORY_AND_DISK)
-    n_chunks, chunk_bits = 4, 14
-    mask = (1 << chunk_bits) - 1
-    chunked = fhash.select(
-        "vid", "frame_idx",
-        F.posexplode(F.array(*[
-            (F.shiftright(F.col("ahash"), i * chunk_bits)
-             .bitwiseAND(F.lit(mask)))
-            for i in range(n_chunks)
-        ])).alias("chunk_idx", "chunk_val"))
+    chunked = _ahash_chunks(fhash, chunk_bits, ["vid", "frame_idx"])
     if max_bucket is not None:
         hot = (chunked.groupBy("frame_idx", "chunk_idx", "chunk_val")
                .agg(F.count(F.lit(1)).alias("__c__"))

@@ -97,6 +97,26 @@ def test_incremental_union_cap_drops_wholesale(spark):
     assert exact == 7  # 6 boiler flags on the new side + the x pair
 
 
+def test_incremental_replayed_id_deterministic(spark):
+    """A cross-side id collision (replayed ingest) flags the NEW row
+    against its store twin with gap 0, deterministically — the window
+    orders (id, side) with the store row first, so no per-task
+    tie-break decides the output. Changed content under the same id is
+    a different fingerprint and never flags."""
+    store_rows = [(100, "same content"), (200, "old content")]
+    new_rows = [(100, "same content"), (200, "CHANGED content"),
+                (205, "old content")]
+    store = window_fingerprints(
+        spark.createDataFrame(store_rows, "id long, text string"),
+        "text", "id")
+    new = spark.createDataFrame(new_rows, "id long, text string")
+    for _ in range(3):  # rerun: the output must be identical every time
+        got = {(r["id"], r["prev_id"], r["gap"]) for r in
+               incremental_window_duplicates(new, store, "text", "id",
+                                             window=50).collect()}
+        assert got == {(100, 100, 0), (205, 200, 5)}
+
+
 def test_incremental_guard_and_plan(spark):
     df = spark.createDataFrame([(1, "x"), (100, "x")], "id long, text string")
     store, new = _split(df, 50)

@@ -27,8 +27,11 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 def main() -> None:
     n_media = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    spark = (SparkSession.builder.master("local[{}]".format(cpus))
-             .config("spark.sql.shuffle.partitions", str(2 * cpus))
+    # Arrow-UDF-heavy: task slots = CPU budget / 2 (the house rule —
+    # each slot pairs a JVM thread with a Python worker)
+    slots = max(2, cpus // 2)
+    spark = (SparkSession.builder.master("local[{}]".format(slots))
+             .config("spark.sql.shuffle.partitions", str(2 * slots))
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
@@ -44,9 +47,7 @@ def main() -> None:
         sample_frames,
     )
 
-    # Arrow-UDF-heavy: task slots = CPU budget / 2 (the house rule —
-    # JVM thread + python worker pairing)
-    parts = max(2, cpus // 2) * 4
+    parts = slots * 4
     media = media_df(spark, n_media, seed=42, partitions=parts)
 
     n_videos = (n_media + 4) // 5
