@@ -494,3 +494,44 @@ def test_orphan_rate_timeline_fact_never_shuffles(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert sorted(k.split("#")[0] for k in keys) == \
         ["__dimv__", "bucket_start"], plan[:3000]
+
+
+def test_image_dup_hot_chunk_cap_no_window(spark):
+    """image_dup_pairs' hot-chunk cap must be the house groupBy-count +
+    broadcast anti-join shape (never a count-over-Window funneling a
+    degenerate chunk through one task), and the verify stage must be a
+    row-local bit_count — no second fan-out."""
+    from pandasschema_spark.operators import dedup as D
+    from pandasschema_spark.operators.multimodal import (
+        image_dup_pairs,
+        media_df,
+    )
+
+    media = media_df(spark, 60, seed=42, partitions=2)
+    pairs = image_dup_pairs(media, max_bucket=10)
+    plan = plan_of(pairs)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "bit_count" in plan
+    D.release_cached(pairs)
+
+
+def test_video_dup_payload_never_shuffles(spark):
+    """video_dup_pairs: every Exchange must carry slim hash/id rows —
+    the binary payload column exists only upstream of the two narrow
+    mapInPandas stages, never in a shuffle."""
+    from pandasschema_spark.operators import dedup as D
+    from pandasschema_spark.operators.multimodal import (
+        media_df,
+        video_dup_pairs,
+    )
+
+    media = media_df(spark, 60, seed=42, partitions=2)
+    pairs = video_dup_pairs(media, max_bucket=10)
+    plan = plan_of(pairs)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # no exchange partitions on or carries the payload column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1), m.group(0)
+    D.release_cached(pairs)
