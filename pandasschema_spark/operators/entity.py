@@ -76,6 +76,19 @@ def _hot_keys(keys: DataFrame, key: str, cap: int) -> DataFrame:
 def _normalized_blocks(
     df: DataFrame, name_col: str, id_col: str, block_len: int
 ) -> DataFrame:
+    # fail LOUD on non-integral ids: cast('long') of a UUID/string id
+    # yields NULL for every row, so blocking would return a structurally
+    # valid but completely wrong resolution with no error raised. The
+    # whole family (pairs, CC cluster_id = min id, incremental splits)
+    # is keyed on integral ordinals; map string ids to ordinals first
+    # (with_file_ordered_row_index / zipWithIndex) before resolving.
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            "entity resolution needs an integral id column; {!r} is {} — "
+            "map string/uuid ids to ordinals first".format(id_col, dt.simpleString()))
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         normalized_name_expr(F.col(name_col)).alias("nm"),
@@ -215,9 +228,13 @@ def resolve_entities(
         block_len=block_len, max_dist=max_dist, max_block=max_block,
     )
     # eager star rounds: the edge list is localCheckpointed inside, so
-    # the blocked frame is no longer referenced afterwards
-    cc = connected_components(pairs, "id_a", "id_b")
-    release_cached(pairs)
+    # the blocked frame is no longer referenced afterwards. finally:
+    # a non-convergence RuntimeError must not leak the blocked frame's
+    # persist in a long-lived session (the caller has no handle).
+    try:
+        cc = connected_components(pairs, "id_a", "id_b")
+    finally:
+        release_cached(pairs)
     return (
         df.select(F.col(id_col).cast("long").alias("id"))
         .join(cc, "id", "left")

@@ -51,7 +51,12 @@ def deterministic_sample(
     sub-integer BELOW their decimal value (0.29*1e6 = 289999.99..., so
     int() would shave a bucket off), while Python round()'s half-to-even
     would turn an exactly-representable half-bucket fraction (0.0000005
-    with denom=1e6) into an EMPTY sample instead of one bucket."""
+    with denom=1e6) into an EMPTY sample instead of one bucket.
+
+    NULL ids are never sampled — even at fraction 1.0 — because a NULL
+    key has no stable identity to hash (the head_per_group contract;
+    the NULL bucket is NULL and NULL < thr filters SQL-false). The same
+    rule holds for stratified_sample and weighted_sample."""
     return df.where(
         hash_bucket_expr(F.col(id_col), denom, salt)
         < math.floor(fraction * denom + 0.5))
@@ -139,6 +144,10 @@ def assign_splits(
     quantize to 1/denom multiples can still leave a <=len(splits)-bucket
     rounding residue labeled NULL (e.g. three 1/3 splits over 1e6
     buckets leave buckets 999999+)."""
+    if any(f < 0 for f in splits.values()):
+        # a negative fraction walks `hi` backwards, silently overlapping
+        # earlier ranges (and fools the sum check) — fail fast
+        raise ValueError("split fractions must be non-negative: {}".format(splits))
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError("split fractions sum to {} > 1".format(total))
@@ -152,6 +161,14 @@ def assign_splits(
     for lo, hi_b, name in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi_b), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def _md5_order_key(id_col: str) -> Column:
+    """The deterministic rank key head_per_group AND quota_sample order
+    by (md5 of the id's string rendering) — one definition, so the two
+    samplers and their DuckDB oracle replays can never desynchronize
+    (the window_fingerprints / _banded_sigs shared-rule convention)."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
 
 
 def head_per_group(
@@ -182,8 +199,7 @@ def head_per_group(
     selected set."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    w = Window.partitionBy(*group_cols).orderBy(h)
+    w = Window.partitionBy(*group_cols).orderBy(_md5_order_key(id_col))
     return (df.where(F.col(id_col).isNotNull())
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
@@ -244,17 +260,26 @@ def temperature_weights(
     for _ in range(sqrt_steps):
         w = _isqrt_expr(w)
     weighted = counts.select("value", "n_rows", w.alias("weight"))
-    totals = weighted.agg(F.sum("n_rows").alias("__tn__"),
-                          F.sum("weight").alias("__tw__"))
+    totals = weighted.agg(
+        F.sum(F.col("n_rows").cast("decimal(38,0)")).alias("__tn__"),
+        F.sum(F.col("weight").cast("decimal(38,0)")).alias("__tw__"))
+
+    def ppm(num: str, tot: str) -> str:
+        # decimal(38) multiply + even-division floor split: the int64
+        # form (n_rows * denom) overflows past 2^63/denom rows — under
+        # default ANSI that is a query-killing ARITHMETIC_OVERFLOW, with
+        # ANSI off a silent negative wrap. Result is <= denom, long-safe.
+        bw = "CAST({} AS decimal(38,0)) * {}".format(num, int(denom))
+        return ("CAST(({bw} - pmod({bw}, {t})) / {t} AS long)"
+                .format(bw=bw, t=tot))
+
     return (weighted.crossJoin(F.broadcast(totals))
             .select(
                 "value",
                 "n_rows",
-                F.expr("n_rows * {} div __tn__".format(int(denom)))
-                 .cast("long").alias("raw_ppm"),
+                F.expr(ppm("n_rows", "__tn__")).alias("raw_ppm"),
                 "weight",
-                F.expr("weight * {} div __tw__".format(int(denom)))
-                 .cast("long").alias("weight_ppm"),
+                F.expr(ppm("weight", "__tw__")).alias("weight_ppm"),
             ))
 
 
@@ -286,8 +311,10 @@ def apportion_budget(
     exact on decimals and the division divides EVENLY, so no rounding
     step ever sees a near-boundary quotient (the floor(a/b)-on-scaled-
     decimals trap the time-bucket rule documents); verified across the
-    int64 edge against DuckDB HUGEINT // in tests. Envelope:
-    budget * W < 10^38.
+    int64 edge against DuckDB HUGEINT // in tests. Envelope: budget and
+    every quota fit int64 (the literal and the output column are
+    BIGINT — guarded), and budget * W < 10^38 keeps the intermediate
+    exact in decimal(38,0).
 
     Scale shape: O(cohorts) rows throughout — two single-row broadcast
     aggs (total weight, leftover count) and one UNPARTITIONED
@@ -298,6 +325,10 @@ def apportion_budget(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    if budget > (1 << 63) - 1:
+        # F.lit cannot encode past int64 (NumberFormatException deep in
+        # py4j) and the quota output column is BIGINT — refuse up front
+        raise ValueError("budget must fit int64 (got {})".format(budget))
     # Eager weight-domain guard (cheap by contract: the input is the
     # O(cohorts) aggregate frame, never the corpus). Without it an
     # all-zero total makes pmod(bw, 0) / the decimal division yield
@@ -327,7 +358,6 @@ def apportion_budget(
              F.expr("pmod(__bw__, __w__)").alias("__rem__")))
     left = q.agg((F.lit(int(budget)).cast("decimal(38,0)")
                   - F.sum("__base__")).alias("__l__"))
-    from pyspark.sql import Window
     rk = F.row_number().over(
         Window.orderBy(F.col("__rem__").desc(), F.col("value").asc()))
     return (q.crossJoin(F.broadcast(left))
@@ -339,8 +369,8 @@ def apportion_budget(
                     .otherwise(F.lit(0))).cast("long").alias("quota"))
             .withColumn(
                 "quota_ppm",
-                # quota*1e6 can pass int64 (budget up to ~1e32): the same
-                # exact decimal split as the base quotient
+                # quota*1e6 can pass int64 (budget up to int64 max): the
+                # same exact decimal split as the base quotient
                 F.expr(
                     "CAST((CAST(quota AS decimal(38,0)) * 1000000"
                     " - pmod(CAST(quota AS decimal(38,0)) * 1000000, {b}))"
@@ -374,11 +404,10 @@ def quota_sample(
     approximate counts when cohorts are unbounded, then rank exactly
     — two-phase keeps the sort bounded without changing the set).
     """
-    h = F.md5(F.col(id_col).cast("string").cast("binary"))
     q = F.broadcast(quotas.select(
         F.col(value_col).alias(group_col),
         F.col(quota_col).alias("__q__")))
-    w = Window.partitionBy(group_col).orderBy(h)
+    w = Window.partitionBy(group_col).orderBy(_md5_order_key(id_col))
     return (df.where(F.col(id_col).isNotNull())
             .join(q, group_col)
             .withColumn("rk", F.row_number().over(w))

@@ -67,6 +67,11 @@ def test_weight_domain_guard(spark):
     empty = spark.createDataFrame([], "value string, w long")
     with pytest.raises(ValueError, match="total weight"):
         apportion_budget(empty, "value", "w", 100)
+    # budgets past int64 cannot ride F.lit / the BIGINT quota column —
+    # refused up front instead of a py4j NumberFormatException mid-plan
+    ok = spark.createDataFrame([("a", 5)], "value string, w long")
+    with pytest.raises(ValueError, match="int64"):
+        apportion_budget(ok, "value", "w", 10 ** 20)
 
 
 def test_plan_is_cohort_frame_only(spark):

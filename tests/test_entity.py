@@ -118,3 +118,18 @@ def test_assign_entities_union_cap(spark):
     exact = {r["id"]: r["entity_id"]
              for r in assign_entities(new, store, "name", "id", max_block=None).collect()}
     assert exact == {300: 0, 301: 0, 302: 0}  # all within 2 edits -> min entity
+
+
+def test_non_integral_id_refused(spark):
+    """String/uuid ids would cast('long') to NULL for every row and
+    return a structurally valid but completely wrong resolution — the
+    whole family refuses them up front (map to ordinals first)."""
+    from pandasschema_spark.operators.entity import blocked_pairs, resolve_entities
+
+    df = spark.createDataFrame(
+        [("a3f9-0001", "acme corp"), ("a3f9-0002", "acme corp.")],
+        "doc_id string, name string")
+    with pytest.raises(ValueError, match="integral id"):
+        resolve_entities(df, "name", "doc_id")
+    with pytest.raises(ValueError, match="integral id"):
+        blocked_pairs(df, "name", "doc_id")

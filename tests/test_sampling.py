@@ -55,6 +55,10 @@ def test_splits_overcommit_raises(spark):
     df = spark.range(0, 10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="sum"):
         assign_splits(df, "k", {"a": 0.7, "b": 0.5})
+    # a negative fraction walks the range cursor backwards, silently
+    # overlapping earlier ranges (and fooling the sum check) — refused
+    with pytest.raises(ValueError, match="non-negative"):
+        assign_splits(df, "k", {"a": 0.6, "bad": -0.2, "b": 0.6})
 
 
 def test_splits_no_truncation_gap(spark):
