@@ -85,7 +85,13 @@ def _normalized_blocks(
     from pyspark.sql import types as T
 
     dt = df.schema[id_col].dataType
-    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+    integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    # DECIMAL(p<=18, 0) ordinals (warehouse-migrated schemas) cast to
+    # long exactly — accept them; wider or scaled decimals can silently
+    # NULL/round under the cast, so they stay rejected.
+    if isinstance(dt, T.DecimalType) and dt.scale == 0 and dt.precision <= 18:
+        integral = True
+    if not integral:
         raise ValueError(
             "entity resolution needs an integral id column; {!r} is {} — "
             "map string/uuid ids to ordinals first".format(id_col, dt.simpleString()))

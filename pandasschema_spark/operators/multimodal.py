@@ -135,17 +135,25 @@ def _media_row(seed: int, i: int, inject: bool = False):
     return (i, "image", payload, decl_w, h)
 
 
-def media_df(spark: SparkSession, n: int, seed: int = 42, *, partitions: int = None) -> DataFrame:
-    """Distributed deterministic media table: row i is an image of
-    (16 + i%17) x (16 + i%13), every 5th row a 4-frame video."""
+def _media_table(spark: SparkSession, n: int, seed: int, inject: bool,
+                 partitions: int = None) -> DataFrame:
+    # one builder for both corpora — the clean and defect tables must
+    # never drift apart structurally (the media_integrity oracle relies
+    # on non-injected rows being byte-identical across the two)
     rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
 
     def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [_media_row(seed, int(i)) for i in b["id"]]
+            rows = [_media_row(seed, int(i), inject=inject) for i in b["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_df(spark: SparkSession, n: int, seed: int = 42, *, partitions: int = None) -> DataFrame:
+    """Distributed deterministic media table: row i is an image of
+    (16 + i%17) x (16 + i%13), every 5th row a 4-frame video."""
+    return _media_table(spark, n, seed, False, partitions)
 
 
 def media_defect_df(spark: SparkSession, n: int, seed: int = 42, *,
@@ -154,14 +162,7 @@ def media_defect_df(spark: SparkSession, n: int, seed: int = 42, *,
     ``media_injected_class`` — drives the media_integrity oracle the way
     audio_quality_clips_df drives the audio suite. Non-injected rows are
     byte-identical to media_df's."""
-    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
-
-    def gen(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = [_media_row(seed, int(i), inject=True) for i in b["id"]]
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
-
-    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+    return _media_table(spark, n, seed, True, partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -293,21 +294,28 @@ def image_ahash(df: DataFrame, *, payload_col: str = "payload",
         for b in batches:
             ids, hashes = [], []
             for _, row in b.iterrows():
+                # The WHOLE per-row body sits inside the try: a payload
+                # that decodes but is degenerate (zero width/height, 2-D
+                # grayscale under a real codec, NULL id) must be skipped
+                # like a decode failure, never kill the task.
                 try:
                     arr = decode_image(row[payload_col]).astype(np.int64)
+                    h, w, _ = arr.shape
+                    if h < 1 or w < 1:
+                        continue
+                    yi = np.arange(gh) * h // gh
+                    xi = np.arange(gw) * w // gw
+                    cells = arr[yi[:, None], xi[None, :], :]
+                    gray = cells.sum(axis=2) // 3          # (gh, gw) ints
+                    total = int(gray.sum())
+                    bits = (n_cells * gray.reshape(-1) > total)
+                    val = 0
+                    for p in np.nonzero(bits)[0]:
+                        val |= 1 << int(p)
+                    rid = int(row[id_col])
                 except Exception:
                     continue
-                h, w, _ = arr.shape
-                yi = np.arange(gh) * h // gh
-                xi = np.arange(gw) * w // gw
-                cells = arr[yi[:, None], xi[None, :], :]
-                gray = cells.sum(axis=2) // 3          # (gh, gw) ints
-                total = int(gray.sum())
-                bits = (n_cells * gray.reshape(-1) > total)
-                val = 0
-                for p in np.nonzero(bits)[0]:
-                    val |= 1 << int(p)
-                ids.append(row[id_col])
+                ids.append(rid)
                 hashes.append(val)
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
                                 "ahash": pd.Series(hashes, dtype="int64")})

@@ -334,10 +334,19 @@ def apportion_budget(
     # all-zero total makes pmod(bw, 0) / the decimal division yield
     # NULL quotas SILENTLY, and a negative weight corrupts the
     # largest-remainder ordering — fail fast instead.
+    # The guard MUST see the weights through the SAME decimal(38,0)
+    # cast the computation uses (cast('long') truncates -0.5 to 0 and
+    # would wave a fractional negative through), and NULL weights must
+    # fail here too (min/sum skip NULLs — the silent-NULL-quota hole
+    # this guard exists to close).
     chk = df.agg(
-        F.min(F.col(weight_col).cast("long")).alias("__wmin__"),
+        F.min(F.col(weight_col).cast("decimal(38,0)")).alias("__wmin__"),
         F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("__wsum__"),
+        F.count(F.lit(1)).alias("__n__"),
+        F.count(F.col(weight_col)).alias("__nw__"),
     ).collect()[0]
+    if chk["__n__"] != chk["__nw__"]:
+        raise ValueError("apportion_budget: weights must be non-NULL")
     if chk["__wmin__"] is not None and chk["__wmin__"] < 0:
         raise ValueError("apportion_budget: weights must be non-negative")
     if chk["__wsum__"] is None or chk["__wsum__"] <= 0:

@@ -85,3 +85,17 @@ def test_plan_is_cohort_frame_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weight_guard_sees_decimal_cast_and_nulls(spark):
+    # a fractional negative double truncates to 0 under cast('long') —
+    # the guard must look through the SAME decimal(38,0) cast the
+    # computation uses; NULL weights must fail loud, never NULL quotas
+    frac_neg = spark.createDataFrame(
+        [("a", 5.0), ("b", -0.5)], "value string, w double")
+    with pytest.raises(ValueError, match="non-negative"):
+        apportion_budget(frac_neg, "value", "w", 100)
+    with_null = spark.createDataFrame(
+        [("a", 5), ("b", None)], "value string, w long")
+    with pytest.raises(ValueError, match="non-NULL"):
+        apportion_budget(with_null, "value", "w", 100)

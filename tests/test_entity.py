@@ -133,3 +133,21 @@ def test_non_integral_id_refused(spark):
         resolve_entities(df, "name", "doc_id")
     with pytest.raises(ValueError, match="integral id"):
         blocked_pairs(df, "name", "doc_id")
+
+
+def test_decimal_scale0_id_accepted(spark):
+    """DECIMAL(p<=18, 0) ordinals (warehouse-migrated schemas) cast to
+    long exactly — the integral-id guard accepts them; scaled decimals
+    stay refused."""
+    from decimal import Decimal
+    from pandasschema_spark.operators.entity import resolve_entities
+
+    df = spark.createDataFrame(
+        [(Decimal(1), "zq9f8a7b corp"), (Decimal(2), "zq9f8a7b corp.")],
+        "doc_id decimal(18,0), name string")
+    ent = {r["id"]: r["entity_id"] for r in resolve_entities(df, "name", "doc_id").collect()}
+    assert ent == {1: 1, 2: 1}
+    scaled = spark.createDataFrame(
+        [(Decimal("1.5"), "acme")], "doc_id decimal(18,1), name string")
+    with pytest.raises(ValueError, match="integral id"):
+        resolve_entities(scaled, "name", "doc_id")

@@ -139,3 +139,18 @@ def test_guards_and_poison_pill(spark):
         image_dup_pairs(df, chunk_bits=15)
     # undecodable rows are absent, not fatal (dedup over what decodes)
     assert {r["id"] for r in image_ahash(df).collect()} == {0}
+
+
+def test_poison_pill_degenerate_payloads(spark):
+    """Decodable-but-degenerate payloads (zero width/height header with
+    an empty pixel buffer) and NULL ids must be skipped like decode
+    failures — one corrupt blob must never kill the task (the docstring's
+    poison-pill isolation covers the WHOLE per-row body, not just the
+    decode call)."""
+    import struct
+    from pandasschema_spark.operators.multimodal import IMG_MAGIC
+
+    zero_dim = IMG_MAGIC + struct.pack("<HHB", 0, 0, 3)
+    rows = [(0, _flat([[100] * 8] * 7)), (1, zero_dim), (None, _flat([[7] * 8] * 7))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    assert {r["id"] for r in image_ahash(df).collect()} == {0}
