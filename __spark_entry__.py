@@ -6268,7 +6268,7 @@ g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
       FROM e GROUP BY 1)
 SELECT e.event_type, e.event_id, e.v AS value
-FROM e JOIN g USING (event_type)
+FROM e JOIN g ON e.event_type IS NOT DISTINCT FROM g.event_type
 WHERE (g.n*e.v - g.s)*(g.n*e.v - g.s) > 9*(g.n*g.ss - g.s*g.s)
 """,
         "heavy_hitters": """
@@ -6510,6 +6510,7 @@ SELECT dim, value, n, bad_n,
        CAST(gbad * 1000000 // gn AS BIGINT) AS global_ppm
 FROM a, g
 WHERE n >= 1000
+  AND bad_n > 0
   AND (bad_n * 1000000 // n) * 100 >= 115 * (gbad * 1000000 // gn)
 """,
         # assignment stage only (closure is entity_resolution's gate),

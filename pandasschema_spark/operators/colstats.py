@@ -34,10 +34,13 @@ Scale shapes at 10^12 rows:
 
 from __future__ import annotations
 
+import functools
 import math
 import typing
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.exact import floor_div
 
 
 def exact_quantiles(
@@ -149,9 +152,22 @@ def zscore_outliers(
            T.StructField("hi_cut", T.LongType())])
     cut_df = spark.createDataFrame(cut_rows, cut_schema)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    joined = (df.select(*group_cols, *keep_cols, v.alias("value"))
-                .where(F.col("value").isNotNull())
-                .join(F.broadcast(cut_df), list(group_cols)))
+    left = (df.select(*group_cols, *keep_cols, v.alias("value"))
+              .where(F.col("value").isNotNull()))
+    # NULL-safe join keys: zscore_cutoffs computes cutoffs for a NULL
+    # cohort (groupBy keeps NULLs as their own group — the file-wide
+    # convention), so a plain equi-join would silently drop every
+    # NULL-group row here and never report its outliers.
+    if group_cols:
+        cond = functools.reduce(
+            lambda acc, g: acc & left[g].eqNullSafe(cut_df[g]),
+            group_cols[1:],
+            left[group_cols[0]].eqNullSafe(cut_df[group_cols[0]]))
+        joined = left.join(F.broadcast(cut_df), cond).select(
+            *[left[g] for g in group_cols], *[left[c] for c in keep_cols],
+            left["value"], cut_df["lo_cut"], cut_df["hi_cut"])
+    else:
+        joined = left.crossJoin(F.broadcast(cut_df))
     return (joined.where((F.col("value") <= F.col("lo_cut"))
                          | (F.col("value") >= F.col("hi_cut")))
             .select(*group_cols, *keep_cols, "value", "lo_cut", "hi_cut"))
@@ -288,6 +304,10 @@ def winsorized_sum_by(
     cuts = {r["q_pm"]: int(r["value"])
             for r in exact_quantiles(df, v, [lo_pm, hi_pm],
                                      denom=denom).collect()}
+    if not cuts:
+        # empty / all-NULL value column: exact_quantiles returns zero
+        # rows — fail loud like equi_depth_label, never a bare KeyError
+        raise ValueError("winsorized_sum_by: no non-null values")
     lo_v, hi_v = cuts[lo_pm], cuts[hi_pm]
     base = (df.select(*group_cols, v.cast("long").alias("__v__"))
             .where(F.col("__v__").isNotNull()))
@@ -330,8 +350,11 @@ def mad_outliers(
         raise ValueError("k must be an integer for exact MAD cutoffs")
     k = int(k)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    med = {r["q_pm"]: int(r["value"])
-           for r in exact_quantiles(df, v, [500]).collect()}[500]
+    meds = {r["q_pm"]: int(r["value"])
+            for r in exact_quantiles(df, v, [500]).collect()}
+    if not meds:
+        raise ValueError("mad_outliers: no non-null values")
+    med = meds[500]
     dev = F.abs(v.cast("long") - F.lit(med))
     mad = {r["q_pm"]: int(r["value"])
            for r in exact_quantiles(df, dev, [500]).collect()}[500]
@@ -618,13 +641,13 @@ def fd_profile(
                  F.count(F.lit(1)).cast("long").alias("n_det"),
                  (F.sum("__n__") - F.sum("__keep__")).cast("long")
                   .alias("n_violations"),
-                 # decimal quotient + F.floor == integer // (the repo's
-                 # cross-engine rule; a double quotient rounds near
-                 # exact-integer boundaries before floor sees it)
-                 F.floor((F.sum("__n__") - F.sum("__keep__"))
-                         .cast("decimal(38,0)") * 1_000_000
-                         / F.sum("__n__").cast("decimal(38,0)"))
-                  .cast("long").alias("error_ppm")))
+                 # exact floor division (functions.exact: Spark's
+                 # F.floor(decimal/decimal) rounds HALF_UP at scale 6
+                 # BEFORE floor — it is NOT DuckDB's //)
+                 floor_div((F.sum("__n__") - F.sum("__keep__"))
+                           .cast("decimal(38,0)") * 1_000_000,
+                           F.sum("__n__").cast("decimal(38,0)"))
+                  .alias("error_ppm")))
 
 
 def group_quantiles(
@@ -728,12 +751,12 @@ def concentration_profile(
             .agg(F.sum("c").cast("long").alias("n_nonnull"),
                  F.count(F.lit(1)).cast("long").alias("n_distinct"),
                  F.when(n > 1,
-                        F.floor(F.sum(dc * (dc - 1)) * 1_000_000
-                                / (n * (n - 1))).cast("long"))
+                        floor_div(F.sum(dc * (dc - 1)) * 1_000_000,
+                                  n * (n - 1)))
                   .otherwise(F.lit(None).cast("long")).alias("simpson_ppm"),
                  F.max("c").cast("long").alias("c_max"),
-                 F.floor(F.max("c").cast("decimal(38,0)") * 1_000_000 / n)
-                  .cast("long").alias("top_share_ppm")))
+                 floor_div(F.max("c").cast("decimal(38,0)") * 1_000_000, n)
+                  .alias("top_share_ppm")))
 
 
 #: auto-route bound for key_discovery: when len(candidates) * n_rows

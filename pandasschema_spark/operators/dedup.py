@@ -30,6 +30,7 @@ import typing
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from ..functions.exact import floor_div
 from pyspark.storagelevel import StorageLevel
 
 from .text import normalized_text_expr
@@ -708,9 +709,10 @@ def duplication_rate(
                      .cast("long").alias("bucket_start"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.sum("__dup__").cast("long").alias("n_dups"),
-                 F.floor(F.sum("__dup__").cast("decimal(38,0)") * 1_000_000
-                         / F.count(F.lit(1)).cast("decimal(38,0)"))
-                  .cast("long").alias("dup_ppm")))
+                 floor_div(F.sum("__dup__").cast("decimal(38,0)")
+                           * 1_000_000,
+                           F.count(F.lit(1)).cast("decimal(38,0)"))
+                  .alias("dup_ppm")))
 
 
 def containment_pairs(
@@ -777,9 +779,9 @@ def containment_pairs(
         .where(F.col("n_common") * 1_000_000 >= F.lit(threshold_ppm) * small)
         .select(
             "id_a", "id_b", "n_common", "n_a", "n_b",
-            F.floor(F.col("n_common").cast("decimal(38,0)") * 1_000_000
-                    / small.cast("decimal(38,0)"))
-             .cast("long").alias("containment_ppm"),
+            floor_div(F.col("n_common").cast("decimal(38,0)") * 1_000_000,
+                      small.cast("decimal(38,0)"))
+             .alias("containment_ppm"),
         )
     )
     return _attach_cached(out, [grams])
@@ -855,9 +857,9 @@ def source_dup_matrix(
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.floor(F.col("n_shared").cast("decimal(38,0)") * 1_000_000
-                    / small.cast("decimal(38,0)"))
-             .cast("long").alias("share_ppm"),
+            floor_div(F.col("n_shared").cast("decimal(38,0)") * 1_000_000,
+                      small.cast("decimal(38,0)"))
+             .alias("share_ppm"),
         )
     )
     return _attach_cached(out, [cached])
@@ -1109,8 +1111,8 @@ def gram_overlap_score(
            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
                 F.sum(F.coalesce(F.col("__hot__"), F.lit(0)))
                  .cast("long").alias("n_common"),
-                F.floor(F.sum(F.coalesce(F.col("__hot__"), F.lit(0)))
-                        .cast("decimal(38,0)") * 1_000_000
-                        / F.count(F.lit(1)).cast("decimal(38,0)"))
-                 .cast("long").alias("overlap_ppm")))
+                floor_div(F.sum(F.coalesce(F.col("__hot__"), F.lit(0)))
+                          .cast("decimal(38,0)") * 1_000_000,
+                          F.count(F.lit(1)).cast("decimal(38,0)"))
+                 .alias("overlap_ppm")))
     return _attach_cached(out, [grams])

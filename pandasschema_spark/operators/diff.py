@@ -66,7 +66,8 @@ def table_diff(
     ``table_checksum`` says WHETHER two copies match, ``table_checksum_by``
     bisects WHERE, ``table_diff`` names the keys. Payload columns never
     shuffle — each row reduces to the two 32-bit md5-prefix chunks of its
-    null-sentineled payload rendering (the checksum rule), and the ONE
+    payload digest (fixed-width per-component md5, NULL -> a non-hex
+    sentinel, so component boundaries are unambiguous), and the ONE
     exchange carries (keys, side, 2 x decimal). Per-key comparison is the
     mod-2^32 SUM of digests per side, so it is multiset-exact w.h.p.
     (~1-2^-64 per key) and order-independent; a key duplicated twice on
@@ -85,8 +86,16 @@ def table_diff(
         raise ValueError("key_cols and compare_cols must be non-empty")
 
     def _side(df: DataFrame, tag: int) -> DataFrame:
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
-        h = F.md5(F.concat_ws("\x00", *parts).cast("binary"))
+        # fixed-width per-component md5 (the key_discovery convention):
+        # a separator-joined rendering is NOT injective — ('a\x00b','c')
+        # and ('a','b\x00c') concat identically, and a NULL collides
+        # with a literal sentinel string. 32 hex chars per component
+        # (NULL -> 32 dashes, which no real digest can be) make the
+        # concatenation boundary-unambiguous, so distinct payloads get
+        # distinct pre-images w.h.p.
+        parts = [F.coalesce(F.md5(F.col(c).cast("string").cast("binary")),
+                            F.lit("-" * 32)) for c in cols]
+        h = F.md5(F.concat(*parts).cast("binary"))
         return df.select(
             *keys,
             F.lit(tag).alias("__side"),

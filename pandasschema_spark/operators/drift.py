@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import stats as _stats
+from ..functions.exact import floor_div
 from ..validation_warning import ValidationWarning
 
 
@@ -266,10 +267,9 @@ def chi_square_two_sample_by(
     na = F.col("n_ref").cast("decimal(38,0)")
     nb = F.col("n_cand").cast("decimal(38,0)")
     term = (a * nb - b * na)
-    # F.floor, not a decimal cast: Spark's cast-to-decimal rounds HALF_UP
-    # while DuckDB's // floors — on the non-negative term they agree only
-    # under floor
-    num_j = F.floor(term * term / (a + b))
+    # exact floor division (functions.exact): F.floor(dec/dec) is NOT
+    # // — Spark rounds the scale-6 quotient HALF_UP before floor
+    num_j = floor_div(term * term, a + b)
     return (enriched.groupBy("grp")
             .agg(F.first("k").cast("long").alias("k"),
                  F.first("n_ref").cast("long").alias("n_ref"),
@@ -308,14 +308,22 @@ def ks_two_sample_by(
         F.sum("c_cand").over(w).alias("cum_b"),
         F.sum("c_ref").over(wg).alias("n_ref"),
         F.sum("c_cand").over(wg).alias("n_cand"))
-    gap = F.abs(F.col("cum_a") * F.col("n_cand")
-                - F.col("cum_b") * F.col("n_ref"))
+    # products ride decimal(38,0): n_ref * n_cand overflows int64 past
+    # ~3e9 rows per side (long multiplication wraps SILENTLY in
+    # non-ANSI mode) — the ks_onset sibling already casts; match it.
+    # ks_num <= ks_den, so both fit BIGINT whenever ks_den does; the
+    # final casts keep the documented <2^63 output envelope.
+    gap = F.abs(F.col("cum_a").cast("decimal(38,0)")
+                * F.col("n_cand").cast("decimal(38,0)")
+                - F.col("cum_b").cast("decimal(38,0)")
+                * F.col("n_ref").cast("decimal(38,0)"))
     return (cum.groupBy("grp")
             .agg(F.first("n_ref").cast("long").alias("n_ref"),
                  F.first("n_cand").cast("long").alias("n_cand"),
                  F.max(gap).cast("long").alias("ks_num"),
-                 F.first(F.col("n_ref") * F.col("n_cand")).cast("long")
-                  .alias("ks_den")))
+                 F.first(F.col("n_ref").cast("decimal(38,0)")
+                         * F.col("n_cand").cast("decimal(38,0)"))
+                  .cast("long").alias("ks_den")))
 
 
 def chi_square_onset(
@@ -380,9 +388,9 @@ def chi_square_onset(
     na = F.col("__na__").cast("decimal(38,0)")
     nb = (F.col("__n__") - F.col("__na__")).cast("decimal(38,0)")
     b = g - a
-    # per-term floor division (F.floor of the decimal quotient == // on
-    # non-negative integers in DuckDB); a + b = g >= 1 by construction
-    num_j = F.floor((a * nb - b * na) * (a * nb - b * na) / g)
+    # per-term EXACT floor division (functions.exact; F.floor of the
+    # decimal quotient is NOT //); a + b = g >= 1 by construction
+    num_j = floor_div((a * nb - b * na) * (a * nb - b * na), g)
     out = (grid.groupBy("bucket_start")
            .agg(F.count(F.lit(1)).cast("long").alias("k"),
                 F.first("__na__").cast("long").alias("n_bucket"),
@@ -543,7 +551,7 @@ def embedding_centroid_drift(
                         F.signum(F.col("__dot__")).cast("int")
                          .alias("dot_sign"),
                         F.when(den > 0,
-                               F.floor(F.col("__dot__") * F.col("__dot__")
-                                       * 1_000_000 / den).cast("long"))
+                               floor_div(F.col("__dot__") * F.col("__dot__")
+                                         * 1_000_000, den))
                          .otherwise(F.lit(None).cast("long"))
                          .alias("cos2_ppm")))

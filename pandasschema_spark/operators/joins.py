@@ -40,6 +40,8 @@ import typing
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.exact import floor_div
+
 DEFAULT_SALT_BUCKETS = 16
 
 
@@ -311,8 +313,9 @@ def join_cardinality(
                F.col("cnt_b").cast("long").alias("cnt_b"),
                F.col("__pair__").cast("long").alias("pair_rows"),
                F.col("__total__").cast("long").alias("total_rows"),
-               F.floor(F.col("__pair__") * 1_000_000 / F.col("__total__"))
-                .cast("long").alias("share_ppm")))
+               floor_div(F.col("__pair__") * 1_000_000,
+                         F.col("__total__"))
+                .alias("share_ppm")))
     from .dedup import _attach_cached
 
     return _attach_cached(out, [pairs])

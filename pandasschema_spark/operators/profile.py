@@ -267,9 +267,14 @@ def null_bursts(
             .cast("long").alias("__nn{}".format(i))
         )
     g = base.groupBy(bucket.alias("bucket_start_s")).agg(*aggs)
-    tot = base.agg(*aggs).select(
-        *[F.col("__n").alias("__tn")]
-        + [F.col("__nn{}".format(i)).alias("__tnn{}".format(i)) for i in range(len(cols))]
+    # global totals fold from the per-bucket aggregate — every base row
+    # has exactly one bucket, so this is identical to re-aggregating the
+    # raw data and saves the second full scan (the docstring's ONE-scan
+    # shape; the shard_balance/chi_square_onset convention)
+    tot = g.agg(
+        F.sum("__n").cast("long").alias("__tn"),
+        *[F.sum("__nn{}".format(i)).cast("long").alias("__tnn{}".format(i))
+          for i in range(len(cols))]
     )
     structs = [
         F.struct(
@@ -348,7 +353,14 @@ def violation_hotspots(
         agg.crossJoin(F.broadcast(glob))
         .withColumn("rate_ppm", F.expr("bad_n * 1000000L div n"))
         .withColumn("global_ppm", F.expr("__gbad__ * 1000000L div __gn__"))
+        # bad_n > 0 guards the degenerate global_ppm == 0 case (a
+        # global rate under 1 ppm floors to 0 and the lift condition
+        # becomes 0 >= 0, flooding the output with zero-violation
+        # values); when global_ppm > 0 the lift filter already implies
+        # bad_n > 0, so the guard binds ONLY in the degenerate case —
+        # the oracle applies the identical predicate (house cap rule)
         .where((F.col("n") >= min_support)
+               & (F.col("bad_n") > 0)
                & (F.col("rate_ppm") * 100 >= F.lit(min_lift_pct) * F.col("global_ppm")))
         .select("dim", "value", "n", "bad_n", "rate_ppm", "global_ppm")
     )

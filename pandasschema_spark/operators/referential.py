@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.exact import floor_div
+
 from ..plans.compiler import value_repr
 
 
@@ -365,8 +367,9 @@ def orphan_rate_timeline(
                  F.sum((~nn).cast("int")).cast("long").alias("n_null"),
                  F.when(
                      F.sum(nn.cast("int")) > 0,
-                     F.floor(F.sum(orphan).cast("decimal(38,0)") * 1_000_000
-                             / F.sum(nn.cast("int")).cast("decimal(38,0)")))
+                     floor_div(F.sum(orphan).cast("decimal(38,0)")
+                               * 1_000_000,
+                               F.sum(nn.cast("int")).cast("decimal(38,0)")))
                   .otherwise(F.lit(0))
                   .cast("long").alias("orphan_ppm")))
 

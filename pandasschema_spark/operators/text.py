@@ -23,6 +23,8 @@ import typing
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
+from ..functions.exact import floor_div
+
 # ---------------------------------------------------------------------------
 # tokenization
 # ---------------------------------------------------------------------------
@@ -617,11 +619,11 @@ def vocab_novelty(
                  F.count(F.lit(1)).cast("long").alias("n_types"),
                  F.sum((F.col("__b__") == F.col("__fb__")).cast("int"))
                   .cast("long").alias("n_new_types"),
-                 F.floor(
+                 floor_div(
                      F.sum((F.col("__b__") == F.col("__fb__")).cast("int"))
-                     .cast("decimal(38,0)") * 1_000_000
-                     / F.count(F.lit(1)).cast("decimal(38,0)"))
-                  .cast("long").alias("novelty_ppm")))
+                     .cast("decimal(38,0)") * 1_000_000,
+                     F.count(F.lit(1)).cast("decimal(38,0)"))
+                  .alias("novelty_ppm")))
 
 
 def boilerplate_scan(
@@ -698,11 +700,11 @@ def boilerplate_scan(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.sum(F.coalesce(F.col("__hot__"), F.lit(0))).cast("long").alias("n_boiler"),
-            F.floor(
+            floor_div(
                 F.sum(F.coalesce(F.col("__hot__"), F.lit(0))).cast("decimal(38,0)")
-                * 1_000_000
-                / F.count(F.lit(1)).cast("decimal(38,0)")
-            ).cast("long").alias("boiler_ppm"),
+                * 1_000_000,
+                F.count(F.lit(1)).cast("decimal(38,0)")
+            ).alias("boiler_ppm"),
         )
     )
     # release-handle convention (dedup._attach_cached inlined: importing

@@ -180,3 +180,28 @@ def test_class_balance_shares(spark):
                "v string"), "v").collect()}
     assert out == {"a": (6, 10, 600000), "b": (3, 10, 300000),
                    "c": (1, 10, 100000)}
+
+
+def test_zscore_outliers_null_group_reported(spark):
+    """zscore_cutoffs keeps a NULL cohort (groupBy semantics); the
+    outlier join must be NULL-safe so that cohort's rows are not
+    silently dropped."""
+    from pandasschema_spark.operators.colstats import zscore_outliers
+
+    rows = [(None, 10)] * 30 + [(None, 1000)] + [("g", 10)] * 30 + [("g", 1000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = zscore_outliers(df, "v", ["grp"], k=3)
+    got = {(r["grp"], r["value"]) for r in out.collect()}
+    assert got == {(None, 1000), ("g", 1000)}
+
+
+def test_winsorized_and_mad_fail_loud_on_empty(spark):
+    from pandasschema_spark.operators.colstats import (
+        mad_outliers, winsorized_sum_by)
+
+    empty = spark.createDataFrame([], "grp string, v long")
+    with pytest.raises(ValueError, match="no non-null values"):
+        winsorized_sum_by(empty, "v", ["grp"])
+    all_null = spark.createDataFrame([("a", None)], "grp string, v long")
+    with pytest.raises(ValueError, match="no non-null values"):
+        mad_outliers(all_null, "v")

@@ -50,3 +50,24 @@ def test_missingness_profile(spark):
     got = {r["pattern"]: (r["n_rows"], r["n_missing"])
            for r in missingness_profile(df, ["p", "q", "r"]).collect()}
     assert got == {"110": (1, 2), "100": (1, 1), "000": (1, 0), "011": (1, 2)}
+
+
+def test_degenerate_zero_global_rate_emits_nothing_spurious(spark):
+    """global_ppm == 0 (violations rarer than 1 ppm) used to make the
+    lift filter 0 >= 0 and flood the output with zero-violation values;
+    the bad_n > 0 guard binds exactly there (and only there — with
+    global_ppm > 0 the lift filter already implies bad_n > 0)."""
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.profile import violation_hotspots
+
+    n = 3_000_000
+    df = (spark.range(n)
+          .select((F.col("id") % 3).cast("string").alias("d1"),
+                  (F.col("id") < 1).cast("int").alias("bad")))
+    out = violation_hotspots(df, F.col("bad") == 1, ["d1"],
+                             min_support=10, min_lift_pct=115).collect()
+    # one violation among 3M rows in cohort d1='0': global_ppm floors to
+    # 0; only the cohort actually containing the violation may appear
+    assert all(r["bad_n"] > 0 for r in out)
+    assert {r["value"] for r in out} == {"0"}

@@ -130,3 +130,20 @@ class TestSchemaDiff:
         r = base.select(F.col("k").cast("decimal(12,2)").alias("d"))
         out = [tuple(x) for x in schema_diff(l, r).collect()]
         assert out == [("d", "type_changed", "decimal(10,2)", "decimal(12,2)")]
+
+
+def test_payload_digest_is_boundary_unambiguous(spark):
+    """('a\\x00b','c') vs ('a','b\\x00c') concat identically under a
+    separator-joined rendering — the fixed-width per-component md5
+    digest must see them as CHANGED; same for NULL vs any literal."""
+    from pandasschema_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a\x00b", "c"), (2, None, "z"), (3, "same", "same")],
+        "k long, p string, q string")
+    right = spark.createDataFrame(
+        [(1, "a", "b\x00c"), (2, "-" * 32, "z"), (3, "same", "same")],
+        "k long, p string, q string")
+    out = {r["k"]: r["status"]
+           for r in table_diff(left, right, ["k"], ["p", "q"]).collect()}
+    assert out == {1: "changed", 2: "changed"}
