@@ -6342,10 +6342,11 @@ WITH e AS (
   FROM embeddings),
 f AS (SELECT vec_id, CAST(len(emb) AS INT) AS n_dims,
         coalesce(len(list_filter(emb, x -> isnan(x))) > 0, false) AS has_nan,
-        coalesce(list_min(emb) = 0 AND list_max(emb) = 0 AND len(emb) > 0, false) AS is_zero
+        coalesce(list_min(emb) = 0 AND list_max(emb) = 0 AND len(emb) > 0, false) AS is_zero,
+        coalesce(len(list_filter(emb, x -> x IS NULL)) > 0, false) AS has_null
       FROM e)
-SELECT vec_id, n_dims, has_nan, is_zero
-FROM f WHERE n_dims <> 64 OR has_nan OR is_zero
+SELECT vec_id, n_dims, has_nan, is_zero, has_null
+FROM f WHERE n_dims <> 64 OR has_nan OR is_zero OR has_null
 """,
         # integer epoch-second buckets (floor to 600) — no timestamp
         # rendering/timezone semantics cross the engine boundary; the

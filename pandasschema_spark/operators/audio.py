@@ -63,6 +63,19 @@ def _decode(raw) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2").astype(np.int64)
 
 
+def _meta_int(v) -> typing.Optional[int]:
+    """NULL-safe metadata int. Arrow renders a nullable int column as
+    float64 with NaN, so ``int(v)`` on a NULL sr_hz/dur_ms raises and
+    kills the stage — the exact failure mode _decode exists to prevent.
+    NULL/NaN -> None; kernels skip (or flag) such rows instead."""
+    try:
+        if v is None or v != v:
+            return None
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def audio_stats(df: DataFrame, *, id_col: str = "clip_id",
                 bytes_col: str = "bytes") -> DataFrame:
     """Per-clip PCM statistics, one narrow mapInPandas pass (no shuffle).
@@ -140,8 +153,11 @@ def frame_silence(df: DataFrame, *, id_col: str = "clip_id",
             srs = b[sr_col].to_numpy()
             rows = {k: [] for k in FRAME_STATS_SCHEMA.fieldNames()}
             for j in range(len(b)):
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # no frame length without a sample rate
                 s = _decode(raws[j])
-                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                fl = max(sr * frame_ms // 1000, 1)
                 nf = int(s.size) // fl
                 if nf:
                     fr = np.abs(s[: nf * fl].reshape(nf, fl)).max(axis=1)
@@ -193,9 +209,18 @@ def defect_triage(df: DataFrame, *, id_col: str = "clip_id",
             durs = b[dur_col].to_numpy()
             out = {"clip_id": [], "label": []}
             for j in range(len(b)):
+                sr, dur = _meta_int(srs[j]), _meta_int(durs[j])
+                if sr is None or dur is None:
+                    # triage FLAGS broken rows rather than skipping: a
+                    # clip without sr/dur metadata is its own defect
+                    # class (never fires on the gated corpora, whose
+                    # metadata is valid by construction)
+                    out["clip_id"].append(ids[j])
+                    out["label"].append("bad_meta")
+                    continue
                 s = _decode(raws[j])
                 n = int(s.size)
-                expected = int(srs[j]) * int(durs[j]) // 1000
+                expected = sr * dur // 1000
                 a = np.abs(s) if n else None
                 if n == 0 or int(a.max()) == 0:
                     label = "silent"
@@ -204,7 +229,7 @@ def defect_triage(df: DataFrame, *, id_col: str = "clip_id",
                 elif n != expected:
                     label = "truncated"
                 else:
-                    fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                    fl = max(sr * frame_ms // 1000, 1)
                     nf = n // fl
                     if nf:
                         fr = a[: nf * fl].reshape(nf, fl).max(axis=1)
@@ -266,7 +291,9 @@ def segment(df: DataFrame, seg_ms: int, *, hop_ms: typing.Optional[int] = None,
             out_id, out_idx, out_off, out_b, out_sr = [], [], [], [], []
             for j in range(len(b)):
                 raw = raws[j] or b""
-                sr = int(srs[j])
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # windows are sized in samples: no sr, no segments
                 seg_bytes = 2 * max(sr * seg_ms // 1000, 1)
                 hop_bytes = seg_bytes if hop_ms is None else \
                     2 * max(sr * hop_ms // 1000, 1)
@@ -322,8 +349,18 @@ def to_wav(df: DataFrame, *, id_col: str = "clip_id", bytes_col: str = "bytes",
             ids = b[id_col].to_numpy()
             raws = b[bytes_col].to_numpy()
             srs = b[sr_col].to_numpy()
-            out = [wrap_wav(raws[j] or b"", int(srs[j])) for j in range(len(b))]
-            yield pd.DataFrame({"clip_id": ids, "bytes": out, "sr_hz": srs})
+            keep, out = [], []
+            for j in range(len(b)):
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # a WAV header needs a sample rate
+                keep.append(j)
+                out.append(wrap_wav(raws[j] or b"", sr))
+            if not keep:
+                continue
+            yield pd.DataFrame({
+                "clip_id": ids[keep], "bytes": out,
+                "sr_hz": np.asarray(srs[keep], dtype=np.int64)})
 
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, CLIPS_AUDIO_SCHEMA)
 
@@ -401,11 +438,14 @@ def audio_embed(df: DataFrame, *, n_bands: int = N_EMBED_BANDS,
             ids = b[id_col].to_numpy()
             raws = b[bytes_col].to_numpy()
             srs = b[sr_col].to_numpy()
+            keep = [j for j in range(len(b)) if _meta_int(srs[j]) is not None]
+            if not keep:
+                continue  # empty pandas cols type as float64 and break Arrow
             embs = [
-                _embed_one(_decode(raws[j]), int(srs[j]), n_bands, top_hz)
-                for j in range(len(b))
+                _embed_one(_decode(raws[j]), _meta_int(srs[j]), n_bands, top_hz)
+                for j in keep
             ]
-            yield pd.DataFrame({"clip_id": ids, "embedding": embs})
+            yield pd.DataFrame({"clip_id": ids[keep], "embedding": embs})
 
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, EMBED_SCHEMA)
 
@@ -460,13 +500,18 @@ def resample(df: DataFrame, target_sr: int, *, id_col: str = "clip_id",
             ids = b[id_col].to_numpy()
             raws = b[bytes_col].to_numpy()
             srs = b[sr_col].to_numpy()
-            out = []
+            keep, out = [], []
             for j in range(len(b)):
-                res = resample_linear_kernel(
-                    _decode(raws[j]), int(srs[j]), target_sr)
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # cannot resample without the source rate
+                keep.append(j)
+                res = resample_linear_kernel(_decode(raws[j]), sr, target_sr)
                 out.append(np.clip(res, -32768, 32767).astype("<i2").tobytes())
-            yield pd.DataFrame({"clip_id": ids, "bytes": out,
-                                "sr_hz": np.full(len(b), target_sr, dtype=np.int32)})
+            if not keep:
+                continue
+            yield pd.DataFrame({"clip_id": ids[keep], "bytes": out,
+                                "sr_hz": np.full(len(keep), target_sr, dtype=np.int32)})
 
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, CLIPS_AUDIO_SCHEMA)
 
@@ -577,13 +622,16 @@ def _fingerprint_pass(df: DataFrame, id_col: str, bytes_col: str, sr_col: str,
             ids = b[id_col].to_numpy()
             raws = b[bytes_col].to_numpy()
             srs = b[sr_col].to_numpy()
+            keep = [j for j in range(len(b)) if _meta_int(srs[j]) is not None]
+            if not keep:
+                continue
             fps = [
-                _fingerprint_one(_decode(raws[j]), int(srs[j]))
-                for j in range(len(b))
+                _fingerprint_one(_decode(raws[j]), _meta_int(srs[j]))
+                for j in keep
             ]
-            out = {"clip_id": ids, "fingerprint": fps}
+            out = {"clip_id": ids[keep], "fingerprint": fps}
             if carry_bytes:
-                out["bytes"] = raws
+                out["bytes"] = raws[keep]
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col, sr_col).mapInPandas(gen, schema)
@@ -927,11 +975,18 @@ def pack_audit(
             F.col("bucket_ms").isNotNull(),
             F.col("bucket_ms") * F.col("n_clips") - F.col("sum_dur_ms"),
         ).alias("pad_ms"),
+        # bucket_ms * n_clips rides decimal(38,0): the BIGINT product
+        # wraps silently past ~9.2e12 clip-ms (a 10s rung holding 1e9
+        # clips — inside the 10^12-row design target). DIV on decimals
+        # is exact integral division (boundary-tested in
+        # tests/test_exact_math.py's empirical note); pad_ppm <= 1e6
+        # always fits the BIGINT output.
         F.when(
             F.col("bucket_ms").isNotNull(),
             F.expr(
-                "CAST(((bucket_ms * n_clips - sum_dur_ms) * 1000000)"
-                " DIV (bucket_ms * n_clips) AS BIGINT)"
+                "CAST(((CAST(bucket_ms AS DECIMAL(38,0)) * n_clips"
+                " - sum_dur_ms) * 1000000)"
+                " DIV (CAST(bucket_ms AS DECIMAL(38,0)) * n_clips) AS BIGINT)"
             ),
         ).alias("pad_ppm"),
     )
@@ -979,8 +1034,11 @@ def trim_bounds(df: DataFrame, *, id_col: str = "clip_id",
             srs = b[sr_col].to_numpy()
             rows = {k: [] for k in TRIM_BOUNDS_SCHEMA.fieldNames()}
             for j in range(len(b)):
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # no frame length without a sample rate
                 s = _decode(raws[j])
-                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                fl = max(sr * frame_ms // 1000, 1)
                 nf = int(s.size) // fl
                 lead = trail = max_run = 0
                 if nf:
@@ -1053,8 +1111,11 @@ def utterances(df: DataFrame, *, id_col: str = "clip_id",
             srs = b[sr_col].to_numpy()
             rows = {k: [] for k in UTTERANCE_SCHEMA.fieldNames()}
             for j in range(len(b)):
+                sr = _meta_int(srs[j])
+                if sr is None:
+                    continue  # no frame length without a sample rate
                 s = _decode(raws[j])
-                fl = max(int(srs[j]) * frame_ms // 1000, 1)
+                fl = max(sr * frame_ms // 1000, 1)
                 nf = int(s.size) // fl
                 if not nf:
                     continue

@@ -366,25 +366,32 @@ def timeline_completeness(
         .groupBy(b)
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    # counts is read twice (the O(buckets) lo/hi collect AND the fill
+    # join): persist so the full event scan + hash agg runs ONCE — the
+    # collect below materializes it while it is still small
+    counts = counts.persist()
     lim = counts.agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")).collect()[0]
     spark = df.sparkSession
     if lim["lo"] is None:
+        counts.unpersist()
         return spark.createDataFrame([], "bucket_start: bigint, n_events: bigint")
     lo, hi = int(lim["lo"]), int(lim["hi"])
     n_buckets = (hi - lo) // bucket_s + 1
     if n_buckets > max_buckets:
+        counts.unpersist()
         raise ValueError(
             "timeline spans {} buckets > max_buckets={}; raise bucket_s "
             "or max_buckets".format(n_buckets, max_buckets)
         )
     spine = spark.range(lo, hi + bucket_s, bucket_s).select(F.col("id").alias("bucket_start"))
-    return (
+    from .dedup import _attach_cached
+
+    return _attach_cached(
         spine.join(F.broadcast(counts), "bucket_start", "left")
         .select(
             "bucket_start",
             F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
-        )
-    )
+        ), [counts])
 
 
 def interval_overlap_violations(
@@ -581,10 +588,8 @@ def inter_arrival_profile(
               .select(F.col(user_col).alias("__u__"), us.alias("__us__"),
                       F.col(id_col).alias("__i__")))
     w = Window.partitionBy("__u__").orderBy("__us__", "__i__")
-    gaps = (base
-            .withColumn("__gap__", F.col("__us__") - F.lag("__us__").over(w))
-            .withColumn("__n__", F.count(F.lit(1)).over(
-                Window.partitionBy("__u__"))))
+    gaps = base.withColumn(
+        "__gap__", F.col("__us__") - F.lag("__us__").over(w))
     wg = Window.partitionBy("__u__").orderBy("__gap__")
     ranked = (gaps.where(F.col("__gap__").isNotNull())
               .withColumn("__rn__", F.row_number().over(wg))

@@ -59,11 +59,13 @@ def cosine_topk(
     """Exact top-k by cosine: (query_id, vec_id, cos) with deterministic
     (-cos, vec_id) tie order, self-matches excluded when ids collide.
 
-    Plan: broadcast the query set -> narrow scoring projection ->
-    two-level top-k: row_number inside each input partition first (cheap,
-    no shuffle), keep <=k per (partition, query), THEN the global
-    per-query window — so the final shuffle carries
-    O(partitions * |Q| * k) rows, not the full corpus.
+    Plan: broadcast the query set -> narrow scoring projection -> ONE
+    per-query row_number window. Spark's WindowGroupLimit pushes a
+    partial top-k below the exchange (map-side), so the single
+    hash(query_id) shuffle carries O(tasks * |Q| * k) rows, not the full
+    corpus — a manual per-partition pre-prune window would itself need a
+    hash(partition_id, query_id) Exchange of the ENTIRE cross product
+    and is strictly worse (measured: 3 exchanges vs 2).
 
     impl='arrow' (default, the 100 TB path): one numpy
     (batch, dim) @ (dim, |Q|) matmul per Arrow batch — orders of
@@ -87,19 +89,20 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            (dot_expr(F.col("__v__"), F.col("__qv__"))
-             / (norm_expr(F.col("__v__")) * norm_expr(F.col("__qv__")))).alias("cos"),
+            F.try_divide(
+                dot_expr(F.col("__v__"), F.col("__qv__")),
+                norm_expr(F.col("__v__")) * norm_expr(F.col("__qv__"))).alias("cos"),
         )
-    )
-    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
-    )
-    pruned = scored.withColumn("__pr__", F.row_number().over(part_w)).where(
-        F.col("__pr__") <= k
+        # undefined cosines are ABSENT, matching the arrow kernel's
+        # rule: try_divide (NOT /) maps a zero norm to NULL even under
+        # Spark 4's ANSI default where / THROWS DIVIDE_BY_ZERO, and a
+        # NULL element NULLs the fold — otherwise they'd pad out sparse
+        # top-k lists (or kill the job)
+        .where(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        pruned.withColumn("__r__", F.row_number().over(w))
+        scored.withColumn("__r__", F.row_number().over(w))
         .where(F.col("__r__") <= k)
         .select("query_id", "vec_id", "cos")
     )
@@ -160,8 +163,8 @@ def embedding_near_dup_pairs(
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     if impl == "arrow":
         return _score_pairs_arrow(pairs, df.schema[id_col].dataType, threshold)
-    cos = (dot_expr(F.col("__va__"), F.col("__vb__"))
-           / (norm_expr(F.col("__va__")) * norm_expr(F.col("__vb__"))))
+    cos = F.try_divide(dot_expr(F.col("__va__"), F.col("__vb__")),
+                       norm_expr(F.col("__va__")) * norm_expr(F.col("__vb__")))
     return pairs.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
@@ -219,10 +222,18 @@ def _cosine_topk_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = [r for r in queries.select(query_id_col, query_vec_col).collect()
+              if r[query_vec_col] is not None]
+    if not q_rows:
+        raise ValueError("cosine_topk: no non-null query vectors")
     q_ids = np.array([r[query_id_col] for r in q_rows])  # any id type
     q_mat = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm / NaN (NULL-element) queries have no defined cosine —
+    # excluded, matching the candidate-side rule below
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_ok = np.isfinite(q_norm) & (q_norm > 0)
+    q_ids, q_mat, q_norm = q_ids[q_ok], q_mat[q_ok], q_norm[q_ok]
+    q_mat = q_mat / q_norm[:, None]
 
     # id columns keep their input Spark types (string clip ids work too)
     q_id_type = dict((f.name, f.dataType) for f in queries.schema.fields)[query_id_col]
@@ -235,9 +246,25 @@ def _cosine_topk_arrow(
 
     def score(batches):
         for b in batches:
-            ids = b[id_col].to_numpy()
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            if not len(b):
+                continue
+            # poison-pill isolation (the sibling-kernel convention): a
+            # NULL vector, a NULL element (numpy renders it NaN), or a
+            # zero-norm vector has no defined cosine — those rows are
+            # ABSENT from the result, never a NaN that Spark's desc
+            # window would rank FIRST, and never a dead stage
+            nn = b[vec_col].notna().to_numpy()
+            if not nn.any():
+                continue
+            ids = b[id_col].to_numpy()[nn]
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in b[vec_col].to_numpy()[nn]])
+            norms = np.linalg.norm(mat, axis=1)
+            ok = np.isfinite(norms) & (norms > 0)
+            if not ok.any():
+                continue
+            ids, mat, norms = ids[ok], mat[ok], norms[ok]
+            mat = mat / norms[:, None]
             sims = mat @ q_mat.T  # (batch, |Q|)
             outs = []
             for qi in range(len(q_ids)):
@@ -270,8 +297,24 @@ def assign_cells(
     centroid_id_col: str = "cell",
     centroid_vec_col: str = "cvec",
 ) -> DataFrame:
-    """IVF build: assign each vector to its nearest centroid (max cosine).
-    Centroids broadcast; assignment is a narrow argmax projection."""
+    """IVF build: assign each vector to its nearest centroid (max cosine,
+    tie -> smallest cell id). Centroids broadcast; the argmax is the
+    house groupBy max(struct(score, -cell, payload)) — map-side partials
+    collapse the k scored copies to ONE row per vector inside the scan
+    task, so the exchange carries each embedding once (a row_number
+    window here would shuffle all n*k embedding-carrying rows). Cell ids
+    must be numeric (train_ivf_centroids emits integer ordinals) so the
+    smallest-cell tiebreak can ride the struct as -cell; payload sits
+    LAST in the struct and can never decide (cell ids are unique)."""
+    from pyspark.sql import types as T
+
+    cell_t = dict((f.name, f.dataType)
+                  for f in centroids.schema.fields)[centroid_id_col]
+    if not isinstance(cell_t, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+        raise ValueError(
+            "assign_cells needs integral cell ids (got {}) — the argmax "
+            "tiebreak negates them".format(cell_t.simpleString()))
     c = F.broadcast(centroids.select(
         F.col(centroid_id_col).alias("cell"), F.col(centroid_vec_col).alias("__cv__")
     ))
@@ -280,15 +323,22 @@ def assign_cells(
         "vec_id",
         "__v__",
         "cell",
-        (dot_expr(F.col("__v__"), F.col("__cv__"))
-         / (norm_expr(F.col("__v__")) * norm_expr(F.col("__cv__")))).alias("__s__"),
+        F.try_divide(
+            dot_expr(F.col("__v__"), F.col("__cv__")),
+            norm_expr(F.col("__v__")) * norm_expr(F.col("__cv__"))).alias("__s__"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("__s__").desc(), F.col("cell"))
-    return (
-        scored.withColumn("__r__", F.row_number().over(w))
-        .where(F.col("__r__") == 1)
-        .select("vec_id", F.col("__v__").alias("embedding"), "cell")
-    )
+    # zero-norm / NULL-element vectors have no defined cosine to ANY
+    # cell (try_divide -> NULL): absent from the index, the shared
+    # poison-pill rule (embedding_validate flags them upstream)
+    scored = scored.where(F.col("__s__").isNotNull())
+    best = (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col("__s__").alias("s"),
+                (-F.col("cell")).cast("long").alias("nc"),
+                F.col("cell").alias("cell"),
+                F.col("__v__").alias("v"))).alias("__b__")))
+    return best.select(
+        "vec_id", F.col("__b__.v").alias("embedding"), F.col("__b__.cell").alias("cell"))
 
 
 def ivf_topk(
@@ -317,8 +367,9 @@ def ivf_topk(
     scored = cand.where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        (dot_expr(F.col("embedding"), F.col("__qv__"))
-         / (norm_expr(F.col("embedding")) * norm_expr(F.col("__qv__")))).alias("cos"),
+        F.try_divide(
+            dot_expr(F.col("embedding"), F.col("__qv__")),
+            norm_expr(F.col("embedding")) * norm_expr(F.col("__qv__"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -355,8 +406,9 @@ def assign_probe_cells(
     scored = q.crossJoin(c).select(
         "query_id",
         "cell",
-        (dot_expr(F.col("__qv__"), F.col("__cv__"))
-         / (norm_expr(F.col("__qv__")) * norm_expr(F.col("__cv__")))).alias("__s__"),
+        F.try_divide(
+            dot_expr(F.col("__qv__"), F.col("__cv__")),
+            norm_expr(F.col("__qv__")) * norm_expr(F.col("__cv__"))).alias("__s__"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__s__").desc(), F.col("cell"))
     return (
@@ -601,22 +653,29 @@ def embedding_validate(
     emb_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding QC gate: (id, n_dims, has_nan, is_zero) for every vector
-    that is the wrong dimension, carries a NaN, or is all-zero — the three
-    defects that silently poison ANN/cosine math downstream (a NaN
-    contaminates every dot product it meets; a zero vector has no
-    direction to normalize).
+    """Embedding QC gate: (id, n_dims, has_nan, is_zero, has_null) for
+    every vector that is the wrong dimension, carries a NaN or a NULL
+    element, or is all-zero — the defects that silently poison ANN/cosine
+    math downstream (a NaN contaminates every dot product it meets; a
+    NULL element becomes NaN the moment numpy sees the array; a zero
+    vector has no direction to normalize).
 
     Row-local and codegen-clean by construction: NO higher-order array
     functions (F.exists/F.filter lambdas are CodegenFallback) — NaN
     detection exploits Spark's NaN-is-largest ordering (``array_max`` of
-    a NaN-bearing array IS NaN), zero detection is array_min=array_max=0,
-    dimension is ``size``. One pruned scan -> fused projection -> filter;
-    zero shuffle, embeddings never leave their partitions.
+    a NaN-bearing array IS NaN), NULL-element detection exploits
+    sort_array's NULLS-FIRST ordering (first sorted element is NULL iff
+    any element is; array_min/max SKIP nulls so they cannot see this
+    defect), zero detection is array_min=array_max=0, dimension is
+    ``size``. One pruned scan -> fused projection -> filter; zero
+    shuffle, embeddings never leave their partitions.
     """
     emb = F.col(emb_col)
     n_dims = F.coalesce(F.size(emb), F.lit(-1))  # NULL embedding -> -1, never filter-silent
     has_nan = F.coalesce(F.isnan(F.array_max(emb)), F.lit(False))
+    has_null = F.coalesce(
+        F.element_at(F.sort_array(emb), 1).isNull() & (n_dims > 0), F.lit(False)
+    )
     is_zero = F.coalesce(
         (F.array_min(emb) == 0) & (F.array_max(emb) == 0) & (n_dims > 0), F.lit(False)
     )
@@ -626,8 +685,10 @@ def embedding_validate(
             n_dims.alias("n_dims"),
             has_nan.alias("has_nan"),
             is_zero.alias("is_zero"),
+            has_null.alias("has_null"),
         )
-        .where((F.col("n_dims") != dim) | F.col("has_nan") | F.col("is_zero"))
+        .where((F.col("n_dims") != dim) | F.col("has_nan") | F.col("is_zero")
+               | F.col("has_null"))
     )
 
 
@@ -686,8 +747,14 @@ def label_agreement(
                        query_vec_col=query_vec_col, k=k, impl=impl) \
         .select(F.col("query_id").alias("__qid__"),
                 F.col("vec_id").alias("__nid__"))
+    # NULL-labeled neighbors cannot vote: they would inflate
+    # n_neighbors, could WIN the majority (making majority_label NULL
+    # and suspect three-valued), and can never match own_label — so the
+    # vote ranges over labeled neighbors only. A query whose neighbors
+    # are ALL unlabeled is absent from the output (no defensible vote).
     labeled = (df.select(F.col(id_col).alias("__nid__"),
                          F.col(label_col).alias("__nl__"))
+               .where(F.col("__nl__").isNotNull())
                .join(F.broadcast(nbrs), "__nid__"))
     votes = (labeled.groupBy("__qid__", "__nl__")
              .agg(F.count(F.lit(1)).alias("__c__")))

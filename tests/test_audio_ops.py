@@ -448,3 +448,30 @@ def test_defect_triage_degenerate_rows(spark):
     )
     got = {r["clip_id"]: r["label"] for r in defect_triage(df).collect()}
     assert got == {"a": "silent", "b": "silent"}
+
+
+def test_null_metadata_rows_never_kill_the_stage(spark):
+    """A NULL sr_hz/dur_ms row (Arrow renders the column as float64 +
+    NaN, so int() raises) must be skipped — or flagged 'bad_meta' by
+    triage — never a dead Python worker (the _decode contract applied
+    to metadata)."""
+    from pandasschema_spark.operators.audio import (
+        audio_embed, defect_triage, frame_silence, resample, segment,
+        spectral_fingerprint, to_wav, trim_bounds, utterances)
+
+    pcm = (np.arange(800, dtype="<i2") % 201 - 100).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [("ok", pcm, 8000, 100), ("no_sr", pcm, None, 100),
+         ("no_dur", pcm, 8000, None)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int")
+
+    assert {r["clip_id"] for r in frame_silence(df).collect()} == {"ok", "no_dur"}
+    tri = {r["clip_id"]: r["label"] for r in defect_triage(df).collect()}
+    assert tri["no_sr"] == tri["no_dur"] == "bad_meta" and tri["ok"] == "ok"
+    assert {r["clip_id"] for r in segment(df, 50).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in to_wav(df).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in audio_embed(df).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in resample(df, 16000).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in spectral_fingerprint(df).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in trim_bounds(df).collect()} == {"ok", "no_dur"}
+    assert {r["clip_id"] for r in utterances(df).collect()} <= {"ok", "no_dur"}

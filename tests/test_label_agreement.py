@@ -86,3 +86,29 @@ def test_string_labels_and_custom_column_names(spark):
     assert row["majority_label"] == "bird"
     assert row["own_label"] == "dog" and row["suspect"]
     assert row["n_same"] == 0 and row["n_neighbors"] == 4
+
+
+def test_null_labeled_neighbors_do_not_vote(spark):
+    """A NULL-labeled neighbor must neither inflate n_neighbors nor win
+    the majority; a query whose neighbors are ALL unlabeled is absent."""
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.similarity import label_agreement
+
+    # query 0 at [1,0]: nearest are three NULL-labeled + one labeled 'b'
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], None), (11, [0.99, 0.01], None),
+         (12, [0.98, 0.02], None), (13, [0.9, 0.1], "b"),
+         (20, [0.0, 1.0], None), (21, [0.01, 1.0], None),
+         (22, [0.02, 1.0], None), (23, [0.03, 1.0], None)],
+        "vec_id long, embedding array<double>, label string")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [0.0, 1.0], "a")],
+        "query_id long, embedding array<double>, label string")
+    out = {r["query_id"]: r for r in label_agreement(
+        corpus, queries, k=4, query_id_col="query_id",
+        vec_col="embedding", query_vec_col="embedding").collect()}
+    assert set(out) == {0}                      # query 1: all votes unlabeled
+    assert out[0]["majority_label"] == "b"
+    assert out[0]["n_neighbors"] == 1           # labeled neighbors only
+    assert bool(out[0]["suspect"]) is True

@@ -462,3 +462,36 @@ def test_train_ivf_centroids_deterministic(spark):
 
     for cell in m1:
         assert np.allclose(m1[cell], m2[cell], atol=1e-6), cell
+
+
+def test_cosine_topk_poison_pill_vectors(spark):
+    """Zero-norm, NULL-element, and NULL vectors have no defined cosine
+    — they must be ABSENT from top-k in BOTH impls (a NaN cosine would
+    rank FIRST under Spark's desc ordering and poison every query)."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [1.0, None]), (4, None), (5, [0.5, 0.5])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(0, [1.0, 0.0])],
+                                    "query_id long, query_vec array<double>")
+    for impl in ("arrow", "expr"):
+        got = [r["vec_id"]
+               for r in S.cosine_topk(corpus, queries, k=10, impl=impl)
+               .orderBy(F.col("cos").desc(), "vec_id").collect()]
+        assert got == [1, 5], impl
+
+
+def test_assign_cells_argmax_no_window(spark):
+    """assign_cells ties break to the SMALLEST cell and the plan is the
+    house groupBy max(struct) — no Window (a row_number window would
+    shuffle every scored copy of every embedding)."""
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "cell int, cvec array<double>")
+    vecs = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [0.0, 5.0])], "vec_id long, embedding array<double>")
+    out = S.assign_cells(vecs, cents)
+    assert {r["vec_id"]: r["cell"] for r in out.collect()} == {0: 3, 1: 9}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_max" in plan
+    with pytest.raises(ValueError, match="integral cell ids"):
+        S.assign_cells(vecs, cents.select(F.col("cell").cast("string").alias("cell"), "cvec"))
