@@ -238,10 +238,22 @@ def _affine_params(k: int) -> typing.List[typing.Tuple[int, int]]:
     return out
 
 
+_ASCII_WS_RE = None  # compiled lazily; Java \s == ASCII [ \t\n\x0b\f\r]
+
+
 def _py_ngrams(text: str, n: int) -> typing.List[str]:
     """Python mirror of word_ngrams_expr (normalize -> distinct shingles);
-    exact same outputs — the Arrow impl depends on this equivalence."""
-    w = " ".join(text.lower().split()).split(" ")
+    exact same outputs — the Arrow impl depends on this equivalence.
+    Tokenization MUST split on the ASCII class Java's \\s matches (NOT
+    Python str.split(), which is Unicode-aware: a U+00A0 NBSP would
+    split here but not in the Catalyst/SQL form, desynchronizing the
+    two impls and the DuckDB oracle); trim is space-only like F.trim."""
+    global _ASCII_WS_RE
+    if _ASCII_WS_RE is None:
+        import re
+
+        _ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+    w = _ASCII_WS_RE.sub(" ", text.lower()).strip(" ").split(" ")
     if len(w) < n:
         return [" ".join(w)]
     seen, out = set(), []
@@ -290,7 +302,12 @@ def minhash_signatures(
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            grams = _py_ngrams(t or "", n)
+            if t is None:
+                # mirror the native impl exactly: word_ngrams_expr
+                # propagates NULL, array_min(NULL) is NULL per part
+                out.append([None] * k)
+                continue
+            grams = _py_ngrams(t, n)
             hs = np.array(
                 [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams],
                 dtype=np.int64,
@@ -499,7 +516,12 @@ def simhash64(
         def _sig(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                grams = _py_ngrams(t or "", n)
+                if t is None:
+                    # native: NULL grams -> NULL votes -> every
+                    # F.when(NULL).otherwise(0) contributes 0 -> sig 0
+                    out.append(0)
+                    continue
+                grams = _py_ngrams(t, n)
                 digs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
                 lo = np.array([int(d[:8], 16) for d in digs], dtype=np.int64)[:, None]
                 hi = np.array([int(d[8:16], 16) for d in digs], dtype=np.int64)[:, None]
@@ -553,6 +575,10 @@ def simhash_candidates(
     """Near-dup candidates: pairs agreeing on >=1 of the 16-bit signature
     chunks (classic Hamming-ball banding — any pair within Hamming distance
     3 of a 64-bit signature shares at least one of 4 chunks)."""
+    if chunk_bits < 1 or 64 % chunk_bits:
+        # a non-divisor silently drops the top signature bits from every
+        # chunk and voids the Hamming-ball recall guarantee
+        raise ValueError("chunk_bits must divide 64")
     sigs = simhash64(df, text_col, id_col, n=n, impl=impl).persist(StorageLevel.MEMORY_AND_DISK)
     # handle attached to the result — release_cached(result) when done
     n_chunks = 64 // chunk_bits

@@ -232,8 +232,17 @@ def point_in_interval_join(
             "with points: {} (rename before joining)".format(clash))
 
     def _fdiv(col):
-        # floor division for possibly-negative integral epochs
-        return ((col - F.pmod(col, F.lit(band))) / F.lit(band)).cast("long")
+        # floor division for possibly-negative integral epochs. The
+        # numerator is an exact multiple of band, but the long/long `/`
+        # runs in DOUBLE: past 2^53 the multiple is no longer exactly
+        # representable and the quotient can truncate one band low —
+        # ride decimal(38,0) through the exact helper instead (the
+        # CLAUDE.md time-bucket rule applied to band indices). floor_div
+        # is safe for this NEGATIVE numerator despite its non-negative
+        # contract: num is an exact multiple of band, so its inner
+        # pmod is 0 and the division divides evenly with sign intact.
+        num = (col - F.pmod(col, F.lit(band))).cast("decimal(38,0)")
+        return floor_div(num, F.lit(band).cast("decimal(38,0)"))
 
     p = (points
          .where(F.col(on).isNotNull() & F.col(point_ts).isNotNull())

@@ -291,6 +291,10 @@ def pii_scan(
     pats = PII_PATTERNS if patterns is None else patterns
     if not pats:
         raise ValueError("pii_scan needs at least one pattern")
+    if "pii" in pats:
+        # the total column is n_pii — a detector named 'pii' would have
+        # its per-detector count silently overwritten by the total
+        raise ValueError("detector name 'pii' is reserved for the total")
     t = F.col(text_col)
     counts = [
         F.when(t.isNotNull(),
@@ -391,7 +395,10 @@ def doc_repetition(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for i, t in zip(b[id_col].values, b[text_col].values):
                 if t is None:
                     continue
-                toks = _WS_RE.split(str(t).lower().strip())
+                # space-class strip only: bare str.strip() is
+                # Unicode-aware and would drop a leading NBSP the SQL
+                # tokenization rule keeps
+                toks = _WS_RE.split(str(t).lower().strip(" \t\n\x0b\f\r"))
                 if toks == [""]:
                     continue
                 counts = collections.Counter(toks)
@@ -707,10 +714,12 @@ def boilerplate_scan(
             ).alias("boiler_ppm"),
         )
     )
-    # release-handle convention (dedup._attach_cached inlined: importing
-    # dedup here would be circular — dedup imports normalized_text_expr)
-    out._psf_cached = [pairs]
-    return out
+    # release-handle convention; the import is deferred to call time so
+    # the dedup<->text module cycle never bites (dedup is fully loaded
+    # in sys.modules by the time any operator runs)
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [pairs])
 
 
 def sequence_pack(
@@ -765,6 +774,12 @@ def sequence_pack(
         n_tok.alias("n_tokens"),
         F.expr("CAST(`{}` AS BIGINT) div {}".format(id_col, bucket_size)).alias("__b__"),
     )
+    # slim feeds BOTH the bucket-total aggregate and the broadcast-join
+    # probe side; those branches share no reusable Exchange, so without
+    # a persist the full text scan + tokenization runs twice per action
+    from pyspark.storagelevel import StorageLevel
+
+    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
     bsum = slim.groupBy("__b__").agg(F.sum("n_tokens").alias("__bt__"))
     wb = Window.orderBy("__b__").rowsBetween(Window.unboundedPreceding, -1)
     base = bsum.select(
@@ -780,7 +795,7 @@ def sequence_pack(
     first = F.expr("tok_offset div {}".format(context_len))
     last = F.expr("(tok_offset + n_tokens - 1) div {}".format(context_len))
     has = F.col("n_tokens") > 0
-    return packed.select(
+    out = packed.select(
         id_col,
         "n_tokens",
         "tok_offset",
@@ -788,6 +803,9 @@ def sequence_pack(
         F.when(has, last).cast("long").alias("chunk_last"),
         F.when(has, last - first + 1).otherwise(0).cast("long").alias("n_chunks"),
     )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [slim])
 
 
 def lang_confusion(

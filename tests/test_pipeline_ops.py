@@ -495,3 +495,55 @@ def test_assign_cells_argmax_no_window(spark):
     assert "Window" not in plan and "partial_max" in plan
     with pytest.raises(ValueError, match="integral cell ids"):
         S.assign_cells(vecs, cents.select(F.col("cell").cast("string").alias("cell"), "cvec"))
+
+
+def test_signature_impl_parity_on_unicode_ws_and_null(spark):
+    """impl='arrow' and impl='native' must emit bit-identical signatures
+    even on non-ASCII whitespace (Java \\s is ASCII-only; Python
+    str.split() is Unicode-aware — the mirror must use the ASCII class)
+    and on NULL text (native: minhash [NULL]*k, simhash 0)."""
+    from pandasschema_spark.operators.dedup import (
+        minhash_signatures, simhash64, simhash_candidates)
+
+    rows = [(0, "foo bar baz qux extra words here"),
+            (1, "plain ascii words only right here"),
+            (2, None), (3, ""), (4, " line sep tokens a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    mh = {}
+    sh = {}
+    for impl in ("arrow", "native"):
+        mh[impl] = {r["id"]: r["sig"] for r in
+                    minhash_signatures(df, "body", "doc_id", impl=impl).collect()}
+        sh[impl] = {r["id"]: r["simhash"] for r in
+                    simhash64(df, "body", "doc_id", impl=impl).collect()}
+    assert mh["arrow"] == mh["native"]
+    assert sh["arrow"] == sh["native"]
+    assert mh["arrow"][2] == [None] * 16 and sh["arrow"][2] == 0
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_candidates(df, "body", "doc_id", chunk_bits=24)
+
+
+def test_pii_scan_reserved_name(spark):
+    from pandasschema_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+    with pytest.raises(ValueError, match="reserved"):
+        pii_scan(df, "body", "doc_id", patterns={"pii": "x"})
+
+
+def test_point_in_interval_join_exact_past_2_53(spark):
+    """Band indices must stay exact past 2^53 (double division loses the
+    low bits of an exact multiple and shifts a boundary point one band
+    low, silently missing its interval)."""
+    from pandasschema_spark.operators.joins import point_in_interval_join
+
+    t0 = (1 << 60)  # not representable as double +- small offsets
+    points = spark.createDataFrame(
+        [(1, t0), (1, t0 + 999), (1, t0 + 1000)], "key long, ts long")
+    ivals = spark.createDataFrame(
+        [(1, t0, t0 + 1000, "iv0"), (1, t0 + 1000, t0 + 2000, "iv1")],
+        "key long, start_ts long, end_ts long, name string")
+    got = sorted((r["ts"] - t0, r["name"]) for r in point_in_interval_join(
+        points, ivals, on="key", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", band=1000).collect())
+    assert got == [(0, "iv0"), (999, "iv0"), (1000, "iv1")]
