@@ -54,6 +54,17 @@ def with_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
     for p, off in offsets.items():
         cond = (pid == F.lit(p))
         expr = F.when(cond, F.lit(off)) if expr is None else expr.when(cond, F.lit(off))
+    # fail LOUD on a partition id unseen during the counting pass: the id
+    # column is re-evaluated in a separate job, and if the scan's
+    # partitioning changed between the two (files appended to the
+    # directory, non-deterministic upstream) a bare when-chain would
+    # fall through to silently NULL ordinals (the sibling
+    # with_file_ordered_row_index verifies its tiling the same way)
+    expr = expr.otherwise(F.raise_error(F.concat(
+        F.lit("with_row_index: partition id "), pid.cast("string"),
+        F.lit(" appeared after the counting pass — the source's "
+              "partitioning is unstable; re-run or pass an explicit "
+              "row_key"))))
     intra = F.col("__mid__") % F.lit(_PART_SHIFT)
     return tagged.withColumn(name, (expr + intra).cast("long")).drop("__mid__")
 

@@ -96,13 +96,25 @@ class ValidationRunner:
         for c in schema.columns:
             loc = [v for v in c.validations if not getattr(v, "is_global", False)]
             glo = [v for v in c.validations if getattr(v, "is_global", False)]
-            if loc:
+            if schema.ordered:
+                # ordered pairing is POSITIONAL (Schema.validate zips
+                # df columns against schema columns): every column must
+                # keep its slot in both sub-schemas — dropping the
+                # check-free ones would shift later checks onto the
+                # wrong DataFrame columns. Empty-validation placeholders
+                # produce no checks and cost nothing.
                 local_cols.append(_Col(c.name, loc, c.allow_empty))
-            if glo:
                 global_cols.append(_Col(c.name, glo, c.allow_empty))
+            else:
+                if loc:
+                    local_cols.append(_Col(c.name, loc, c.allow_empty))
+                if glo:
+                    global_cols.append(_Col(c.name, glo, c.allow_empty))
+        has_local = any(c.validations for c in local_cols)
+        has_global = any(c.validations for c in global_cols)
         return (
-            Schema(local_cols, schema.ordered) if local_cols else None,
-            Schema(global_cols, schema.ordered) if global_cols else None,
+            Schema(local_cols, schema.ordered) if has_local else None,
+            Schema(global_cols, schema.ordered) if has_global else None,
         )
 
     def run(
@@ -116,7 +128,20 @@ class ValidationRunner:
     ) -> dict:
         """Validate all pending buckets; returns run summary."""
         local_schema, global_schema = self.split_schema(schema)
-        done = self.completed_buckets(spark)
+        # frame-level precheck (schema-vs-frame drift: missing columns,
+        # dtype warnings): these depend only on (schema, table schema),
+        # not on data, and Schema.validate SKIPS checks for columns it
+        # warned about — discarding them would let a renamed/dropped
+        # column report a green run with the column never validated.
+        # Written once per run under the FRAME_BUCKET marker (idempotent
+        # overwrite) and surfaced in the summary.
+        frame_warnings = self._write_frame_warnings(
+            spark, schema, validate_columns, row_key)
+        done_all = self.completed_buckets(spark)
+        # the GLOBAL_BUCKET manifest marker is a PHASE, not a data
+        # bucket — counting it would inflate buckets_total /
+        # buckets_skipped_resume by one after the global phase commits
+        done = [b for b in done_all if b != self.GLOBAL_BUCKET]
         todo = [b for b in self.all_buckets(spark) if b not in done]
         batches = [
             todo[i : i + self.batch_buckets] for i in range(0, len(todo), self.batch_buckets)
@@ -129,7 +154,7 @@ class ValidationRunner:
                 self._run_batch(spark, local_schema, batch, validate_columns, row_key)
             n_batches += 1
         global_ran = False
-        if global_schema is not None and self.GLOBAL_BUCKET not in done:
+        if global_schema is not None and self.GLOBAL_BUCKET not in done_all:
             if fail_after_batches is not None and n_batches >= fail_after_batches:
                 raise RuntimeError("injected failure before global phase")
             self._run_global(spark, global_schema, validate_columns, row_key)
@@ -141,7 +166,33 @@ class ValidationRunner:
             "buckets_validated": len(todo),
             "batches": n_batches,
             "global_phase_ran": global_ran,
+            "frame_warnings": frame_warnings,
         }
+
+    FRAME_BUCKET = -2  # violations-table marker for frame-level warnings
+
+    def _write_frame_warnings(self, spark, schema, validate_columns, row_key):
+        """Run the compile-time precheck against the table schema and
+        persist any frame warnings as row=-1 violation rows (phase
+        'frame', bucket FRAME_BUCKET — overwritten idempotently on
+        resume). Returns the warning count."""
+        src = self.wh.read(spark, self.input_table)
+        names = {c.name for c in schema.columns}
+        cols = [c for c in validate_columns if c in names]
+        result = schema.validate(src.limit(0), columns=cols, row_key=row_key)
+        warns = result.frame_warnings
+        if not warns:
+            return 0
+        rows = [(self.run_id, "frame", -1, w.column, None, w.message,
+                 "__frame__", -1, self.FRAME_BUCKET) for w in warns]
+        fw = spark.createDataFrame(
+            rows,
+            "run_id string, phase string, row long, column string, "
+            "value string, message string, check_id string, seq int, "
+            "bucket int")
+        self.wh.overwrite_partitions(
+            fw, VIOLATIONS_TABLE, partition_by=["run_id", "phase", "bucket"])
+        return len(warns)
 
     def _run_global(self, spark, global_schema, validate_columns, row_key):
         """One pass over the whole table for shuffle-requiring checks

@@ -365,4 +365,97 @@ class Schema:
                 broadcast=v.broadcast,
                 allow_empty=allow_empty,
             )
+        from .validation import _CombinedValidation, _InverseValidation
+
+        if isinstance(v, (_InverseValidation, _CombinedValidation)):
+            # combinator wrapping >=1 global check (is_global propagates,
+            # so _compile_checks routed it here): compose whole-table
+            # fail-ROW sets — reference semantics are series-wide, and a
+            # per-Arrow-batch evaluation of e.g. ~IsDistinct would change
+            # answers with batch boundaries. allow_empty exemption applies
+            # ONCE to the composed result (reference get_errors shape).
+            from pyspark.sql import functions as F
+
+            from .validation import is_numeric_spark_type
+
+            spark_type = df.schema[df_col].dataType
+            fail = Schema._global_fail_rows(df, row_col, df_col, v)
+            out = (df.select(F.col(df_col).alias("__v__"),
+                             F.col(row_col).cast("long").alias("__r__"))
+                   .join(fail, "__r__"))
+            if allow_empty:
+                vv = F.col("__v__")
+                if is_numeric_spark_type(spark_type):
+                    out = out.where(vv.isNotNull())
+                else:
+                    out = out.where(vv.isNotNull()
+                                    & (F.length(vv.cast("string")) > 0))
+            return out.select(
+                F.col("__r__").alias("row"),
+                F.lit(warn_col).alias("column"),
+                _compiler.value_repr(F.col("__v__"), spark_type).alias("value"),
+                F.lit(v.message).alias("message"),
+                F.lit(check_id).alias("check_id"),
+                F.lit(seq).cast("int").alias("seq"),
+            )
         raise PanSchArgumentError("Unknown global validation {!r}".format(type(v).__name__))
+
+    @staticmethod
+    def _global_fail_rows(df, row_col, df_col, v):
+        """(__r__ long) rows failing ``v`` over the WHOLE table — the
+        composable form behind combinators of global checks. No
+        allow_empty exemption and no message decoration here (both apply
+        once, on the composed result). Set algebra mirrors the reference's
+        element-wise boolean series:
+
+        - ``~v``      fails where v passes  -> complement (left_anti)
+        - ``a | b``   fails where BOTH fail -> intersection (inner join)
+        - ``a & b``   fails where EITHER    -> union(distinct)
+        """
+        import operator as _op
+
+        from pyspark.sql import functions as F
+
+        from .validation import _CombinedValidation, _InverseValidation
+
+        all_rows = df.select(F.col(row_col).cast("long").alias("__r__"))
+        if isinstance(v, _InverseValidation):
+            inner = Schema._global_fail_rows(df, row_col, df_col, v.negated)
+            return all_rows.join(inner, "__r__", "left_anti")
+        if isinstance(v, _CombinedValidation):
+            a = Schema._global_fail_rows(df, row_col, df_col, v.v_a)
+            b = Schema._global_fail_rows(df, row_col, df_col, v.v_b)
+            if v.operator is _op.or_:
+                return a.join(b, "__r__")
+            return a.unionByName(b).distinct()
+        if isinstance(v, IsDistinctValidation):
+            from .operators.distinct import duplicate_keys
+
+            base = df.select(F.col(df_col).alias("__v__"),
+                             F.col(row_col).cast("long").alias("__r__"))
+            dupes = duplicate_keys(df, df_col, row_col, v.salt_buckets)
+            if v.broadcast_dupes:
+                dupes = F.broadcast(dupes)
+            return (base.join(dupes, base["__v__"].eqNullSafe(dupes["__v__"]))
+                    .where(F.col("__r__") != F.col("__m__"))
+                    .select("__r__"))
+        if isinstance(v, InTableValidation):
+            dim = v.dim_df.select(F.col(v.dim_col).alias("__dimv__")).distinct()
+            if v.broadcast:
+                dim = F.broadcast(dim)
+            base = df.select(F.col(df_col).alias("__v__"),
+                             F.col(row_col).cast("long").alias("__r__"))
+            return (base.join(dim, base["__v__"] == F.col("__dimv__"),
+                              "left_anti").select("__r__"))
+        if isinstance(v, _SeriesValidation) and not getattr(v, "is_global", False):
+            # row-local leaf inside a global combinator: its fail set is
+            # a plain filter on the compiled predicate
+            spark_type = df.schema[df_col].dataType
+            pred = v.compile_predicate(df[df_col], spark_type)
+            # WHERE keeps only TRUE: a NULL pass-predicate is NOT a fail,
+            # exactly like build_row_violations' F.when(~pred) shape
+            return (df.where(~pred)
+                    .select(F.col(row_col).cast("long").alias("__r__")))
+        raise PanSchArgumentError(
+            "Unsupported validation inside a global combinator: {!r}".format(
+                type(v).__name__))

@@ -54,9 +54,23 @@ def streaming_duplicate_violations(
         rows, values = [], []
         for pdf in pdfs:
             for r, v in zip(pdf[row_col], pdf[value_col]):
+                # NULL ordinal: Arrow delivers the long column as
+                # float64 + NaN and int() would kill the micro-batch;
+                # the batch operator's NULL-compare join skips such rows
+                # too (no identity -> never a keep-first violation)
+                if r is None or r != r:
+                    continue
                 rows.append(int(r))
                 values.append(v)
         order = sorted(range(len(rows)), key=lambda i: rows[i])
+
+        def _render(v):
+            # batch-parity rendering (plans.compiler.value_repr): a NULL
+            # duplicate value must read 'nan', never Python's 'None'
+            from ..plans.compiler import NULL_VALUE_REPR
+
+            return NULL_VALUE_REPR if (v is None or v != v) else str(v)
+
         out_rows = []
         for i in order:
             if first_row is None:
@@ -65,10 +79,10 @@ def streaming_duplicate_violations(
                 # out-of-order ingest: a smaller ordinal arrives after the
                 # key was claimed — re-key and flag the displaced keeper
                 # (keep-first is by ordinal, not arrival order)
-                out_rows.append((first_row, value_col, str(values[i]), message))
+                out_rows.append((first_row, value_col, _render(values[i]), message))
                 first_row = rows[i]
             elif rows[i] != first_row:
-                out_rows.append((rows[i], value_col, str(values[i]), message))
+                out_rows.append((rows[i], value_col, _render(values[i]), message))
         state.update((first_row,))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["row", "column", "value", "message"])

@@ -222,6 +222,14 @@ class _InverseValidation(_SeriesValidation):
         super().__init__()
 
     @property
+    def is_global(self):
+        # a wrapped global check (IsDistinct/InTable) stays global: the
+        # schema compiler must route the whole combinator through the
+        # whole-table plan — evaluating it per Arrow batch would make
+        # answers depend on batch boundaries
+        return getattr(self.negated, "is_global", False)
+
+    @property
     def default_message(self):
         return self.negated.message + " <negated>"
 
@@ -242,6 +250,12 @@ class _CombinedValidation(_SeriesValidation):
         self.v_a = validation_a
         self.v_b = validation_b
         super().__init__()
+
+    @property
+    def is_global(self):
+        # global if EITHER side is (see _InverseValidation.is_global)
+        return (getattr(self.v_a, "is_global", False)
+                or getattr(self.v_b, "is_global", False))
 
     @property
     def default_message(self):
@@ -409,14 +423,25 @@ class InRangeValidation(_SeriesValidation):
         return (s >= self.min) & (s < self.max)
 
     def spark_predicate(self, col, spark_type):
+        # The pandas formula fails NaN on BOTH sides (NaN >= m and
+        # NaN < M are both False), but Spark orders NaN GREATER than
+        # every double — with max=inf the short-circuited lit(True)
+        # never sees the column and NaN (or, with both bounds infinite,
+        # even NULL) would pass. Pin both explicitly: NULL fails (the
+        # _leaf coalesce needs the column to appear in the predicate)
+        # and NaN fails on float-family inputs.
         if is_numeric_spark_type(spark_type) and not isinstance(spark_type, T.BooleanType):
             c = col.cast("double") if isinstance(spark_type, T.DecimalType) else col
             pred = F.lit(True) if self.min == -math.inf else (c >= F.lit(self.min))
             pred2 = F.lit(True) if self.max == math.inf else (c < F.lit(self.max))
-            return pred & pred2
+            ok = pred & pred2 & col.isNotNull()
+            if isinstance(spark_type, (T.FloatType, T.DoubleType, T.DecimalType)):
+                ok = ok & ~F.isnan(c)
+            return ok
         if self.mode == "native" and isinstance(spark_type, T.StringType):
             c = F.try_cast(F.trim(col), "double")
-            return (c >= F.lit(self.min)) & (c < F.lit(self.max))
+            return (c >= F.lit(self.min)) & (c < F.lit(self.max)) & ~F.isnan(
+                F.coalesce(c, F.lit(0.0)))
         return None
 
 
@@ -697,6 +722,16 @@ class ConditionalValidation(_SeriesValidation):
             raise PanSchArgumentError(
                 "then_validation must be a single-column check; nest the "
                 "condition into a CrossColumnExprValidation instead")
+        if getattr(then_validation, "is_global", False):
+            # a global then-branch (IsDistinct/InTable, possibly wrapped)
+            # cannot ride the fused row-local projection; silently
+            # compiling it per Arrow batch would give batch-dependent
+            # answers — refuse loudly
+            raise PanSchArgumentError(
+                "then_validation must be row-local; {} needs whole-table "
+                "state — filter the frame and run it as a separate "
+                "schema column instead".format(
+                    type(then_validation).__name__))
         if then_column not in input_columns:
             raise PanSchArgumentError(
                 "then_column {!r} must appear in input_columns".format(
@@ -785,8 +820,9 @@ class IsDistinctValidation(_SeriesValidation):
     hash aggregation (partial per (value, salt), final per value, keeping
     count + min row ordinal) followed by a broadcast join-back of the
     (rare) duplicate keys. ``salt_buckets`` controls skew salting;
-    ``broadcast_threshold`` falls back to a shuffle join when the duplicate
-    key set is too large to broadcast.
+    ``broadcast_dupes=False`` switches the join-back to a shuffle join —
+    pass it when the duplicate KEY set itself is too large to broadcast
+    (there is no automatic size-based fallback).
     """
 
     is_global = True
@@ -816,7 +852,6 @@ class InTableValidation(_SeriesValidation):
         self.dim_df = dim_df
         self.dim_col = dim_col
         self.broadcast = broadcast
-        self._options = None
         super().__init__(**kw)
 
     @property

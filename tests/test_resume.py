@@ -186,3 +186,55 @@ def test_append_schema_guard(spark, tmp_path_factory):
     bad_col = spark.range(0, 5).selectExpr("id AS k", "CAST(id AS STRING) AS w")
     with pytest.raises(ValueError, match="schema mismatch"):
         wh.append(bad_col, "t")
+
+
+def test_ordered_schema_split_keeps_positions(spark, wh_root):
+    """split_schema on an ordered=True schema must keep EVERY column's
+    positional slot — dropping check-free columns shifts later checks
+    onto the wrong DataFrame columns (silent wrong results)."""
+    from pandasschema_spark.column import Column
+    from pandasschema_spark.schema import Schema
+    from pandasschema_spark.validation import (
+        IsDistinctValidation, MatchesPatternValidation)
+
+    sch = Schema([
+        Column("clip_id", [IsDistinctValidation()]),
+        Column("transcript", [MatchesPatternValidation(r"^x-never-matches$")]),
+    ], ordered=True)
+    local, glob = ValidationRunner.split_schema(sch)
+    assert [c.name for c in local.columns] == ["clip_id", "transcript"]
+    assert [c.name for c in glob.columns] == ["clip_id", "transcript"]
+    assert not local.columns[0].validations          # placeholder slot
+    assert glob.columns[0].validations and not glob.columns[1].validations
+    # end-to-end: the regex check must run against TRANSCRIPT (df col 2
+    # when pairing a 2-col frame positionally), not clip_id
+    df = spark.createDataFrame(
+        [("c1", "hello"), ("c2", "world")],
+        "clip_id string, transcript string").withColumn(
+            "row_ord", F.monotonically_increasing_id())
+    res = local.validate(df.select("clip_id", "transcript", "row_ord"),
+                         columns=["clip_id", "transcript"], row_key="row_ord")
+    cols = {r["column"] for r in res.violations.collect()}
+    assert cols == {"transcript"}
+
+
+def test_runner_surfaces_frame_warnings(spark, wh_root, tmp_path):
+    """A schema column missing from the table must not report a green
+    run: the precheck warning lands in the violations table (phase
+    'frame') and in the summary."""
+    from pandasschema_spark.column import Column
+    from pandasschema_spark.schema import Schema
+    from pandasschema_spark.validation import MatchesPatternValidation
+
+    sch = Schema([Column("no_such_column", [MatchesPatternValidation("x")])])
+    runner = ValidationRunner(Warehouse(wh_root), "fw1", input_table="clips")
+    summary = runner.run(spark, sch, validate_columns=["no_such_column"])
+    assert summary["frame_warnings"] == 1
+    fw = (runner.violations(spark)
+          .where(F.col("phase") == "frame").collect())
+    assert len(fw) == 1 and "not in the data frame" in fw[0]["message"]
+    # and the phase marker never inflates the data-bucket counts on rerun
+    summary2 = ValidationRunner(Warehouse(wh_root), "fw1",
+                                input_table="clips").run(
+        spark, sch, validate_columns=["no_such_column"])
+    assert summary2["buckets_total"] == summary["buckets_total"]

@@ -260,3 +260,28 @@ def test_intable_pandas_fallback_guard(spark, monkeypatch):
         v.pandas_validate(pd.Series([1, 2, 3]))
     monkeypatch.setattr(InTableValidation, "PANDAS_FALLBACK_MAX_DISTINCT", 100)
     assert v.pandas_validate(pd.Series([1, 999])).tolist() == [True, False]
+
+
+def test_inrange_nan_and_infinite_bounds_native_matches_pandas(spark):
+    """Spark orders NaN GREATER than every double, so with an infinite
+    max bound the native predicate used to pass NaN (and with both
+    bounds infinite, even NULL). The pandas formula fails both; the
+    native path must agree."""
+    import math
+
+    from pandasschema_spark.column import Column
+    from pandasschema_spark.schema import Schema
+    from pandasschema_spark.validation import InRangeValidation
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, None), (3, -5.0)],
+        "row_ord long, v double")
+
+    for lo, hi in [(0, math.inf), (-math.inf, math.inf), (0, 10)]:
+        fails = {}
+        for mode in ("native", "pandas"):
+            sch = Schema([Column("v", [InRangeValidation(lo, hi, mode=mode)])])
+            res = sch.validate(df, columns=["v"], row_key="row_ord")
+            fails[mode] = sorted(r["row"] for r in res.violations.collect())
+        assert fails["native"] == fails["pandas"], (lo, hi, fails)
+        assert 1 in fails["native"] and 2 in fails["native"], (lo, hi)

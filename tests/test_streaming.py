@@ -297,3 +297,32 @@ def test_streaming_cms_batch_parity(spark, tmp_path_factory):
     want = {(r["r"], r["b"]): r["cnt"]
             for r in cms_sketch(df, "v", width=32, depth=4).collect()}
     assert got == want
+
+
+def test_stateful_dedup_null_ordinal_and_null_value_rendering(spark, tmp_path):
+    """A NULL row ordinal must be skipped (int(NaN) killed the
+    micro-batch) and a NULL duplicate value must render 'nan' like the
+    batch operator — never Python's 'None'."""
+    import pandas as pd
+
+    from pandasschema_spark.streaming.stateful import streaming_duplicate_violations
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({
+        "clip_id": [None, None, "x", "x", None],
+        "row_ord": pd.array([10, 20, 30, None, 40], dtype="Int64"),
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = (spark.readStream
+              .schema("clip_id string, row_ord long").parquet(src))
+    out = streaming_duplicate_violations(stream, "clip_id", "row_ord")
+    q = (out.writeStream.format("memory").queryName("dups_nullsafe")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["row"], r["value"])
+           for r in spark.sql("select * from dups_nullsafe").collect()}
+    # NULL clip_ids group together: keeper row 10, dups 20 and 40 render
+    # 'nan'; the NULL-ordinal x-row is skipped so 'x' has no duplicate
+    assert got == {(20, "nan"), (40, "nan")}
