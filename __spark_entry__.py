@@ -5389,6 +5389,7 @@ WITH ms AS (
                   THEN 1 ELSE 0 END) AS int_s,
          sum(CASE WHEN regexp_matches(o_orderstatus,
                   '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                  AND try_strptime(o_orderstatus, '%Y-%m-%d') IS NOT NULL
                   THEN 1 ELSE 0 END) AS date_s,
          count(o_orderpriority) AS nn_p,
          count(DISTINCT o_orderpriority) AS nd_p,
@@ -5396,9 +5397,12 @@ WITH ms AS (
                   THEN 1 ELSE 0 END) AS int_p,
          sum(CASE WHEN regexp_matches(o_orderpriority,
                   '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                  AND try_strptime(o_orderpriority, '%Y-%m-%d') IS NOT NULL
                   THEN 1 ELSE 0 END) AS date_p,
          count(o_totalprice) AS nn_t,
-         min(o_totalprice) AS mn_t, max(o_totalprice) AS mx_t
+         sum(CASE WHEN isnan(o_totalprice::DOUBLE) THEN 1 ELSE 0 END) AS nan_t,
+         min(o_totalprice) FILTER (NOT isnan(o_totalprice::DOUBLE)) AS mn_t,
+         max(o_totalprice) FILTER (NOT isnan(o_totalprice::DOUBLE)) AS mx_t
   FROM orders),
 mined AS (
   SELECT 'o_orderstatus' AS "column", 'notnull' AS "check", '' AS param
@@ -5434,7 +5438,7 @@ mined AS (
   UNION ALL
   SELECT 'o_totalprice', 'inrange',
          '[' || CAST(mn_t AS VARCHAR) || ', ' || CAST(mx_t AS VARCHAR) || ']'
-  FROM ms WHERE nn_t > 0),
+  FROM ms WHERE nn_t > 0 AND nan_t = 0 AND mn_t IS NOT NULL),
 mm AS (
   SELECT 'o_orderstatus' AS "column",
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -6665,8 +6669,12 @@ WITH s AS (
          sum(CASE WHEN regexp_matches(event_type, '^[+-]?[0-9]+$')
                   THEN 1 ELSE 0 END) AS int_et,
          sum(CASE WHEN regexp_matches(event_type, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                  AND try_strptime(event_type, '%Y-%m-%d') IS NOT NULL
                   THEN 1 ELSE 0 END) AS date_et,
-         count(value) AS nn_v, min(value) AS mn_v, max(value) AS mx_v,
+         count(value) AS nn_v,
+         sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS nan_v,
+         min(value) FILTER (NOT isnan(value)) AS mn_v,
+         max(value) FILTER (NOT isnan(value)) AS mx_v,
          count(user_id) AS nn_u, min(user_id) AS mn_u, max(user_id) AS mx_u
   FROM events)
 SELECT * FROM (
@@ -6689,7 +6697,7 @@ SELECT * FROM (
   UNION ALL
   SELECT 'value', 'inrange',
          '[' || CAST(mn_v AS VARCHAR) || ', ' || CAST(mx_v AS VARCHAR) || ']'
-  FROM s WHERE nn_v > 0
+  FROM s WHERE nn_v > 0 AND nan_v = 0 AND mn_v IS NOT NULL
   UNION ALL
   SELECT 'user_id', 'notnull', '' FROM s WHERE nn_u = n AND nn_u > 0
   UNION ALL

@@ -58,24 +58,54 @@ def distinct_violations(
     salt_buckets: int = 64,
     broadcast_dupes: bool = True,
     allow_empty: bool = False,
+    verify_row_key: bool = False,
 ) -> DataFrame:
-    """Violation rows (VIOLATION_SCHEMA) for non-first duplicates."""
+    """Violation rows (VIOLATION_SCHEMA) for non-first duplicates.
+
+    CONTRACT: ``row_col`` must be unique at least among equal values —
+    keep-first is keyed on min(row), so two duplicate rows sharing the
+    same ordinal BOTH read as "first" and the pair is silently
+    under-reported (CLAUDE.md's LINEITEM_ROW warning is exactly this
+    hazard). ``verify_row_key=True`` adds a lazy guard branch that
+    RAISES when any duplicate value has a tied keeper ordinal, at the
+    cost of a second pruned-scan pass over the broadcast join (off by
+    default: the keeper join itself assumes duplicates are rare, and a
+    sound row key makes the guard a no-op)."""
     spark_type = df.schema[value_col].dataType
     dupes = duplicate_keys(df, value_col, row_col, salt_buckets)
     if broadcast_dupes:
         dupes = F.broadcast(dupes)
     base = df.select(F.col(value_col).alias("__v__"), F.col(row_col).cast("long").alias("__r__"))
-    joined = (
-        base.join(dupes, base["__v__"].eqNullSafe(dupes["__v__"]), "inner")
-        .where(F.col("__r__") != F.col("__m__"))
-    )
+    joined_all = base.join(dupes, base["__v__"].eqNullSafe(dupes["__v__"]), "inner")
+    guard = None
+    if verify_row_key:
+        ties = (joined_all.where(F.col("__r__") == F.col("__m__"))
+                .groupBy(base["__v__"].alias("__tv__"))
+                .agg(F.count(F.lit(1)).alias("__kc__"))
+                .where(F.col("__kc__") > 1))
+        guard = ties.select(
+            F.raise_error(F.concat(
+                F.lit("distinct_violations: row key {!r} collides among "
+                      "duplicate values (value=".format(row_col)),
+                F.coalesce(F.col("__tv__").cast("string"), F.lit("NULL")),
+                F.lit(", "), F.col("__kc__").cast("string"),
+                F.lit(" rows tie at the keeper ordinal) — keep-first "
+                      "is ill-defined; use a unique row key"),
+            )).cast("long").alias("row"),
+            F.lit(warn_col).alias("column"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(message).alias("message"),
+            F.lit(check_id).alias("check_id"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+    joined = joined_all.where(F.col("__r__") != F.col("__m__"))
     v = base["__v__"]
     if allow_empty:
         if is_numeric_spark_type(spark_type):
             joined = joined.where(v.isNotNull())
         else:
             joined = joined.where(v.isNotNull() & (F.length(v.cast("string")) > 0))
-    return joined.select(
+    out = joined.select(
         F.col("__r__").alias("row"),
         F.lit(warn_col).alias("column"),
         value_repr(v, spark_type).alias("value"),
@@ -83,6 +113,9 @@ def distinct_violations(
         F.lit(check_id).alias("check_id"),
         F.lit(seq).cast("int").alias("seq"),
     )
+    if guard is not None:
+        out = out.unionByName(guard)
+    return out
 
 
 def _payload_hash(cols) -> F.Column:

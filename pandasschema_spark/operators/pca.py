@@ -81,10 +81,27 @@ def train_pca(
         gram = None
         colsum = None
         n = 0
+        dim = None
         for b in batches:
             if not len(b):
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["v"]])
+            # poison-pill isolation: one NULL or ragged-length embedding
+            # must not kill the whole 10^12-row fit — skip such rows (the
+            # embedding_validate gate FLAGS them; the fit ranges over
+            # what validates)
+            vecs = []
+            for v in b["v"]:
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.ndim != 1 or (dim is not None and a.size != dim):
+                    continue
+                if dim is None:
+                    dim = a.size
+                vecs.append(a)
+            if not vecs:
+                continue
+            X = np.stack(vecs)
             g = X.T @ X
             s = X.sum(axis=0)
             gram = g if gram is None else gram + g
@@ -162,14 +179,30 @@ def apply_pca(
     mean = model.mean
     cols = df.columns
 
+    d = mean.size
+
     def project(batches):
         for b in batches:
             if not len(b):
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            Y = (X - mean) @ W.T
+            # NULL / wrong-dimension vectors project to NULL (a dead
+            # stage would lose the whole job to one bad row; an absent
+            # row would silently shrink the table under a withColumn
+            # contract)
+            ok = np.array([
+                v is not None and np.asarray(v).ndim == 1
+                and np.asarray(v).size == d
+                for v in b[vec_col]])
             out = b.copy()
-            out[out_col] = [row.astype(np.float32).tolist() for row in Y]
+            res = [None] * len(b)
+            if ok.any():
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v, k_ in zip(b[vec_col], ok) if k_])
+                Y = (X - mean) @ W.T
+                yi = iter(Y)
+                res = [next(yi).astype(np.float32).tolist() if k_ else None
+                       for k_ in ok]
+            out[out_col] = pd.Series(res, index=b.index, dtype=object)
             yield out
 
     from pyspark.sql import types as T

@@ -85,15 +85,8 @@ def kmv_distinct(df: DataFrame, cols: typing.Sequence[str], k: int = 1024) -> Da
         .select("v.column", "v.h")
     )
 
-    def _reduce(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            uniq = pdf.drop_duplicates()
-            uniq = uniq.sort_values("h", kind="mergesort").groupby("column", sort=False).head(k)
-            yield uniq
-
-    reduced = stacked.mapInPandas(_reduce, schema=_MAP_SCHEMA).distinct()
+    reduced = stacked.mapInPandas(
+        _bottomk_reduce(k, group_col="column"), schema=_MAP_SCHEMA).distinct()
     w = Window.partitionBy("column").orderBy("h")
     kset = (
         reduced.withColumn("rn", F.row_number().over(w))
@@ -116,6 +109,32 @@ def kmv_distinct(df: DataFrame, cols: typing.Sequence[str], k: int = 1024) -> Da
             est = (k - 1) * (1 << 64) // h_k
             out.append((c, int(r["n_kept"]), r["h_max"], est))
     return spark.createDataFrame(out, OUT_SCHEMA)
+
+
+def _bottomk_reduce(k: int, group_col: typing.Optional[str] = None):
+    """mapInPandas reducer: bottom-k distinct 'h' per PARTITION (per
+    ``group_col`` value when given) — accumulated ACROSS Arrow batches
+    and yielded once, so the exchange carries O(partitions x groups x k)
+    rows, not O(batches x groups x k) (a 1e9-row column is ~1e5 batches;
+    per-batch yields made the downstream single-task window rank 1e8
+    rows). Shared by kmv_distinct and kmv_similarity (the _banded_sigs
+    twin-path convention: one rule, one place)."""
+
+    def _reduce(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = acc.drop_duplicates().sort_values("h", kind="mergesort")
+            if group_col is not None:
+                acc = acc.groupby(group_col, sort=False).head(k)
+            else:
+                acc = acc.head(k)
+        if acc is not None and not acc.empty:
+            yield acc
+
+    return _reduce
 
 
 def cms_sketch(
@@ -177,9 +196,29 @@ def cms_estimate(
     import hashlib
 
     counters = {(r["r"], r["b"]): r["cnt"] for r in sketch.collect()}
+    if counters:
+        rows_present = {r for r, _ in counters}
+        if set(range(depth)) - rows_present:
+            # every sketch row receives every input row's mass, so a
+            # missing row index means the sketch was built with a
+            # smaller depth — min() over absent rows would return 0 and
+            # silently void the >=-true-count guarantee
+            raise ValueError(
+                "cms_estimate: sketch carries rows {} but depth={} was "
+                "requested — pass the builder's depth".format(
+                    sorted(rows_present), depth))
+
+    def _spark_str(v) -> str:
+        # the sketch hashed Spark's string CAST; Python str() diverges
+        # for booleans ('True' vs 'true'). Exotic types (Decimal,
+        # datetime) must be passed pre-rendered as the cast string.
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     out = {}
     for key in keys:
-        hx = hashlib.md5(str(key).encode()).hexdigest()
+        hx = hashlib.md5(_spark_str(key).encode()).hexdigest()
         est = min(
             counters.get((r, int(hx[8 * r: 8 * r + 8], 16) % width), 0)
             for r in range(depth)
@@ -231,16 +270,8 @@ def kmv_similarity(
         h = F.substring(F.md5(v.cast("string").cast("binary")), 1, 16)
         stacked = (df.select(h.alias("h")).where(F.col("h").isNotNull()))
 
-        def _reduce(batches: typing.Iterator[pd.DataFrame]
-                    ) -> typing.Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                yield pdf.drop_duplicates().sort_values(
-                    "h", kind="mergesort").head(k)
-
         reduced = stacked.mapInPandas(
-            _reduce, schema="h string").distinct()
+            _bottomk_reduce(k), schema="h string").distinct()
         w = Window.orderBy("h")
         rows = (reduced.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") <= k).select("h").collect())

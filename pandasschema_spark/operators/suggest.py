@@ -72,6 +72,13 @@ def suggest_rules(
     arr = F.array(*[F.col(c).cast("string") for c in cols])
     pairs = df.select(F.posexplode(arr).alias("__i__", "__v__"))
     per_val = pairs.groupBy("__i__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    # per_val feeds the stats collect AND the inlist value fetch — the
+    # posexplode + full-table groupBy must not run twice
+    per_val = per_val.persist()
+    # semantic date check rides the SAME histogram: the shape regex
+    # accepts '2024-99-99' but DateFormatValidation is strptime-semantic
+    # — a suggested rule must never fail on today's data
+    date_ok = F.try_to_timestamp(F.col("__v__"), F.lit("yyyy-MM-dd"))
     stats = per_val.groupBy("__i__").agg(
         F.coalesce(F.sum(F.when(F.col("__v__").isNull(), F.col("__c__"))), F.lit(0))
         .cast("long").alias("n_null"),
@@ -83,7 +90,8 @@ def suggest_rules(
             F.sum(F.when(F.col("__v__").rlike(SHAPES["int_like"]), F.col("__c__"))),
             F.lit(0)).cast("long").alias("n_int"),
         F.coalesce(
-            F.sum(F.when(F.col("__v__").rlike(SHAPES["date_like"]), F.col("__c__"))),
+            F.sum(F.when(F.col("__v__").rlike(SHAPES["date_like"])
+                         & date_ok.isNotNull(), F.col("__c__"))),
             F.lit(0)).cast("long").alias("n_date"),
     ).collect()
     by_i = {r["__i__"]: r for r in stats}
@@ -102,13 +110,26 @@ def suggest_rules(
             inlist_vals.setdefault(r["__i__"], []).append(r["__v__"])
 
     ranges = {}
+    n_nan = {}
     if num_cols:
         aggs = []
         for c in num_cols:
-            aggs.append(F.min(F.col(c)).alias("__mn_" + c))
-            aggs.append(F.max(F.col(c)).alias("__mx_" + c))
+            col = F.col(c)
+            if isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType)):
+                # Spark orders NaN ABOVE every double: a bare max() on a
+                # NaN-bearing column suggests inrange '[mn, nan]' — a
+                # rule the NaN row itself immediately fails. Range
+                # evidence comes from the finite values; NaN presence
+                # disqualifies the suggestion below.
+                col = F.when(~F.isnan(col), col)
+                aggs.append(F.sum(F.isnan(F.col(c)).cast("long"))
+                            .alias("__nan_" + c))
+            aggs.append(F.min(col).alias("__mn_" + c))
+            aggs.append(F.max(col).alias("__mx_" + c))
         row = df.agg(*aggs).collect()[0]
         ranges = {c: (row["__mn_" + c], row["__mx_" + c]) for c in num_cols}
+        n_nan = {c: row["__nan_" + c] for c in num_cols
+                 if "__nan_" + c in row.asDict()}
 
     for i, c in enumerate(cols):
         st = by_i.get(i)
@@ -123,7 +144,9 @@ def suggest_rules(
                 out.append((c, "matches_int", SHAPES["int_like"]))
             if st["n_date"] == st["n_nonnull"]:
                 out.append((c, "dateformat", "%Y-%m-%d"))
-        if c in num_cols and st["n_nonnull"] > 0:
+        if c in num_cols and st["n_nonnull"] > 0 and not n_nan.get(c):
             mn, mx = ranges[c]
-            out.append((c, "inrange", "[{}, {}]".format(mn, mx)))
+            if mn is not None:
+                out.append((c, "inrange", "[{}, {}]".format(mn, mx)))
+    per_val.unpersist()
     return spark.createDataFrame(out, OUT_SCHEMA)

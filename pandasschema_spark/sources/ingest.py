@@ -93,17 +93,19 @@ def jsonl_bad_records(
         ).alias("j"),
     )
     bad = F.col("j").isNull() | F.col("j")[corrupt].isNotNull()
-    malformed = parsed.where(bad).select(
-        ordinal_col, F.lit("malformed").alias("reason"), "line"
-    )
-    outs = [malformed]
+    # ONE pass: a union of per-reason branches would re-read the text
+    # source and re-derive the file-ordered ordinals once per branch
+    # (Spark shares no common subplans across union arms) — instead
+    # stack every reason slot into one array projection and explode,
+    # filtering the null slots after (the violations-compiler idiom;
+    # F.filter on the array is CodegenFallback)
+    slots = [F.when(bad, F.lit("malformed"))]
     for fld in required:
-        outs.append(
-            parsed.where(~bad & F.col("j")[fld].isNull()).select(
-                ordinal_col, F.lit("missing:{}".format(fld)).alias("reason"), "line"
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        slots.append(F.when(~bad & F.col("j")[fld].isNull(),
+                            F.lit("missing:{}".format(fld))))
+    return (
+        parsed.select(ordinal_col, "line",
+                      F.explode(F.array(*slots)).alias("reason"))
+        .where(F.col("reason").isNotNull())
+        .select(ordinal_col, "reason", "line")
+    )

@@ -46,9 +46,13 @@ class Warehouse:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
+        # any hive partition dir ('<col>=...') counts, not just the
+        # 'bucket=' layout: a day-partitioned table written where
+        # _SUCCESS markers are disabled must still be seen, or append()'s
+        # mixed-schema guard silently skips
         p = self.path(name)
         return os.path.isdir(p) and (
-            any(f.endswith(self.suffix) or f.startswith("bucket=") or f == "_SUCCESS"
+            any(f.endswith(self.suffix) or ("=" in f) or f == "_SUCCESS"
                 for f in os.listdir(p))
         )
 
@@ -57,6 +61,12 @@ class Warehouse:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: typing.Sequence[str] = ()) -> None:
+        if partition_by:
+            # the CLAUDE.md parquet-writer rule: repartition by the
+            # partition columns first, or every task writes a sliver
+            # into every partition dir (tasks x partitions small files —
+            # measured 8192 ~170 KB files for one 200k-row table)
+            df = df.repartition(*[df[c] for c in partition_by])
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -104,7 +114,8 @@ class Warehouse:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (df.write.mode("overwrite").partitionBy(*partition_by)
+            (df.repartition(*[df[c] for c in partition_by])
+               .write.mode("overwrite").partitionBy(*partition_by)
                .format(self.fmt).save(self.path(name)))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

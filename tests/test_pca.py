@@ -72,3 +72,22 @@ def test_pca_tree_reduce_matches_flat_collect(spark):
     assert np.allclose(tree.components, flat.components, atol=1e-6)
     assert np.allclose(tree.variances, flat.variances, atol=1e-6)
     assert abs(tree.components[0][0]) > 0.99 and tree.components[0][0] > 0
+
+
+def test_pca_poison_pill_null_and_ragged(spark):
+    """One NULL or wrong-length embedding must not kill the fit; apply
+    projects such rows to NULL instead of dropping or crashing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.pca import apply_pca, train_pca
+
+    rows = ([(i, [float(i % 7), float(i % 3), 1.0]) for i in range(50)]
+            + [(100, None), (101, [1.0]), (102, [1.0, 2.0, 3.0, 4.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = train_pca(df, k=2)
+    assert model.components.shape == (2, 3)
+    out = {r["vec_id"]: r["pca"] for r in apply_pca(df, model).collect()}
+    assert len(out) == 53
+    assert out[100] is None and out[101] is None and out[102] is None
+    assert out[0] is not None and len(out[0]) == 2

@@ -543,3 +543,22 @@ def test_group_quantiles_rejects_bad_q(spark):
     df = spark.createDataFrame([("a", 1)], "g: string, v: long")
     with pytest.raises(ValueError):
         group_quantiles(df, "g", "v", [0])
+
+
+def test_suggest_nan_range_and_semantic_dates(spark):
+    """A NaN-bearing double column must not get an inrange '[mn, nan]'
+    suggestion, and shape-valid-but-invalid dates ('2024-99-99') must
+    not evidence a dateformat rule — suggested checks must PASS on
+    today's data by contract."""
+    from pandasschema_spark.operators.suggest import suggest_rules
+
+    df = spark.createDataFrame(
+        [(1.0, "2024-01-15"), (float("nan"), "2024-99-99")],
+        "x double, d string")
+    got = {(r["column"], r["check"]) for r in suggest_rules(df, ["x", "d"]).collect()}
+    assert ("x", "inrange") not in got
+    assert ("d", "dateformat") not in got
+    clean = spark.createDataFrame(
+        [(1.0, "2024-01-15"), (2.0, "2023-12-31")], "x double, d string")
+    got2 = {(r["column"], r["check"]) for r in suggest_rules(clean, ["x", "d"]).collect()}
+    assert ("x", "inrange") in got2 and ("d", "dateformat") in got2

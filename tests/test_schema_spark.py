@@ -285,3 +285,25 @@ def test_inrange_nan_and_infinite_bounds_native_matches_pandas(spark):
             fails[mode] = sorted(r["row"] for r in res.violations.collect())
         assert fails["native"] == fails["pandas"], (lo, hi, fails)
         assert 1 in fails["native"] and 2 in fails["native"], (lo, hi)
+
+
+def test_distinct_verify_row_key_guard(spark):
+    """Opt-in guard: a row key colliding among equal values makes
+    keep-first ill-defined — verify_row_key=True raises instead of
+    silently under-reporting; a sound key leaves output unchanged."""
+    import pytest
+
+    from pandasschema_spark.operators.distinct import distinct_violations
+
+    kw = dict(warn_col="v", message="dup", check_id="c", seq=0)
+    good = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "r long, v string")
+    rows = distinct_violations(good, "v", "r", verify_row_key=True, **kw).collect()
+    assert [x["row"] for x in rows] == [1]
+    collided = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (2, "a")], "r long, v string")
+    # silent default: the tied pair both read as 'first' -> only row 2
+    assert [x["row"] for x in distinct_violations(
+        collided, "v", "r", **kw).collect()] == [2]
+    with pytest.raises(Exception, match="keeper ordinal"):
+        distinct_violations(collided, "v", "r", verify_row_key=True, **kw).collect()

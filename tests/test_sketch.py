@@ -153,3 +153,38 @@ class TestCms:
         df = spark.createDataFrame([("x",)], "v string")
         plan = cms_sketch(df, "v")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 2 and "Join" not in plan
+
+
+def test_cms_estimate_spark_cast_rendering_and_depth_guard(spark):
+    """cms_sketch hashes Spark's string CAST ('true'), so cms_estimate
+    must render keys the same way — and a depth mismatch must raise,
+    not silently return 0 (voiding the >=-true-count guarantee)."""
+    import pytest
+
+    from pandasschema_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(True,)] * 7 + [(False,)] * 3, "b boolean")
+    sk = cms_sketch(df, "b", width=64, depth=2)
+    est = cms_estimate(sk, [True, False], width=64, depth=2)
+    assert est[True] >= 7 and est[False] >= 3
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(sk, [True], width=64, depth=4)
+
+
+def test_kmv_reduce_accumulates_across_batches(spark):
+    """The bottom-k pre-reduce folds ACROSS Arrow batches and yields once
+    per partition — the exchange must carry O(partitions x k) rows, not
+    O(batches x k)."""
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.sketch import kmv_distinct
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.range(0, 20000, 1, 2).select(
+            (F.col("id") % 5000).cast("string").alias("v"))
+        out = {r["column"]: r for r in kmv_distinct(df, ["v"], k=64).collect()}
+        est = out["v"]["est_distinct"]
+        assert 3500 <= est <= 6500  # ~5000 within KMV error at k=64
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
