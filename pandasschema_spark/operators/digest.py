@@ -60,19 +60,34 @@ def violations_digest(violations: DataFrame, k: int = 5) -> DataFrame:
         raise ValueError("k must be >= 1")
 
     def _reduce(batches: typing.Iterator[pd.DataFrame]) -> typing.Iterator[pd.DataFrame]:
+        # fold ACROSS Arrow batches, yield once per partition (the
+        # _bottomk_reduce convention): per-batch yields made the
+        # exchange carry O(batches x checks x k) rows — at 10^12 rows
+        # that is ~1e8 rows per check through the single rank task
+        cand = None
+        counts = None
+        agg_first = dict(column=("column", "first"), message=("message", "first"))
         for pdf in batches:
             if pdf.empty:
                 continue
-            cand = pdf.sort_values("row", kind="mergesort").groupby("check_id", sort=False).head(k)
-            cand = cand.assign(kind=0, cnt=0)
-            counts = (
-                pdf.groupby("check_id", sort=False)
-                .agg(column=("column", "first"), message=("message", "first"), cnt=("row", "size"))
-                .reset_index()
-            )
-            counts = counts.assign(kind=1, value=None, row=0)
-            cols = [f.name for f in _MAP_SCHEMA.fields]
-            yield pd.concat([cand[cols], counts[cols]], ignore_index=True)
+            c = pdf.sort_values("row", kind="mergesort").groupby("check_id", sort=False).head(k)
+            cand = c if cand is None else pd.concat([cand, c], ignore_index=True)
+            cand = (cand.sort_values("row", kind="mergesort")
+                    .groupby("check_id", sort=False).head(k))
+            sz = (pdf.groupby("check_id", sort=False)
+                  .agg(cnt=("row", "size"), **agg_first).reset_index())
+            if counts is None:
+                counts = sz
+            else:
+                counts = (pd.concat([counts, sz], ignore_index=True)
+                          .groupby("check_id", sort=False)
+                          .agg(cnt=("cnt", "sum"), **agg_first).reset_index())
+        if cand is None:
+            return
+        cand = cand.assign(kind=0, cnt=0)
+        counts = counts.assign(kind=1, value=None, row=0)
+        cols = [f.name for f in _MAP_SCHEMA.fields]
+        yield pd.concat([cand[cols], counts[cols]], ignore_index=True)
 
     reduced = (
         violations.select("row", "column", "value", "message", "check_id")
