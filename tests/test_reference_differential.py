@@ -56,6 +56,14 @@ def _mk_checks(rng):
          lambda: OV.MatchesPatternValidation("a") | OV.MatchesPatternValidation(r"^\d")),
         (lambda: RV.MatchesPatternValidation("a") & RV.MatchesPatternValidation("x"),
          lambda: OV.MatchesPatternValidation("a") & OV.MatchesPatternValidation("x")),
+        # combinators over the GLOBAL check: the reference evaluates
+        # them series-wide in pandas; our engine must produce the same
+        # warning set through the whole-table fail-row set algebra
+        (lambda: ~RV.IsDistinctValidation(), lambda: ~OV.IsDistinctValidation()),
+        (lambda: RV.IsDistinctValidation() | RV.MatchesPatternValidation("a"),
+         lambda: OV.IsDistinctValidation() | OV.MatchesPatternValidation("a")),
+        (lambda: RV.IsDistinctValidation() & RV.MatchesPatternValidation("a"),
+         lambda: OV.IsDistinctValidation() & OV.MatchesPatternValidation("a")),
     ]
     n = rng.randint(1, 3)
     picks = [pool[rng.randrange(len(pool))] for _ in range(n)]
