@@ -26,11 +26,20 @@ import __spark_entry__ as E  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _cell(v):
+    # Spark collect() yields bytearray, DuckDB to_pylist() bytes —
+    # str() renders them differently ('bytearray(b..)' vs "b'..'"),
+    # a guaranteed false FAIL on the first binary-column oracle
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(str(r[i]) for i in order))
+        out.append(tuple(_cell(r[i]) for i in order))
     return sorted(out)
 
 
@@ -130,6 +139,12 @@ def main():
         )
     qs = E.queries()
     oracles = E.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd/renamed name must never read as '0 failures'
+            raise SystemExit(
+                "unknown query name(s): {} — not in queries()".format(unknown))
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

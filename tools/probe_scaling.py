@@ -13,7 +13,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 budget = int(os.environ.get("SPARK_GRAFT_LEG", "32"))
-os.sched_setaffinity(0, range(budget))
+first = int(os.environ.get("SPARK_GRAFT_LEG_FIRST_CPU", "0"))
+# honor the leg layout: pin to [first, first+budget), so a caller
+# mirroring the narrow leg's cpuset (16-19) is not silently moved onto
+# the wide leg's CPUs 0-3 (bench.leg_server's convention)
+os.sched_setaffinity(0, range(first, first + budget))
 
 from bench import make_session, warm_workers, WAREHOUSE  # noqa: E402
 
