@@ -362,8 +362,11 @@ def q_dedup_incremental(spark, sf_dir):
         (F.col("doc_id") + F.lit(1000000000).cast("long")).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
     )
+    # max_bucket=None: uncapped oracle -> uncapped gated config (the
+    # dedup_jaccard house rule); the production default stays capped
     return D.incremental_lsh_pairs(
-        new_batch, store_sigs, "text", "doc_id", n=3, k=16, bands=4)
+        new_batch, store_sigs, "text", "doc_id", n=3, k=16, bands=4,
+        max_bucket=None)
 
 
 def q_text_encoding_scan(spark, sf_dir):
@@ -501,6 +504,27 @@ def q_schema_diff(spark, sf_dir):
     return schema_diff(o, drifted)
 
 
+def _drifted_orders(spark, sf_dir):
+    """Shared planted-drift snapshot for the reconciliation gates: left =
+    orders(key, status, price); right = left minus %101 keys, %103 keys'
+    status mutated to 'X', %107 keys re-added shifted +1e9.
+    pipeline_reconcile's contract (the bucket-restricted diff must equal
+    the full one) depends on BOTH gates using the identical rule — one
+    definition, two consumers."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice")
+    right = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 107 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("long"))
+    )
+    return o, right
+
+
 def q_pipeline_reconcile(spark, sf_dir):
     """Migration-reconciliation composition, the way it runs at 100 TB:
     (1) bucketed checksums on both snapshots name the DIRTY md5 buckets
@@ -514,17 +538,7 @@ def q_pipeline_reconcile(spark, sf_dir):
     from pandasschema_spark.operators.diff import table_diff
     from pandasschema_spark.operators.sampling import hash_bucket_expr
 
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        "o_orderstatus", "o_totalprice")
-    right = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 103 == 0, F.lit("X"))
-        .otherwise(F.col("o_orderstatus")),
-    ).unionByName(
-        o.filter(F.col("o_orderkey") % 107 == 0).withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("long"))
-    )
+    o, right = _drifted_orders(spark, sf_dir)
     buckets = 16
     cols = ["o_orderstatus", "o_totalprice"]
     cs_l = table_checksum_by(o, "o_orderkey", cols, buckets=buckets)
@@ -696,17 +710,7 @@ def q_table_diff(spark, sf_dir):
     digests before the one hash(key) exchange."""
     from pandasschema_spark.operators.diff import table_diff
 
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        "o_orderstatus", "o_totalprice")
-    right = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 103 == 0, F.lit("X"))
-        .otherwise(F.col("o_orderstatus")),
-    ).unionByName(
-        o.filter(F.col("o_orderkey") % 107 == 0).withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("long"))
-    )
+    o, right = _drifted_orders(spark, sf_dir)
     return table_diff(o, right, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
 
 
@@ -1092,7 +1096,12 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return D.lsh_candidate_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id", n=3, k=16, bands=4)
+    # max_bucket=None: the oracle replays banding UNCAPPED, so the gated
+    # config must too (the dedup_jaccard house rule — a cap that binds
+    # only at untested SFs is a latent hash-red); production default
+    # stays capped
+    return D.lsh_candidate_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id",
+                                 n=3, k=16, bands=4, max_bucket=None)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1174,6 +1183,36 @@ def q_violation_hotspots(spark, sf_dir):
         min_support=1000, min_lift_pct=115)
 
 
+def _entity_variants(spark, sf_dir):
+    """Shared variant-corpus construction for the entity gates: base
+    md5-stem names plus m1 (deletion), m2 (substitution), m3 (prepend)
+    mutations. entity_assign's store/new split MUST build from the
+    IDENTICAL rules as entity_resolution's corpus — one definition, two
+    consumers, no copy-paste drift. Every frame carries src = base id."""
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias("name"),
+    )
+    m1 = base.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 10_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 6 as int)),"
+               "       substring(name, cast(10 + id % 6 as int)))").alias("vname"),
+        F.col("id").alias("src"),
+    )
+    m2 = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 20_000_000).alias("vid"),
+        F.expr("concat(substring(name, 1, cast(8 + id % 4 as int)), 'z',"
+               "       substring(name, cast(10 + id % 4 as int)))").alias("vname"),
+        F.col("id").alias("src"),
+    )
+    m3 = base.where(F.col("id") % 11 == 0).select(
+        (F.col("id") + 30_000_000).alias("vid"),
+        F.concat(F.lit("z"), F.col("name")).alias("vname"),
+        F.col("id").alias("src"),
+    )
+    return base, m1, m2, m3
+
+
 def q_entity_resolution(spark, sf_dir):
     """Record linkage over a planted dirty-name corpus (blocking ->
     bounded levenshtein -> connected components -> full assignment,
@@ -1191,26 +1230,9 @@ def q_entity_resolution(spark, sf_dir):
     closure (DuckDB recursive CTE)."""
     from pandasschema_spark.operators.entity import resolve_entities
 
-    base = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").cast("long").alias("id"),
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias("name"),
-    )
-    m1 = base.where(F.col("id") % 3 == 0).select(
-        (F.col("id") + 10_000_000).alias("vid"),
-        F.expr("concat(substring(name, 1, cast(8 + id % 6 as int)),"
-               "       substring(name, cast(10 + id % 6 as int)))").alias("vname"),
-    )
-    m2 = base.where(F.col("id") % 5 == 0).select(
-        (F.col("id") + 20_000_000).alias("vid"),
-        F.expr("concat(substring(name, 1, cast(8 + id % 4 as int)), 'z',"
-               "       substring(name, cast(10 + id % 4 as int)))").alias("vname"),
-    )
-    m3 = base.where(F.col("id") % 11 == 0).select(
-        (F.col("id") + 30_000_000).alias("vid"),
-        F.concat(F.lit("z"), F.col("name")).alias("vname"),
-    )
-    variants = m1.unionByName(m2).unionByName(m3).select(
-        F.col("vid").alias("id"), F.col("vname").alias("name"))
+    base, m1, m2, m3 = _entity_variants(spark, sf_dir)
+    variants = (m1.unionByName(m2).unionByName(m3)
+                .select(F.col("vid").alias("id"), F.col("vname").alias("name")))
     corpus = base.unionByName(variants)
     return resolve_entities(corpus, "name", "id", block_len=8, max_dist=2)
 
@@ -1228,25 +1250,7 @@ def q_entity_assign(spark, sf_dir):
     counts over the UNION of both sides, replayed identically."""
     from pandasschema_spark.operators.entity import assign_entities
 
-    base = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").cast("long").alias("id"),
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias("name"),
-    )
-    m1 = base.where(F.col("id") % 3 == 0).select(
-        (F.col("id") + 10_000_000).alias("vid"),
-        F.expr("concat(substring(name, 1, cast(8 + id % 6 as int)),"
-               "       substring(name, cast(10 + id % 6 as int)))").alias("vname"),
-        F.col("id").alias("src"),
-    )
-    m2 = base.where(F.col("id") % 5 == 0).select(
-        (F.col("id") + 20_000_000).alias("vid"),
-        F.expr("concat(substring(name, 1, cast(8 + id % 4 as int)), 'z',"
-               "       substring(name, cast(10 + id % 4 as int)))").alias("vname"),
-    )
-    m3 = base.where(F.col("id") % 11 == 0).select(
-        (F.col("id") + 30_000_000).alias("vid"),
-        F.concat(F.lit("z"), F.col("name")).alias("vname"),
-    )
+    base, m1, m2, m3 = _entity_variants(spark, sf_dir)
     store = base.select("name", F.col("id").alias("entity_id")).unionByName(
         m1.select(F.col("vname").alias("name"), F.col("src").alias("entity_id")))
     new = m2.unionByName(m3).select(
@@ -1300,7 +1304,8 @@ def q_schema_dispatch(spark, sf_dir):
     s1 = Schema([Column("o_orderkey", [InRangeValidation(min=0)]),
                  Column("o_custkey", [InRangeValidation(min=0)])])
     r1 = s1.validate(orders.select("o_orderkey", "o_custkey", "o_orderstatus"))
-    assert r1.is_early_return()
+    if not r1.is_early_return():
+        raise AssertionError("wrong-column-count precheck did not early-return")
     out += [("count_precheck", w.row, str(w.column), w.message) for w in r1.frame_warnings]
 
     # scenario 2: missing column warns and validation continues
@@ -1406,7 +1411,8 @@ def q_bucketed_join(spark, sf_dir):
             spark.table("bkq_orders"),
             F.col("c_custkey") == F.col("o_custkey"))
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, "bucketed join planned a shuffle"
+        if "Exchange" in plan:  # not a bare assert: python -O strips those
+            raise AssertionError("bucketed join planned a shuffle")
         # per-row integer cents BEFORE the sum: a double sum is
         # accumulation-order-dependent and would hash-differ per engine
         cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -1438,7 +1444,8 @@ def q_warehouse_compact(spark, sf_dir):
         nation.where(F.col("n_nationkey") % 5 == i).repartition(4) \
             .write.mode("append").parquet(wh.path("t"))
     res = wh.compact(spark, "t", target_mb=256)
-    assert res["files_before"] >= 20 and res["files_after"] == 1, res
+    if not (res["files_before"] >= 20 and res["files_after"] == 1):
+        raise AssertionError("compact did not collapse files: {}".format(res))
     return wh.read(spark, "t").select("n_nationkey", "n_name", "n_regionkey")
 
 
@@ -1485,7 +1492,8 @@ def q_orc_roundtrip(spark, sf_dir):
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     wh.write(sup, "t", partition_by=["s_nationkey"])
     res = wh.compact(spark, "t", target_mb=256, partition_by=["s_nationkey"])
-    assert res["files_after"] <= res["files_before"], res
+    if res["files_after"] > res["files_before"]:
+        raise AssertionError("orc roundtrip grew files: {}".format(res))
     return wh.read(spark, "t").select(
         "s_suppkey", "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"),
         "s_acctbal")
@@ -1743,7 +1751,7 @@ def q_streaming_validate(spark, sf_dir):
     and equals the closed-form injection oracle restricted to row-local
     checks (global uniqueness/referential stay in the batch runner by
     design — streaming/incremental.py states the trade-off)."""
-    import tempfile
+    import shutil
 
     from pandasschema_spark.clips_suite import PUBLIC_COLUMNS, clips_schema
     from pandasschema_spark.sources.datagen import clips_df
@@ -1753,7 +1761,13 @@ def q_streaming_validate(spark, sf_dir):
         stream_validate,
     )
 
-    base = tempfile.mkdtemp(prefix="psf_stream_oracle_")
+    # fixed staging path wiped up front (the q_bucketed_join convention):
+    # a fresh mkdtemp per invocation leaked the 20k-row source, the
+    # violations warehouse AND the streaming checkpoint into /tmp on
+    # every sweep/driver/bench run
+    base = "/tmp/psf_stream_oracle_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     src = os.path.join(base, "src")
     df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=8)
     for chunk in range(4):  # 4 arrival chunks x 2 files each
@@ -2533,8 +2547,10 @@ def q_salted_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = salted_join(li, orders, "l_orderkey", salt_buckets=16)
         plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "__salt__" in plan, "join did not go through the salted key"
-        assert "BroadcastHashJoin" not in plan
+        if "__salt__" not in plan:
+            raise AssertionError("join did not go through the salted key")
+        if "BroadcastHashJoin" in plan:
+            raise AssertionError("salted join collapsed to a broadcast")
         out = (j.groupBy("o_orderpriority")
                .agg(F.count(F.lit(1)).alias("n_items"),
                     F.sum("cents").alias("revenue_c")))
@@ -4459,10 +4475,10 @@ fields AS (SELECT src, rn, h,
   FROM f),
 tr AS (SELECT src, rn, sr, dur, codec,
   array_to_string(list_transform(range(0, nw), j ->
-    ['b','d','f','g','k','l','m','n','p','r','s','t','v','w','y','z']
+    {onsets}
       [1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
                (j * 37) % 256) // 16]
-    || ['a','e','i','o','u','an','en','in','on','un','ar','er','ir','or','ur','ay']
+    || {rimes}
       [1 + xor(CAST('0x' || substr(h, 2 * (11 + (j % 20)) + 1, 2) AS INT),
                (j * 37) % 256) % 16]), ' ') AS transcript
   FROM fields)
@@ -4471,7 +4487,7 @@ SELECT printf('clip_%012d', src) AS clip_id,
        CAST(count(DISTINCT transcript) AS BIGINT) AS n_labels,
        CAST(count(DISTINCT sr || ':' || dur || ':' || codec) AS BIGINT) AS n_meta
 FROM tr GROUP BY 1
-""",
+""".format(onsets=_sql_arr(_ONSETS), rimes=_sql_arr(_RIMES)),
         # same normalization mirror as the other text oracles; max_run
         # via lag -> run-id prefix sum -> per-run counts
         "text_repetition": """
@@ -5635,7 +5651,12 @@ WITH corpus AS (
     SELECT doc_id + 1000000000, text || '  ' FROM documents
     WHERE doc_id % 3 = 0),
 n AS (SELECT id, length(text) AS n_chars,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+             -- NULL texts: the Spark side's NULL digest joins no pair,
+             -- so each NULL-text doc is its own singleton cluster —
+             -- give each a unique digest instead of letting PARTITION
+             -- BY collapse the NULLs into one bogus cluster
+             COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                      'null:' || CAST(id AS VARCHAR)) AS d
       FROM corpus),
 r AS (SELECT id, n_chars,
              min(id) OVER (PARTITION BY d) AS cluster_id,
@@ -7041,24 +7062,39 @@ SELECT l_orderkey*10 + l_linenumber AS row, 'l_extendedprice' AS "column",
        CAST(l_extendedprice AS VARCHAR) AS value, 'extendedprice below 900 per unit' AS message
 FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 900.0)
 """,
+        # re-derived from the POST-plant column, not the plant rule
+        # alone (the dedup_exact lesson): a naturally ws-terminated text
+        # at an untested SF must flag in both engines; NULL texts pass
+        # (engine coalesces to 'nan'). ASCII class == the engine's
+        # Java (?U)\s on this ASCII corpus.
         "val_trailing_ws": """
-SELECT doc_id AS row, 't' AS "column", text || ' ' AS value,
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' ELSE text END AS v
+           FROM documents)
+SELECT doc_id AS row, 't' AS "column", v AS value,
        'contains trailing whitespace' AS message
-FROM documents WHERE doc_id % 7 = 0
+FROM t WHERE v IS NOT NULL AND regexp_matches(v, '[ \\t\\n\\x0b\\f\\r]$')
 """,
         "val_leading_ws": """
-SELECT doc_id AS row, 't' AS "column", '  ' || text AS value,
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 9 = 0 THEN '  ' || text ELSE text END AS v
+           FROM documents)
+SELECT doc_id AS row, 't' AS "column", v AS value,
        'contains leading whitespace' AS message
-FROM documents WHERE doc_id % 9 = 0
+FROM t WHERE v IS NOT NULL AND regexp_matches(v, '^[ \\t\\n\\x0b\\f\\r]')
 """,
         "val_inlist_ci": """
 SELECT c_custkey AS row, 'c_mktsegment' AS "column", c_mktsegment AS value,
        'is not in the list of legal options (building, machinery, automobile)' AS message
 FROM customer WHERE lower(c_mktsegment) NOT IN ('building', 'machinery', 'automobile')
 """,
+        # post-plant re-derivation: naturally-NULL props flag too
         "val_notnull": """
+WITH t AS (SELECT event_id,
+                  CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS p
+           FROM events)
 SELECT event_id AS row, 'p' AS "column", 'nan' AS value, 'is null' AS message
-FROM events WHERE event_id % 11 = 0
+FROM t WHERE p IS NULL
 """,
         # allow_empty: string column exempts NULL and '' (doc_id%5 in 0,1);
         # numeric column exempts NULL only (doc_id%4=0)
