@@ -4932,6 +4932,7 @@ SELECT key, header_amt,
        header_amt - COALESCE(d.detail_amt, 0) AS diff
 FROM h LEFT JOIN derived d USING (key)
 WHERE abs(header_amt - COALESCE(d.detail_amt, 0)) > 0
+   OR header_amt IS NULL
 """,
         # same planted corruption, same FD aggregation (distinct-pair
         # count via two-level GROUP BY, NULL-dep counts as a value)

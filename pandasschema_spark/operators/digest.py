@@ -39,13 +39,16 @@ def violations_digest(violations: DataFrame, k: int = 5) -> DataFrame:
     value) — the ``rn``-th lowest-row exemplar of each check, 1..k, with
     the check's exact total fail count on every exemplar row.
 
-    Scale shape: ONE pass over the violations. An Arrow batch-local
-    pre-reduce keeps at most k lowest-row candidates per (batch, check)
-    plus a partial count per (batch, check) as a tagged union, so the only
-    exchange carries O(batches x checks x k) rows — never the violations.
+    Scale shape: ONE pass over the violations. A per-PARTITION
+    pre-reduce (folded across Arrow batches, the _bottomk_reduce
+    convention) keeps at most k lowest-row candidates per (partition,
+    check) plus a partial count per (partition, check) as a tagged
+    union, so the only exchange carries O(partitions x checks x k) rows
+    — never the violations.
     Exactness: the global k smallest rows of a check are a subset of the
-    union of per-batch k smallest (any row outside a batch's top-k has k
-    smaller rows in that batch alone), and partial counts sum to the exact
+    union of per-partition k smallest (any row outside a partition's
+    top-k has k smaller rows in that partition alone), and partial
+    counts sum to the exact
     total. The reduced union is persisted (it feeds both the rank window
     and the totals agg) with the repo's release-handle convention —
     ``operators.dedup.release_cached(result)`` in long-lived sessions.

@@ -38,21 +38,39 @@ def layout_audit(
     ``n_overlaps`` counts OTHER files whose [min_v, max_v] intersects
     this file's. Files whose ``col`` is entirely NULL carry NULL
     min/max and n_overlaps=0 (they cannot block pruning — a min/max
-    filter never selects them). Provenance from ``file_col`` if given,
-    else ``input_file_name()``.
+    filter never selects them). NaN values are EXCLUDED from the
+    min/max ranges (Spark orders NaN above every double, so one NaN
+    would read as max_v=NaN, and Python's sorted/bisect sweep is
+    undefined over NaN — negative overlap counts); a file that is all
+    NaN/NULL reads as range-less like the all-NULL case. Provenance
+    from ``file_col`` if given, else ``input_file_name()``.
+
+    ``basename_only=True`` groups by the path's last segment — two
+    DISTINCT paths sharing a basename (part-0.csv under two partition
+    dirs) would merge into one bogus audit row, so that case raises
+    loudly; pass basename_only=False for partition-layout tables.
     """
-    src = F.col(file_col) if file_col else F.input_file_name()
-    if basename_only:
-        src = F.element_at(F.split(src, "/"), -1)
+    full = F.col(file_col) if file_col else F.input_file_name()
+    src = F.element_at(F.split(full, "/"), -1) if basename_only else full
+    v = F.col(col)
+    if isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType)):
+        v = F.when(~F.isnan(v), v)  # NaN contributes no range info
     per_file = (
         df.groupBy(src.alias("source_file"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min(F.col(col)).alias("min_v"),
-            F.max(F.col(col)).alias("max_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.countDistinct(full).alias("__np__"),
         )
         .collect()  # O(files) — the audit's working set, not data rows
     )
+    clash = [r["source_file"] for r in per_file if r["__np__"] > 1]
+    if clash:
+        raise ValueError(
+            "layout_audit: basename collision across directories for {} — "
+            "distinct files would merge into one audit row; pass "
+            "basename_only=False".format(sorted(clash)[:5]))
     ranged = [r for r in per_file if r["min_v"] is not None]
     mins = sorted(r["min_v"] for r in ranged)
     maxs = sorted(r["max_v"] for r in ranged)

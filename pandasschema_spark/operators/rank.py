@@ -79,17 +79,15 @@ def global_ordinal(
         out = rb.withColumn(name, F.lit(start).cast("long")).drop("__mid__")
         return _attach_cached(out, [rb])
     # ascending pid == ascending key range under repartitionByRange, so a
-    # pid-ordered running sum IS the global offset table
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["__pid__"]):
-        offsets[row["__pid__"]] = acc
-        acc += row["__cnt__"]
-    expr = None
-    for p, off in offsets.items():
-        cond = pid == F.lit(p)
-        expr = (F.when(cond, F.lit(off)) if expr is None
-                else expr.when(cond, F.lit(off)))
+    # pid-ordered running sum IS the global offset table. The shared
+    # helpers add the two fail-loud guards rowindex established: a
+    # >=2^33-row partition (hot key under range partitioning — the id
+    # counter would overflow into the next pid's space) and a pid
+    # appearing only after the counting pass.
+    from ..plans.rowindex import offset_case_expr, offsets_from_counts
+
+    offsets = offsets_from_counts(counts, overflow_ctx="global_ordinal")
+    expr = offset_case_expr(offsets, pid, ctx="global_ordinal")
     intra = F.col("__mid__") % F.lit(_PART_SHIFT)
     out = (rb.withColumn(name, (expr + intra + F.lit(start)).cast("long"))
              .drop("__mid__"))

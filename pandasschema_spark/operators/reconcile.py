@@ -37,9 +37,12 @@ def reconcile_header_detail(
     ``tol`` (same integer units on both sides — pass cents, not floats:
     integer sums are order-independent, float sums are not). Headers
     with NO detail rows reconcile against 0 (a header total over zero
-    lines is itself the violation). Detail rows with no header are a
-    referential violation, not a reconciliation one — run
-    referential_violations for those.
+    lines is itself the violation). A NULL stored amount is ALSO a
+    violation (diff NULL): a header without a total cannot reconcile —
+    silently passing it would hide exactly the broken rows this check
+    exists to find. Detail rows with no header are a referential
+    violation, not a reconciliation one — run referential_violations
+    for those.
     """
     derived = (
         detail.groupBy(F.col(detail_key).alias("key"))
@@ -57,5 +60,6 @@ def reconcile_header_detail(
     diff = F.col("header_amt") - F.col("detail_amt")
     return (
         joined.withColumn("diff", diff)
-        .where(F.abs(F.col("diff")) > tol)
+        .where((F.abs(F.col("diff")) > tol)
+               | F.col("header_amt").isNull())
     )

@@ -57,8 +57,16 @@ class RepairRule:
     def __post_init__(self) -> None:
         if self.kind not in _KINDS:
             raise ValueError("unknown repair kind: {!r}".format(self.kind))
-        if self.kind == "clamp" and (self.lo is None or self.hi is None or self.lo > self.hi):
-            raise ValueError("clamp needs lo <= hi")
+        if self.kind == "clamp":
+            import math
+
+            if self.lo is None or self.hi is None or self.lo > self.hi:
+                raise ValueError("clamp needs lo <= hi")
+            if not (math.isfinite(self.lo) and math.isfinite(self.hi)):
+                # a NaN bound passes lo > hi (NaN compares False) and then
+                # greatest/least return NaN for EVERY row (Spark orders
+                # NaN above all values) — the 'safe fix' destroys the column
+                raise ValueError("clamp bounds must be finite")
         if self.kind == "case_to_list":
             if not self.allowed:
                 raise ValueError("case_to_list needs a non-empty allowed list")
@@ -73,13 +81,20 @@ class RepairRule:
         return "{}:{}".format(self.column, self.kind)
 
 
-def _fix_expr(rule: RepairRule, c: SparkColumn) -> SparkColumn:
-    """The repaired value of input expression ``c`` under ``rule``."""
+def _fix_expr(rule: RepairRule, c: SparkColumn, dtype=None) -> SparkColumn:
+    """The repaired value of input expression ``c`` under ``rule``.
+    ``dtype`` (the column's Spark type, when known) keeps clamp
+    TYPE-PRESERVING: bare double literals would coerce an int/float
+    column to double and silently change the output schema."""
     if rule.kind == "trim":
         return F.when(c.isNull(), c).otherwise(F.trim(c))
     if rule.kind == "clamp":
+        lo, hi = F.lit(rule.lo), F.lit(rule.hi)
+        if dtype is not None:
+            lo = lo.cast(dtype)
+            hi = hi.cast(dtype)
         return F.when(c.isNull(), c).otherwise(
-            F.greatest(F.least(c, F.lit(rule.hi)), F.lit(rule.lo))
+            F.greatest(F.least(c, hi), lo)
         )
     if rule.kind == "case_to_list":
         fixed = c
@@ -112,10 +127,29 @@ def _check_rules(df: DataFrame, rules: typing.Sequence[RepairRule]) -> None:
         seen.add(r.name)
         if r.column not in df.columns:
             raise ValueError("no such column: {!r}".format(r.column))
+        dt = df.schema[r.column].dataType
+        from pyspark.sql import types as T
+
+        if r.kind == "clamp":
+            integral = isinstance(dt, (T.ByteType, T.ShortType,
+                                       T.IntegerType, T.LongType))
+            if integral and not (
+                    float(r.lo).is_integer() and float(r.hi).is_integer()):
+                raise ValueError(
+                    "clamp on integral column {!r} needs integer bounds "
+                    "(got lo={}, hi={}) — fractional bounds would widen "
+                    "the column to double".format(r.column, r.lo, r.hi))
+        if r.kind in ("trim", "case_to_list", "null_if_no_match") and not isinstance(
+                dt, T.StringType):
+            raise ValueError(
+                "{} repairs strings; column {!r} is {} — an implicit cast "
+                "would silently change the output schema".format(
+                    r.kind, r.column, dt.simpleString()))
 
 
 def _staged(
     rules: typing.Sequence[RepairRule],
+    dtypes: typing.Optional[typing.Dict[str, object]] = None,
 ) -> typing.List[typing.Tuple[RepairRule, SparkColumn, SparkColumn]]:
     """(rule, input_expr, fixed_expr) per rule, where rule i's input is
     the previous rule's output on the same column (spec order — a
@@ -124,7 +158,7 @@ def _staged(
     out = []
     for r in rules:
         c = current.get(r.column, F.col(r.column))
-        fixed = _fix_expr(r, c)
+        fixed = _fix_expr(r, c, (dtypes or {}).get(r.column))
         current[r.column] = fixed
         out.append((r, c, fixed))
     return out
@@ -134,8 +168,9 @@ def repair(df: DataFrame, rules: typing.Sequence[RepairRule]) -> DataFrame:
     """The repaired frame: every rule applied in one row-local
     projection; untouched columns pass through unchanged."""
     _check_rules(df, rules)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     final: typing.Dict[str, SparkColumn] = {}
-    for r, _c, fixed in _staged(rules):
+    for r, _c, fixed in _staged(rules, dtypes):
         final[r.column] = fixed
     return df.select(
         *[final[c].alias(c) if c in final else F.col(c) for c in df.columns]
@@ -148,7 +183,7 @@ def repair_summary(df: DataFrame, rules: typing.Sequence[RepairRule]) -> DataFra
     staged expressions :func:`repair` applies, long form via a row-local
     struct explode; O(rules) output."""
     _check_rules(df, rules)
-    stages = _staged(rules)
+    stages = _staged(rules, {f.name: f.dataType for f in df.schema.fields})
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (r, c, fixed) in enumerate(stages):
         aggs.append(

@@ -25,6 +25,42 @@ _PART_SHIFT = 8589934592  # 2^33, monotonically_increasing_id's partition stride
 ROW_IDX_COL = "__row_idx__"
 
 
+def offsets_from_counts(counts, *, overflow_ctx: str):
+    """pid -> running-sum offset table from a collected
+    groupBy(pid).count() — the shared machinery behind with_row_index
+    and operators/rank.global_ordinal (one rule, one place). Raises
+    when any partition holds >= 2^33 rows: monotonically_increasing_id's
+    per-partition counter would overflow into the next pid's id space
+    and silently corrupt ordinals."""
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        if row["__cnt__"] >= _PART_SHIFT:
+            raise ValueError(
+                "{}: partition {} holds {} rows >= 2^33 — "
+                "monotonically_increasing_id would overflow into the "
+                "next partition's id space; raise the partition count"
+                .format(overflow_ctx, row["__pid__"], row["__cnt__"]))
+        offsets[row["__pid__"]] = acc
+        acc += row["__cnt__"]
+    return offsets
+
+
+def offset_case_expr(offsets, pid, *, ctx: str):
+    """Literal CASE chain pid -> offset with a fail-loud otherwise: a
+    pid unseen during the counting pass means the source repartitioned
+    between the two jobs — silent NULL ordinals otherwise."""
+    expr = None
+    for p, off in offsets.items():
+        cond = (pid == F.lit(p))
+        expr = F.when(cond, F.lit(off)) if expr is None else expr.when(cond, F.lit(off))
+    return expr.otherwise(F.raise_error(F.concat(
+        F.lit("{}: partition id ".format(ctx)), pid.cast("string"),
+        F.lit(" appeared after the counting pass — the source's "
+              "partitioning is unstable; re-run or pass an explicit "
+              "row_key"))))
+
+
 def with_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
     """Append a 0-based, read-order row ordinal column without a global sort.
 
@@ -41,30 +77,14 @@ def with_row_index(df: DataFrame, name: str = ROW_IDX_COL) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__cnt__"))
         .collect()
     )
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["__pid__"]):
-        offsets[row["__pid__"]] = acc
-        acc += row["__cnt__"]
+    offsets = offsets_from_counts(counts, overflow_ctx="with_row_index")
     if not offsets:
         return tagged.withColumn(name, F.lit(0).cast("long")).drop("__mid__")
     # inline the offset table as a literal CASE chain (one entry per input
-    # partition — bounded by the scan's partition count, fine to inline)
-    expr = None
-    for p, off in offsets.items():
-        cond = (pid == F.lit(p))
-        expr = F.when(cond, F.lit(off)) if expr is None else expr.when(cond, F.lit(off))
-    # fail LOUD on a partition id unseen during the counting pass: the id
-    # column is re-evaluated in a separate job, and if the scan's
-    # partitioning changed between the two (files appended to the
-    # directory, non-deterministic upstream) a bare when-chain would
-    # fall through to silently NULL ordinals (the sibling
-    # with_file_ordered_row_index verifies its tiling the same way)
-    expr = expr.otherwise(F.raise_error(F.concat(
-        F.lit("with_row_index: partition id "), pid.cast("string"),
-        F.lit(" appeared after the counting pass — the source's "
-              "partitioning is unstable; re-run or pass an explicit "
-              "row_key"))))
+    # partition — bounded by the scan's partition count, fine to inline);
+    # the otherwise() branch fails LOUD on a pid unseen during the
+    # counting pass (the id column re-evaluates in a separate job)
+    expr = offset_case_expr(offsets, pid, ctx="with_row_index")
     intra = F.col("__mid__") % F.lit(_PART_SHIFT)
     return tagged.withColumn(name, (expr + intra).cast("long")).drop("__mid__")
 

@@ -75,3 +75,27 @@ def test_explicit_file_col(spark):
     out = {r["source_file"]: r["n_overlaps"]
            for r in layout_audit(df, "v", file_col="f").collect()}
     assert out == {"p1": 1, "p2": 1}
+
+
+def test_nan_and_basename_collision_guards(spark, tmp_path):
+    """NaN values contribute no range info (Spark's NaN-is-greatest max
+    would poison the bisect sweep), and two distinct paths sharing a
+    basename refuse to merge into one audit row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.layout import layout_audit
+
+    df = spark.createDataFrame(
+        [("a.parquet", 1.0), ("a.parquet", float("nan")),
+         ("b.parquet", 5.0), ("c.parquet", float("nan"))],
+        "f string, v double")
+    out = {r["source_file"]: r for r in
+           layout_audit(df, "v", file_col="f").collect()}
+    assert out["a.parquet"]["max_v"] == 1.0          # NaN excluded
+    assert out["c.parquet"]["min_v"] is None         # all-NaN = range-less
+    assert out["c.parquet"]["n_overlaps"] == 0
+    clash = spark.createDataFrame(
+        [("x/part-0.csv", 1.0), ("y/part-0.csv", 2.0)], "f string, v double")
+    with pytest.raises(ValueError, match="basename collision"):
+        layout_audit(clash, "v", file_col="f")

@@ -90,3 +90,36 @@ def test_zero_shuffle_plans(dirty):
     # single global agg: partial + final, no hash-key shuffle
     assert "HashAggregate" in splan or "SortAggregate" in splan
     assert "CodegenFallback" not in plan
+
+
+def test_repair_rules_are_type_preserving(spark):
+    """clamp keeps the column's type (bare double literals widened int
+    columns to double), refuses fractional bounds on integral columns
+    and non-finite bounds; string-only rules refuse non-string columns."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, 500), (2, -3)], "id long, qty long")
+    out = repair(df, [RepairRule("qty", "clamp", lo=0.0, hi=100.0)])
+    assert isinstance(out.schema["qty"].dataType, T.LongType)
+    assert {r["qty"] for r in out.collect()} == {100, 0}
+    with pytest.raises(ValueError, match="integer bounds"):
+        repair(df, [RepairRule("qty", "clamp", lo=0.5, hi=10.0)])
+    with pytest.raises(ValueError, match="finite"):
+        RepairRule("qty", "clamp", lo=float("nan"), hi=10.0)
+    with pytest.raises(ValueError, match="repairs strings"):
+        repair(df, [RepairRule("qty", "null_if_no_match", pattern="[0-9]+")])
+
+
+def test_reconcile_null_header_amount_flags(spark):
+    from pyspark.sql import functions as F
+
+    from pandasschema_spark.operators.reconcile import reconcile_header_detail
+
+    header = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "k long, amt long")
+    detail = spark.createDataFrame(
+        [(1, 100), (2, 70), (3, 50)], "k long, amt long")
+    out = {r["key"]: r for r in reconcile_header_detail(
+        header, "k", F.col("amt"), detail, "k", F.col("amt")).collect()}
+    assert set(out) == {2}          # NULL stored total cannot reconcile
+    assert out[2]["diff"] is None
