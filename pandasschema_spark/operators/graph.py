@@ -67,6 +67,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canon(to_root.unionAll(nbrs))
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """ONE slim-shuffle job: is the canonical (hi, lo) edge set a star
+    forest? True iff (1) every ``a`` value appears exactly once and
+    (2) no value appears on both sides. Under the a > b canon that
+    makes every component a star whose root ``b`` is the component
+    minimum — exactly the shape the final extraction reads — and the
+    star phases preserve connectivity, so a star forest IS the answer
+    regardless of which round produced it (Kiveris et al.: star
+    forests are the fixpoints of the alternation). Replaces the
+    count + exceptAll equality test: detects convergence one round
+    EARLIER (the old test needed a no-change round to observe
+    equality) and lets already-star inputs (exact-dup (id, keep_id)
+    pairs) skip the star rounds entirely."""
+    sides = edges.select(F.col("a").alias("n"), F.lit(1).alias("ia")).unionAll(
+        edges.select(F.col("b").alias("n"), F.lit(0).alias("ia")))
+    bad = (
+        sides.groupBy("n")
+        .agg(F.sum("ia").alias("na"), F.count(F.lit(1)).alias("nt"))
+        .where((F.col("na") > 1) | ((F.col("na") >= 1) & (F.col("nt") > F.col("na"))))
+    )
+    return bad.isEmpty()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -91,25 +114,25 @@ def connected_components(
     classic iterative-DataFrame trap). On a cluster with dynamic
     allocation use ``spark.sparkContext.setCheckpointDir`` + reliable
     ``checkpoint`` (or stage rounds to temp tables) instead —
-    localCheckpoint blocks lost executors from recompute."""
+    localCheckpoint blocks lost executors from recompute.
+
+    Convergence is detected by :func:`_is_star_forest` on the current
+    edge set (one slim-shuffle job per round) instead of an
+    old-vs-new ``exceptAll`` diff: the star phases preserve
+    connectivity and their fixpoints are exactly the star forests, so
+    the first star-shaped edge set is the final one — no confirmation
+    round, and star-shaped INPUTS (exact-dup pairs are (id, min id)
+    stars by construction) run zero rounds."""
     edges = _canon(pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
     edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
-    if n_edges == 0:
-        return edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
 
-    for _ in range(max_iter):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        n_new = new.count()
-        # star-forest fixpoint test: new ⊆ old with equal distinct
-        # counts ⇔ equal sets (both are distinct by construction)
-        changed = n_new != n_edges or new.exceptAll(edges).limit(1).count() > 0
-        edges, n_edges = new, n_new
-        if not changed:
+    for i in range(max_iter + 1):
+        if _is_star_forest(edges):
             break
-    else:
-        raise RuntimeError(
-            "connected_components did not converge in {} rounds".format(max_iter))
+        if i == max_iter:
+            raise RuntimeError(
+                "connected_components did not converge in {} rounds".format(max_iter))
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
 
     # final edges are (node, root): root rows map to themselves. The
     # checkpointed edge set is already materialized, so these two
