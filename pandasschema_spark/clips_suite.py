@@ -134,9 +134,33 @@ def clips_schema(codec_dim_df=None, *, seed: int = 42, with_pcm_checks: bool = T
 PUBLIC_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 
 
+#: Arrow-UDF stage task sizing: the scan is coalesced (no shuffle) to
+#: this many tasks per available core before validation. Every task of a
+#: Python-UDF stage pays a fixed JVM<->worker cost (Arrow stream setup,
+#: worker checkout, eval plumbing — ~10 ms measured); a parquet layout
+#: that splits into many small scan tasks (8 MB splits of a multi-GB
+#: warehouse = ~700 tasks) turns that into the DOMINANT suite cost.
+#: 4 waves per slot keeps balance against stragglers while amortizing
+#: the per-task overhead; derived from defaultParallelism, never a
+#: constant, so the same code sizes itself on local[2] and a 10k-core
+#: cluster. Measured on the 800k-clip bench warehouse at 16 slots:
+#: 13.7 s -> 6.5 s per full-suite pass, violation set identical.
+COALESCE_WAVES_PER_SLOT = 4
+
+
 def validate_clips(df, codec_dim_df=None, *, seed: int = 42,
                    with_pcm_checks: bool = True, row_key: str = "row_ord") -> ValidationResult:
     """Run the suite; df may carry extra warehouse columns (row_ord,
-    bucket) — validation is scoped to the 6 public columns via subset."""
+    bucket) — validation is scoped to the 6 public columns via subset.
+
+    When ``row_key`` is a stored column (partitioning-independent row
+    identity), the input is coalesced to ``COALESCE_WAVES_PER_SLOT``
+    tasks per core so the Arrow-UDF stage runs few large tasks instead
+    of hundreds of small ones (see the constant's note). ``row_key=None``
+    skips it: read-order ordinals depend on the scan partitioning."""
+    if row_key is not None:
+        target = max(
+            COALESCE_WAVES_PER_SLOT * df.sparkSession.sparkContext.defaultParallelism, 1)
+        df = df.coalesce(target)  # no-op when df already has <= target partitions
     schema = clips_schema(codec_dim_df, seed=seed, with_pcm_checks=with_pcm_checks)
     return schema.validate(df, columns=PUBLIC_COLUMNS, row_key=row_key)
