@@ -534,11 +534,23 @@ def q_pipeline_reconcile(spark, sf_dir):
     same %101/%103/%107 rule as table_diff, so the restricted diff must
     equal the full one (the oracle is the full FULL-OUTER derivation:
     any bucket the bisect misses hash-fails the gate)."""
+    from pyspark.storagelevel import StorageLevel
+
     from pandasschema_spark.operators.checksum import table_checksum_by
     from pandasschema_spark.operators.diff import table_diff
     from pandasschema_spark.operators.sampling import hash_bucket_expr
 
     o, right = _drifted_orders(spark, sf_dir)
+    # persist the two slim (key, status, price) snapshots: the checksum
+    # phase AND the bucket-restricted diff each consume both sides, and
+    # `right` is itself a union of two passes over `o` — uncached, the
+    # orders parquet is scanned 6x per run (measured; with the caches it
+    # is scanned once and `right` derives from the cache). The handles
+    # ride the result (the release_cached convention). At warehouse
+    # scale the equivalent is staging the projected snapshots to a temp
+    # table before reconciling.
+    o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    right = right.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = 16
     cols = ["o_orderstatus", "o_totalprice"]
     cs_l = table_checksum_by(o, "o_orderkey", cols, buckets=buckets)
@@ -554,11 +566,13 @@ def q_pipeline_reconcile(spark, sf_dir):
         ).select("bucket").distinct().collect()
     )
     bexpr = hash_bucket_expr(F.col("o_orderkey"), buckets)
-    return table_diff(
+    out = table_diff(
         o.where(bexpr.isin(dirty)),
         right.where(bexpr.isin(dirty)),
         ["o_orderkey"], cols,
     )
+    out._psf_cached = [o, right]
+    return out
 
 
 def q_sketch_cms(spark, sf_dir):
@@ -1734,12 +1748,23 @@ def q_clips_validate(spark, sf_dir):
     """Full north-star suite (sans PCM decode) over a deterministic 20k-row
     synthetic clips table with closed-form injected violations — the oracle
     regenerates the expected violation set from the injection rule alone."""
+    from pyspark.storagelevel import StorageLevel
+
     from pandasschema_spark.clips_suite import validate_clips
     from pandasschema_spark.sources.datagen import clips_df, codec_dim
 
-    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32)
+    # persist the generated table: the violations union consumes it 4x
+    # (row-local branch, both sides of the uniqueness check, the
+    # referential anti-join) and each consumer would otherwise re-run
+    # the whole sha256 synthesis mapInPandas. Handle rides the result
+    # (release_cached convention). The warehouse-scale equivalent is
+    # validating a materialized table, which the headline bench does.
+    df = clips_df(spark, CLIPS_N, seed=42, with_audio=False, partitions=32) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     res = validate_clips(df, codec_dim(spark), with_pcm_checks=False)
-    return res.violations.select(*VIOLATION_COLS)
+    out = res.violations.select(*VIOLATION_COLS)
+    out._psf_cached = [df]
+    return out
 
 
 def q_streaming_validate(spark, sf_dir):
@@ -1793,12 +1818,19 @@ def q_streaming_validate(spark, sf_dir):
 def q_clips_pcm_validate(spark, sf_dir):
     """The complete suite including decoded-PCM SNR + transcript-oracle
     Arrow-UDF checks (non-SQL-expressible -> rows-only driver check)."""
+    from pyspark.storagelevel import StorageLevel
+
     from pandasschema_spark.clips_suite import validate_clips
     from pandasschema_spark.sources.datagen import clips_df, codec_dim
 
-    df = clips_df(spark, 2000, seed=42, with_audio=True, partitions=32)
+    # persist: the violations union reads the generated table 4x and the
+    # PCM synthesis is the expensive part (q_clips_validate note)
+    df = clips_df(spark, 2000, seed=42, with_audio=True, partitions=32) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     res = validate_clips(df, codec_dim(spark), with_pcm_checks=True)
-    return res.violations.select(*VIOLATION_COLS)
+    out = res.violations.select(*VIOLATION_COLS)
+    out._psf_cached = [df]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3659,18 +3691,38 @@ def q_stats_format_mask(spark, sf_dir):
     '99', ... — the key-magnitude histogram, which binds to SF).
     Plant-free: both engines re-derive every mask and floor-div share
     from the same corpus."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
     from pandasschema_spark.operators.profile import format_mask_profile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority",
         F.col("o_orderkey").cast("string").alias("okey_str"))
     cols = ["o_orderstatus", "o_orderpriority", "okey_str"]
-    a = (format_mask_profile(o, cols, collapse_runs=True)
+    # ONE corpus pass: the collapsed mask is a pure function of the
+    # exact mask (run-collapse of '9'/'A'), so the collapsed histogram
+    # re-aggregates the exact AGGREGATE frame (O(distinct masks) rows)
+    # instead of melting the corpus a second time; per-column totals are
+    # unchanged by the regrouping, so share_ppm uses the operator's
+    # identical n_rows * denom div total rule. Persisted because both
+    # variants read it; handle rides the result.
+    b = format_mask_profile(o, cols, collapse_runs=False).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    collapsed_mask = F.regexp_replace(
+        F.regexp_replace(F.col("mask"), "9+", "9"), "A+", "A")
+    a = (b.groupBy("column", collapsed_mask.alias("mask"))
+         .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+         .withColumn("__t__", F.sum("n_rows").over(
+             Window.partitionBy("column")))
+         .select("column", "mask", F.col("n_rows").cast("long").alias("n_rows"),
+                 F.expr("n_rows * 1000000 div __t__").cast("long")
+                  .alias("share_ppm"))
          .withColumn("variant", F.lit("collapsed")))
-    b = (format_mask_profile(o, cols, collapse_runs=False)
-         .withColumn("variant", F.lit("exact")))
-    return a.unionByName(b).select(
-        "variant", "column", "mask", "n_rows", "share_ppm")
+    out = (a.unionByName(b.withColumn("variant", F.lit("exact")))
+           .select("variant", "column", "mask", "n_rows", "share_ppm"))
+    out._psf_cached = [b]
+    return out
 
 
 def q_key_discovery(spark, sf_dir):

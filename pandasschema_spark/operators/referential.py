@@ -439,22 +439,30 @@ def inclusion_profile(
                   .where(F.col("v").isNotNull()))
         melted = part if melted is None else melted.unionByName(part)
 
+    from pyspark.sql import Window
+
     per_value = melted.groupBy("v").agg(F.collect_set("col").alias("cols"))
     pairs = (per_value
              .select(F.explode("cols").alias("col_a"), "cols")
              .select("col_a", F.explode("cols").alias("col_b"))
              .groupBy("col_a", "col_b")
              .agg(F.count(F.lit(1)).alias("n_common")))
-    diag = (pairs.where(F.col("col_a") == F.col("col_b"))
-                 .select(F.col("col_a").alias("col"),
-                         F.col("n_common").alias("n")))
-    da = F.broadcast(diag.select(F.col("col").alias("col_a"),
-                                 F.col("n").alias("n_a")))
-    db = F.broadcast(diag.select(F.col("col").alias("col_b"),
-                                 F.col("n").alias("n_b")))
-    return (pairs.where(F.col("col_a") != F.col("col_b"))
+    # sizes via windows over the O(p^2) pair aggregate, not a join-back
+    # against diagonal projections: each column's diagonal row (a, a)
+    # carries its distinct count, and a max-over-partition surfaces it
+    # to every pair row of that column. The join-back form recomputed
+    # the whole melt + collect_set subtree 3x (the diag renames defeat
+    # exchange reuse — measured 24 parquet scans in the plan; 8 now),
+    # while the windows run on the already-aggregated O(p^2) frame.
+    w_a = Window.partitionBy("col_a")
+    w_b = Window.partitionBy("col_b")
+    sized = (pairs
+             .withColumn("n_a", F.max(F.when(
+                 F.col("col_b") == F.col("col_a"), F.col("n_common"))).over(w_a))
+             .withColumn("n_b", F.max(F.when(
+                 F.col("col_a") == F.col("col_b"), F.col("n_common"))).over(w_b)))
+    return (sized.where(F.col("col_a") != F.col("col_b"))
             .where(F.col("n_common") >= int(min_common))
-            .join(da, "col_a").join(db, "col_b")
             .select("col_a", "col_b",
                     F.col("n_a").cast("long").alias("n_a"),
                     F.col("n_b").cast("long").alias("n_b"),
