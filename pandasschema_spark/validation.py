@@ -797,12 +797,18 @@ class CustomRowValidation(_SeriesValidation):
         return self._fn(frame)
 
     def compile_row_predicate(self, df) -> SparkColumn:
-        fn = self._fn
+        # the wrapped pandas_udf is pure code (no per-frame state): build
+        # it once per validation instance — re-registering a UDF is ~10
+        # py4j roundtrips of driver-serial plan-build time per validate()
+        # call, which the bench pays on every timed pass
+        udf = getattr(self, "_compiled_udf", None)
+        if udf is None:
+            fn = self._fn
 
-        def _wrapped(batch: pd.DataFrame) -> pd.Series:
-            return fn(batch).astype("boolean")
+            def _wrapped(batch: pd.DataFrame) -> pd.Series:
+                return fn(batch).astype("boolean")
 
-        udf = F.pandas_udf(_wrapped, T.BooleanType())
+            udf = self._compiled_udf = F.pandas_udf(_wrapped, T.BooleanType())
         return _leaf(udf(F.struct(*[df[c] for c in self.input_columns])))
 
 
@@ -816,13 +822,15 @@ class IsDistinctValidation(_SeriesValidation):
 
     Row-order-sensitive => needs a stable row ordinal and global state, so
     the Spark plan is NOT a row-local predicate: the schema compiler routes
-    this to operators.distinct.distinct_violations — a two-phase salted
-    hash aggregation (partial per (value, salt), final per value, keeping
-    count + min row ordinal) followed by a broadcast join-back of the
-    (rare) duplicate keys. ``salt_buckets`` controls skew salting;
-    ``broadcast_dupes=False`` switches the join-back to a shuffle join —
-    pass it when the duplicate KEY set itself is too large to broadcast
-    (there is no automatic size-based fallback).
+    this to operators.distinct.distinct_violations — ONE map-side-combined
+    hash aggregation per value (count + min row ordinal; Spark's partial
+    aggregation pre-collapses hot keys per map task, see
+    operators/distinct.py) followed by a broadcast join-back of the (rare)
+    duplicate keys. ``salt_buckets`` is retained for API stability (the
+    partial agg subsumes explicit salting); ``broadcast_dupes=False``
+    switches the join-back to a shuffle join — pass it when the duplicate
+    KEY set itself is too large to broadcast (there is no automatic
+    size-based fallback).
     """
 
     is_global = True
@@ -844,15 +852,48 @@ class InTableValidation(_SeriesValidation):
     """Engine extension (no reference analog — SURVEY.md §2.4): referential
     integrity against a dimension table. Pass iff the value exists in
     ``dim_df[dim_col]``. Planned as a broadcast LEFT ANTI join emitting
-    violations (the north star's codec-dimension check)."""
+    violations (the north star's codec-dimension check).
+
+    ``inline_max_rows`` (opt-in, default off): when the caller KNOWS the
+    dimension is a tiny enum (a codec/status/country table), pass its
+    upper bound and the distinct dim values are collected ONCE at
+    construction and compiled as a row-local IN predicate that fuses into
+    the single-scan violations projection — removing the whole
+    anti-join branch (its pruned re-scan, the dim distinct agg, and the
+    broadcast-build stage) from every validate() plan. Falls back to the
+    anti-join plan silently when the dim turns out bigger. Semantics are
+    identical bit-for-bit: a NULL value fails either way (never equal to
+    any dim value), NULL dim values match nothing, and an empty dim
+    fails every row. Do NOT set it for unbounded dims — the construction
+    pays one driver collect of up to ``inline_max_rows + 1`` rows."""
 
     is_global = True
 
-    def __init__(self, dim_df, dim_col: str, broadcast: bool = True, **kw):
+    def __init__(self, dim_df, dim_col: str, broadcast: bool = True,
+                 inline_max_rows: int = 0, **kw):
         self.dim_df = dim_df
         self.dim_col = dim_col
         self.broadcast = broadcast
+        self._inline_values = None
         super().__init__(**kw)
+        if inline_max_rows:
+            rows = (dim_df.select(dim_col).distinct()
+                    .limit(int(inline_max_rows) + 1).collect())
+            if len(rows) <= inline_max_rows:
+                # NULL dim values can never equal anything — drop them so
+                # isin() keeps pure two-valued semantics under _leaf
+                self._inline_values = [r[dim_col] for r in rows
+                                       if r[dim_col] is not None]
+                self.is_global = False  # instance shadows the class attr
+
+    def spark_predicate(self, col: SparkColumn, spark_type: T.DataType):
+        if self._inline_values is None:
+            return None  # global anti-join plan (the default route)
+        if not self._inline_values:
+            # empty dim: nothing can match — every row is a violation,
+            # exactly like the LEFT ANTI against an empty build side
+            return F.lit(False)
+        return col.isin(self._inline_values)
 
     @property
     def default_message(self):

@@ -61,8 +61,9 @@ def test_distinct_salted_agg_broadcast_joinback(spark, li):
     schema = Schema([Column("l_orderkey", [IsDistinctValidation()])])
     v = schema.validate(li, columns=["l_orderkey"], row_key=F.expr("l_orderkey*10+l_linenumber")).violations
     plan = plan_of(v)
-    # partial+final per (value, salt), then per value -> 4 HashAggregates
-    assert plan.count("HashAggregate") == 4
+    # ONE map-side-combined agg per value (partial+final pair): the old
+    # explicit-salt two-phase form shuffled the projection twice
+    assert plan.count("HashAggregate") == 2
     assert "BroadcastHashJoin" in plan, "duplicate keys must broadcast to the join-back"
     assert "SortMergeJoin" not in plan and "Window" not in plan
     # both the agg scan and the join-back scan read only key+ordinal inputs
