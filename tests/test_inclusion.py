@@ -69,14 +69,18 @@ def test_guards(spark):
         inclusion_profile([("t", df, ["a"])], min_common=0)
 
 
-def test_plan_broadcasts_diagonal_and_stays_codegen(spark):
+def test_plan_sizes_via_windows_and_stays_codegen(spark):
     a = spark.createDataFrame([(1,)], "a long")
     b = spark.createDataFrame([(1,)], "b long")
     plan = inclusion_profile([("t", a, ["a"]), ("u", b, ["b"])]) \
         ._jdf.queryExecution().executedPlan().toString()
     # pair expansion is chained Generate explodes (codegen), never a HOF
-    # lambda; the O(p) diagonal joins back as broadcasts, no shuffle join
+    # lambda; sizes surface from the diagonal rows via two max-over-
+    # partition windows on the O(p^2) pair aggregate — no join-back at
+    # all (the diagonal-join form recomputed the melt + collect_set
+    # subtree 3x: measured 24 parquet scans in the plan vs 8)
     assert "CodegenFallback" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 2, plan
     assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower(), plan
