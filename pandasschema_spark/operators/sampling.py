@@ -260,9 +260,18 @@ def temperature_weights(
     for _ in range(sqrt_steps):
         w = _isqrt_expr(w)
     weighted = counts.select("value", "n_rows", w.alias("weight"))
-    totals = weighted.agg(
-        F.sum(F.col("n_rows").cast("decimal(38,0)")).alias("__tn__"),
-        F.sum(F.col("weight").cast("decimal(38,0)")).alias("__tw__"))
+    # totals via whole-frame window sums, NOT a crossJoin(broadcast(agg)):
+    # the agg form embeds the counts subtree twice, and because callers
+    # compose this frame onward (apportion_budget -> quota_sample), each
+    # duplication MULTIPLIES downstream — pipeline_quota_sample's plan
+    # carried 17 scans of the events parquet before this change. The
+    # window runs on the O(values) aggregate (bounded cohort table), the
+    # same scale argument as apportion_budget's unpartitioned row_number.
+    w_all = Window.partitionBy()
+    totaled = weighted.withColumn(
+        "__tn__", F.sum(F.col("n_rows").cast("decimal(38,0)")).over(w_all)
+    ).withColumn(
+        "__tw__", F.sum(F.col("weight").cast("decimal(38,0)")).over(w_all))
 
     def ppm(num: str, tot: str) -> str:
         # decimal(38) multiply + even-division floor split: the int64
@@ -273,7 +282,7 @@ def temperature_weights(
         return ("CAST(({bw} - pmod({bw}, {t})) / {t} AS long)"
                 .format(bw=bw, t=tot))
 
-    return (weighted.crossJoin(F.broadcast(totals))
+    return (totaled
             .select(
                 "value",
                 "n_rows",
@@ -316,12 +325,15 @@ def apportion_budget(
     BIGINT — guarded), and budget * W < 10^38 keeps the intermediate
     exact in decimal(38,0).
 
-    Scale shape: O(cohorts) rows throughout — two single-row broadcast
-    aggs (total weight, leftover count) and one UNPARTITIONED
-    row_number window, deliberate and safe because the frame is the
-    COHORT table (languages, sources, event types), never row-scale
-    data; the corpus-sized work happened upstream in whatever built
-    the weights.
+    Scale shape: O(cohorts) rows throughout — total weight, leftover
+    count and the row_number rank all ride ONE unpartitioned window
+    (single-partition exchange shared by all three), deliberate and
+    safe because the frame is the COHORT table (languages, sources,
+    event types), never row-scale data; the corpus-sized work happened
+    upstream in whatever built the weights. Whole-frame windows rather
+    than crossJoin(broadcast(agg)) so the input subtree is planned
+    ONCE — composed pipelines (temperature -> apportion -> quota)
+    otherwise replay the corpus aggregation per total.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
@@ -353,23 +365,30 @@ def apportion_budget(
         raise ValueError("apportion_budget: total weight must be > 0")
     w = F.col(weight_col).cast("decimal(38,0)")
     b = F.lit(int(budget)).cast("decimal(38,0)")
+    # both totals (W, leftover L) via whole-frame window sums instead of
+    # crossJoin(broadcast(agg)): the agg form embeds the input subtree
+    # once per total, and this frame is usually itself an aggregation of
+    # a corpus (temperature_weights) — the duplications multiplied into
+    # 17 parquet scans in pipeline_quota_sample's plan. The frame is the
+    # O(cohorts) table by contract, same scale argument as the
+    # unpartitioned row_number below; all three windows share one
+    # single-partition exchange.
+    w_all = Window.partitionBy()
     base_frame = df.select(
         F.col(value_col).alias("value"),
         F.col(weight_col).cast("long").alias("weight"),
         (b * w).alias("__bw__"))
-    tot = base_frame.agg(
-        F.sum(F.col("weight").cast("decimal(38,0)")).alias("__w__"))
-    q = (base_frame.crossJoin(F.broadcast(tot))
+    q = (base_frame.withColumn(
+            "__w__", F.sum(F.col("weight").cast("decimal(38,0)")).over(w_all))
          .select(
              "value", "weight",
              F.expr("CAST((__bw__ - pmod(__bw__, __w__)) / __w__ "
                     "AS decimal(38,0))").alias("__base__"),
              F.expr("pmod(__bw__, __w__)").alias("__rem__")))
-    left = q.agg((F.lit(int(budget)).cast("decimal(38,0)")
-                  - F.sum("__base__")).alias("__l__"))
     rk = F.row_number().over(
         Window.orderBy(F.col("__rem__").desc(), F.col("value").asc()))
-    return (q.crossJoin(F.broadcast(left))
+    return (q.withColumn("__l__", F.lit(int(budget)).cast("decimal(38,0)")
+                                  - F.sum("__base__").over(w_all))
             .withColumn("__rk__", rk)
             .select(
                 "value", "weight",

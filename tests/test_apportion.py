@@ -78,13 +78,13 @@ def test_plan_is_cohort_frame_only(spark):
     df = spark.createDataFrame([("a", 1), ("b", 3)], "value string, w long")
     plan = apportion_budget(df, "value", "w", 100)._jdf.queryExecution() \
         .executedPlan().toString()
-    # single-row totals join back as broadcasts (the leftover agg
-    # re-derives its subtree — O(cohorts), recomputation is free); the
-    # only window runs over the O(cohorts) frame (deliberate single
-    # partition, documented)
-    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
+    # totals (W, leftover L) and the remainder rank all ride whole-frame
+    # windows over the O(cohorts) frame (deliberate single partition,
+    # documented): the input subtree is planned ONCE — no join of any
+    # kind, no crossJoin(broadcast(agg)) subtree duplication
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_weight_guard_sees_decimal_cast_and_nulls(spark):

@@ -57,14 +57,17 @@ def test_ppm_floor_and_bounds(spark):
     assert all(0 <= v["raw_ppm"] <= 1_000_000 for v in got.values())
 
 
-def test_plan_one_agg_plus_broadcast_total(spark):
+def test_plan_one_agg_plus_window_totals(spark):
     df = spark.createDataFrame([("a",)] * 8, "lang string")
     plan = (temperature_weights(df, "lang")
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in plan          # map-side combine
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
-    assert "Window" not in plan
+    # totals via whole-frame window sums over the O(values) aggregate:
+    # the counts subtree is planned once — no join-back, so composed
+    # pipelines (apportion -> quota) stop replaying the corpus agg
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Scan ExistingRDD") == 1, plan
 
 
 def test_arg_guards(spark):
