@@ -1478,15 +1478,17 @@ def q_pipeline_training_set(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = token_count(docs, "text", "doc_id")
     lang = lang_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
-    dupes = exact_duplicate_ids(docs, "text", "doc_id") \
-        .select(F.col("id").alias("doc_id"))
+    dup_pairs = exact_duplicate_ids(docs, "text", "doc_id")
+    dupes = dup_pairs.select(F.col("id").alias("doc_id"))
     kept = (
         docs.join(toks, "doc_id").join(lang, "doc_id")
         .where((F.col("n_tokens") >= 5) & (F.col("lang_pred") == "en"))
         .join(F.broadcast(dupes), "doc_id", "left_anti")
     )
-    return assign_splits(kept.select("doc_id"), "doc_id",
-                         {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = assign_splits(kept.select("doc_id"), "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    out._psf_cached = list(getattr(dup_pairs, "_psf_cached", []) or [])
+    return out
 
 
 def q_orc_roundtrip(spark, sf_dir):
@@ -2397,11 +2399,13 @@ def q_pipeline_balanced_set(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     bal = stratified_sample(docs, "doc_id", "lang", {"en": 0.4},
                             default_fraction=1.0, salt="bal")
-    dup = exact_duplicate_ids(bal, "text", "doc_id") \
-        .select(F.col("id").alias("doc_id"))
+    dup_pairs = exact_duplicate_ids(bal, "text", "doc_id")
+    dup = dup_pairs.select(F.col("id").alias("doc_id"))
     kept = bal.join(F.broadcast(dup), "doc_id", "left_anti")
-    return assign_splits(kept.select("doc_id", "lang"), "doc_id",
-                         {"train": 0.9, "val": 0.1})
+    out = assign_splits(kept.select("doc_id", "lang"), "doc_id",
+                        {"train": 0.9, "val": 0.1})
+    out._psf_cached = list(getattr(dup_pairs, "_psf_cached", []) or [])
+    return out
 
 
 def q_heavy_hitters_by(spark, sf_dir):
@@ -3874,9 +3878,11 @@ def q_pipeline_corpus_curation(spark, sf_dir):
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("n_members").cast("long").alias("n_members"),
                 F.sum("n_chars").cast("long").alias("sum_chars")))
-    # re-attach the sub-operator persist handle to the composed frame
+    # re-attach the sub-operator persist handles to the composed frame
     # (the pipeline_timeline_health convention): one released() frees all
-    out._psf_cached = list(getattr(bp, "_psf_cached", []) or [])
+    # — reps carries the exact-dedup digest persist via the cc frame
+    out._psf_cached = (list(getattr(bp, "_psf_cached", []) or [])
+                       + list(getattr(reps, "_psf_cached", []) or []))
     return out
 
 

@@ -95,20 +95,30 @@ def exact_duplicate_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Plan: project (id, digest) -> hash-agg by digest keeping (count, min id)
     -> broadcast the (rare) duplicate digests -> join back. One shuffle of
     16-byte digests with map-side combine.
+
+    The slim (id, digest) projection is PERSISTED: it feeds both the
+    duplicate-digest aggregation and the join-back, and without the cache
+    the corpus is scanned twice with the normalize+md5 projection
+    recomputed per side (measured 4 parquet scans for a union corpus).
+    The handle rides the result (``_psf_cached`` — release via
+    ``release_cached``/``released``); at warehouse scale the equivalent
+    is staging the digest projection to a temp table.
     """
     digest = F.md5(F.encode(normalized_text_expr(F.col(text_col)), "UTF-8"))
-    base = df.select(F.col(id_col).alias("id"), digest.alias("__fp__"))
+    base = df.select(F.col(id_col).alias("id"), digest.alias("__fp__")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     dupes = (
         base.groupBy("__fp__")
         .agg(F.count(F.lit(1)).alias("__c__"), F.min("id").alias("keep_id"))
         .where(F.col("__c__") > 1)
         .select("__fp__", "keep_id")
     )
-    return (
+    out = (
         base.join(F.broadcast(dupes), "__fp__")
         .where(F.col("id") != F.col("keep_id"))
         .select("id", "keep_id")
     )
+    return _attach_cached(out, [base])
 
 
 # ---------------------------------------------------------------------------
@@ -955,11 +965,15 @@ def canonical_representatives(
     agg = labeled.groupBy("cluster_id").agg(
         packed.alias("__top__"),
         F.count(F.lit(1)).cast("long").alias("n_members"))
-    return agg.select(
+    out = agg.select(
         "cluster_id",
         F.col("__top__.__id__").alias(id_col),
         *[F.col("__top__." + c).alias(c) for c in order_cols + extras],
         "n_members")
+    # carry the pair generator's persist handles through (the cc frame
+    # propagates them from ``pairs``): release_cached(result) must reach
+    # everything the composition pinned
+    return _attach_cached(out, list(getattr(cc, "_psf_cached", []) or []))
 
 
 def windowed_duplicate_ids(

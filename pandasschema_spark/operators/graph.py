@@ -137,9 +137,15 @@ def connected_components(
     # final edges are (node, root): root rows map to themselves. The
     # checkpointed edge set is already materialized, so these two
     # selects never recompute the iteration.
-    return edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id")) \
+    out = edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id")) \
         .unionAll(edges.select(F.col("b").alias("id"), F.col("b").alias("cluster_id"))) \
         .distinct()
+    # propagate the pair generator's persist handles (ngram grams, digest
+    # projections): the eager checkpoint above consumed ``pairs``, so the
+    # caller's release_cached(result) is the only reachable release point
+    # — without this the generator's persist pins storage for the session
+    out._psf_cached = list(getattr(pairs, "_psf_cached", []) or [])
+    return out
 
 
 def duplicate_clusters(
@@ -154,5 +160,7 @@ def duplicate_clusters(
     transitive-closure generalization of exact_duplicate_ids' star
     output (chains collapse to ONE keeper)."""
     cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
-    return cc.where(F.col("id") != F.col("cluster_id")) \
+    out = cc.where(F.col("id") != F.col("cluster_id")) \
         .select("id", F.col("cluster_id").alias("keep_id"))
+    out._psf_cached = list(getattr(cc, "_psf_cached", []) or [])
+    return out
