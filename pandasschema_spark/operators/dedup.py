@@ -199,19 +199,31 @@ def ngram_jaccard_pairs(
     of true Jaccard — the conservative direction for dedup.
     """
     # persist: the gram inverted index feeds BOTH self-join sides plus the
-    # size aggregation — without it the text->ngram->md5 pipeline runs 3x
-    # (column renames on the join sides defeat Spark's exchange reuse).
-    # At warehouse scale the equivalent is staging grams to a temp table.
-    # The handle is attached to the result (df._psf_cached) — call
-    # release_cached(result) after the downstream action to free executors.
-    grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # size and hot-gram aggregations — without it the text->ngram->md5
+    # pipeline runs per consumer (column renames on the join sides defeat
+    # Spark's exchange reuse). At warehouse scale the equivalent is
+    # staging grams to a temp table. The handle is attached to the result
+    # (df._psf_cached) — call release_cached(result) after the downstream
+    # action to free executors.
+    cached = grams = doc_grams(df, text_col, id_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_gram_df is not None:
-        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
-        grams = (
-            grams.join(gram_df.where(F.col("__df__") <= max_gram_df), "gram")
-            .select("id", "gram")
+        # hot-gram cap as groupBy-count + BROADCAST ANTI-JOIN (the house
+        # cap shape, same as lsh/sessionize/entity): the hot set is
+        # tiny/empty by construction. The previous inner join against
+        # the <=cap gram table made Spark broadcast the near-COMPLETE
+        # distinct-gram frame — unbroadcastable at web scale. (Carrying
+        # n_grams on every gram row through the self-join instead of
+        # joining sizes back was measured SLOWER — +16 bytes on the
+        # candidate-pair exchange and a 4-key partial agg cost more than
+        # the two small join-backs, interleaved A/B 11.0s vs 8.0s.)
+        hot = (
+            grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
+            .where(F.col("__df__") > max_gram_df)
+            .select("gram")
         )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     a = grams.select(F.col("id").alias("id_a"), "gram")
     b = grams.select(F.col("id").alias("id_b"), "gram")
     common = (
@@ -229,7 +241,7 @@ def ngram_jaccard_pairs(
         .where(jacc >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
-    return _attach_cached(out, [grams])
+    return _attach_cached(out, [cached])
 
 
 # ---------------------------------------------------------------------------
@@ -789,17 +801,22 @@ def containment_pairs(
     """
     if not 0 < threshold_ppm <= 1_000_000:
         raise ValueError("threshold_ppm must be in (0, 1e6]")
-    grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # same shape as ngram_jaccard_pairs, including the hot-gram cap as
+    # groupBy-count + broadcast anti-join (house cap shape; the previous
+    # inner join against the <=cap gram table broadcast the near-complete
+    # distinct-gram frame — unbroadcastable at web scale)
+    cached = grams = doc_grams(df, text_col, id_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    kept = grams
     if max_gram_df is not None:
-        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
-        kept = (
-            grams.join(gram_df.where(F.col("__df__") <= max_gram_df), "gram")
-            .select("id", "gram")
+        hot = (
+            grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df__"))
+            .where(F.col("__df__") > max_gram_df)
+            .select("gram")
         )
-    a = kept.select(F.col("id").alias("id_a"), "gram")
-    b = kept.select(F.col("id").alias("id_b"), "gram")
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
     common = (
         a.join(b, "gram")
         .where(F.col("id_a") < F.col("id_b"))
@@ -820,7 +837,7 @@ def containment_pairs(
              .alias("containment_ppm"),
         )
     )
-    return _attach_cached(out, [grams])
+    return _attach_cached(out, [cached])
 
 
 def source_dup_matrix(
