@@ -102,6 +102,48 @@ def synth_pcm(sr: int, dur_ms: int, f1: float, f2: float, p1: float, p2: float, 
     return x.astype("<i2")
 
 
+def synth_pcm_batch(sr: int, dur_ms: int, f1, f2, p1, p2, amp) -> np.ndarray:
+    """Batched :func:`synth_pcm`: one (m, n) int16 matrix for ``m`` clips
+    that share a (sr, dur_ms) time grid, parameter vectors per clip.
+
+    Bitwise-identical to calling ``synth_pcm`` per row: every op is the
+    same float32 elementwise kernel (scalar float32 constants promote
+    identically, and ``float32(0.5*amp) == 0.5f * float32(amp)`` because
+    scaling by a power of two commutes with rounding), and numpy ufuncs
+    run one inner loop per element regardless of array shape. Batching
+    exists because the per-clip Python/ufunc dispatch overhead (~5-8 us
+    of the ~12 us kernel) dominates the per-row form — the validation
+    suite calls this once per (sr, dur) GROUP of an Arrow batch
+    (<= 644 groups) instead of once per clip."""
+    n = int(sr) * int(dur_ms) // 1000
+    key = (int(sr), n)
+    t = _T_GRIDS.get(key)
+    if t is None:
+        t = (np.arange(n, dtype=np.float32) / np.float32(sr))
+        _T_GRIDS[key] = t
+    two_pi = np.float32(2 * np.pi)
+    f1 = np.asarray(f1, dtype=np.float32)
+    f2 = np.asarray(f2, dtype=np.float32)
+    p1 = np.asarray(p1, dtype=np.float32)
+    p2 = np.asarray(p2, dtype=np.float32)
+    amp = np.asarray(amp, dtype=np.float32)
+    x = t[None, :] * (two_pi * f1)[:, None]
+    x += p1[:, None]
+    np.sin(x, out=x)
+    y = t[None, :] * (two_pi * f2)[:, None]
+    y += p2[:, None]
+    np.sin(y, out=y)
+    x += y
+    s = (amp * np.float32(0.5)) * np.float32(32767.0)
+    x *= s[:, None]
+    np.rint(x, out=x)
+    if bool((amp > 1.0).any()):
+        # same conditional clip as the scalar path (cannot bind for
+        # oracle-derived amps <= 0.8; kept for parameter generality)
+        np.clip(x, -32768, 32767, out=x)
+    return x.astype("<i2")
+
+
 def synth_bytes(seed: int, i: int) -> bytes:
     f = clip_fields(seed, i)
     return synth_pcm(f["sr_hz"], f["dur_ms"], f["f1"], f["f2"], f["p1"], f["p2"], f["amp"]).tobytes()
