@@ -3866,8 +3866,12 @@ def q_pipeline_corpus_curation(spark, sf_dir):
     bp = boilerplate_scan(corpus, "text", "doc_id", min_doc_freq=10)
     kept_ids = bp.where(F.col("boiler_ppm") <= 500_000).select(
         F.col("id").alias("doc_id"))
+    # persist the survivor frame: it feeds the exact-dedup digest pass
+    # AND the canonical label join, and each replay rebuilds the page
+    # construction + boilerplate-gate join from the parquet scan
+    from pyspark.storagelevel import StorageLevel as _SL
     kept = corpus.join(kept_ids, "doc_id").withColumn(
-        "n_chars", F.length("text"))
+        "n_chars", F.length("text")).persist(_SL.MEMORY_AND_DISK)
     pairs = exact_duplicate_ids(kept, "text", "doc_id")
     reps = canonical_representatives(kept.select("doc_id", "text", "n_chars",
                                                  "lang"),
@@ -3882,7 +3886,8 @@ def q_pipeline_corpus_curation(spark, sf_dir):
     # (the pipeline_timeline_health convention): one released() frees all
     # — reps carries the exact-dedup digest persist via the cc frame
     out._psf_cached = (list(getattr(bp, "_psf_cached", []) or [])
-                       + list(getattr(reps, "_psf_cached", []) or []))
+                       + list(getattr(reps, "_psf_cached", []) or [])
+                       + [kept])
     return out
 
 
