@@ -84,13 +84,13 @@ def pcm_integrity_validation(seed: int = 42) -> CustomRowValidation:
             ordinal = _parse_ordinal(ids[j])
             if ordinal is None or raws[j] is None:
                 continue
-            f = A.clip_fields(seed, ordinal)
-            if f["sr_hz"] != srs[j] or f["dur_ms"] != durs[j]:
+            sr, dur_ms, f1, f2, p1, p2, amp = A.clip_synth_params(seed, ordinal)
+            if sr != srs[j] or dur_ms != durs[j]:
                 continue
             if len(raws[j]) != A.expected_len_bytes(srs[j], durs[j]):
                 continue
-            groups.setdefault((f["sr_hz"], f["dur_ms"]), []).append(
-                (j, f["f1"], f["f2"], f["p1"], f["p2"], f["amp"]))
+            groups.setdefault((sr, dur_ms), []).append(
+                (j, f1, f2, p1, p2, amp))
         for (sr, dur_ms), rows in groups.items():
             idx = [r[0] for r in rows]
             refs = A.synth_pcm_batch(
@@ -137,7 +137,7 @@ def transcript_oracle_validation(seed: int = 42) -> CustomRowValidation:
             ordinal = _parse_ordinal(ids[j])
             if ordinal is None or ts[j] is None:
                 continue
-            out[j] = A.clip_fields(seed, ordinal)["transcript"] == ts[j]
+            out[j] = A.clip_transcript(seed, ordinal) == ts[j]
         return pd.Series(out, index=batch.index)
 
     out = CustomRowValidation(

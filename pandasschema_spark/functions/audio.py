@@ -61,6 +61,34 @@ def clip_fields(seed: int, i: int) -> dict:
     }
 
 
+def clip_synth_params(seed: int, i: int) -> tuple:
+    """(sr_hz, dur_ms, f1, f2, p1, p2, amp) — the synth subset of
+    :func:`clip_fields` WITHOUT building the transcript string. The PCM
+    integrity check runs this once per row and never reads the
+    transcript; the word-list join is over half of clip_fields' ~4.5 us
+    (measured 4.5 -> 1.8 us). Formula-identical to clip_fields by
+    pytest lock (tests assert field equality)."""
+    h = row_hash(seed, i)
+    return (
+        int(SAMPLE_RATES[h[0] % 4]),
+        int(40 + ((h[1] | (h[2] << 8)) % 161)),
+        100.0 + ((h[3] | (h[4] << 8)) % 1900),
+        100.0 + ((h[5] | (h[6] << 8)) % 1900),
+        2.0 * math.pi * h[7] / 256.0,
+        2.0 * math.pi * h[8] / 256.0,
+        0.3 + 0.5 * h[9] / 256.0,
+    )
+
+
+def clip_transcript(seed: int, i: int) -> str:
+    """Transcript of :func:`clip_fields` without the synth params — the
+    transcript-oracle check's per-row half (same pytest equality lock)."""
+    h = row_hash(seed, i)
+    n_words = 3 + (h[10] % 8)
+    return " ".join(LEXICON[h[11 + (j % 20)] ^ (j * 37 % 256)]
+                    for j in range(n_words))
+
+
 #: time grids keyed by (sr, n): 4 sample rates x 161 durations = <=644
 #: entries, ~10 MB worst case per worker — bounded, hot across clips
 _T_GRIDS: dict = {}

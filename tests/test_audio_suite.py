@@ -156,3 +156,17 @@ def test_distinct_nulls_count_as_equal(spark):
     ).collect()
     assert [r["row"] for r in rows] == [1]
     assert rows[0]["value"] == "nan"
+
+
+def test_split_field_accessors_match_clip_fields():
+    # clip_synth_params / clip_transcript are per-check fast paths of
+    # clip_fields (the spec): formula drift between them would silently
+    # change which rows the suite's Arrow checks pass
+    from pandasschema_spark.functions import audio as A
+
+    for i in list(range(300)) + [10_000, 123_456, 2**31]:
+        f = A.clip_fields(42, i)
+        assert A.clip_synth_params(42, i) == (
+            f["sr_hz"], f["dur_ms"], f["f1"], f["f2"],
+            f["p1"], f["p2"], f["amp"])
+        assert A.clip_transcript(42, i) == f["transcript"]
