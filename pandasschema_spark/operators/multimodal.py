@@ -384,6 +384,10 @@ def image_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
                .select("chunk_idx", "chunk_val"))
         chunked = chunked.join(F.broadcast(hot),
                                ["chunk_idx", "chunk_val"], "left_anti")
+    # NOTE: the jaccard-index co-partition-and-cache trick measured
+    # SLOWER here (1.20s -> 1.59s): the chunk frame is a cheap
+    # posexplode of the small cached sigs, so the extra repartition +
+    # cache materialization exceeds the per-side replay it saves
     a = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"))
     b = chunked.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"))
     cands = (a.join(b, ["chunk_idx", "chunk_val"])
@@ -460,6 +464,8 @@ def video_dup_pairs(df: DataFrame, *, payload_col: str = "payload",
         chunked = chunked.join(F.broadcast(hot),
                                ["frame_idx", "chunk_idx", "chunk_val"],
                                "left_anti")
+    # (co-partition-and-cache measured slower here too — see the
+    # image_dup_pairs note)
     a = chunked.select("frame_idx", "chunk_idx", "chunk_val",
                        F.col("vid").alias("id_a"))
     b = chunked.select("frame_idx", "chunk_idx", "chunk_val",

@@ -912,6 +912,9 @@ def cosine_lsh_candidates(
                .select("chunk_idx", "chunk_val"))
         chunked = chunked.join(F.broadcast(hot),
                                ["chunk_idx", "chunk_val"], "left_anti")
+    # (the jaccard-index co-partition-and-cache trick measured slower
+    # on the sibling chunk self-joins — cheap chunk projections of a
+    # small cache; see image_dup_pairs)
     a = chunked.select("chunk_idx", "chunk_val",
                        F.col(id_col).alias("id_a"))
     b = chunked.select("chunk_idx", "chunk_val",
