@@ -207,7 +207,12 @@ def ngram_jaccard_pairs(
     # action to free executors.
     cached = grams = doc_grams(df, text_col, id_col, n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # persist the slim (id, n_grams) aggregate: it feeds TWO broadcast
+    # join-backs (n_a and n_b), and each broadcast build otherwise
+    # replays the full groupBy(id) exchange over the gram frame — one
+    # agg instead of two, O(docs) slim rows cached
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_df is not None:
         # hot-gram cap as groupBy-count + BROADCAST ANTI-JOIN (the house
         # cap shape, same as lsh/sessionize/entity): the hot set is
@@ -250,7 +255,7 @@ def ngram_jaccard_pairs(
         .where(jacc >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
-    return _attach_cached(out, [cached, grams])
+    return _attach_cached(out, [cached, sizes, grams])
 
 
 # ---------------------------------------------------------------------------
@@ -855,7 +860,7 @@ def containment_pairs(
              .alias("containment_ppm"),
         )
     )
-    return _attach_cached(out, [cached, grams])
+    return _attach_cached(out, [cached, sizes, grams])
 
 
 def source_dup_matrix(
