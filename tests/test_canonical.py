@@ -40,6 +40,28 @@ def test_payload_never_decides_tie(spark):
     assert (out["id"], out["p"]) == (2, "aaa")
 
 
+def test_star_fast_path_matches_cc_closure(spark):
+    # pairs_are_stars skips the connected-components closure; on a
+    # min-rooted star forest (the exact_duplicate_ids output shape,
+    # including edges given in either orientation) it must produce
+    # byte-identical clusters, winners and member counts
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 30, "b"), (3, 20, "c"),
+         (4, 5, "d"), (5, 5, "e"), (6, 7, "f"), (9, 2, "g")],
+        "id long, q int, payload string")
+    # stars rooted at the min id: {1,2,3} -> 1, {4,5} -> 4; edge (4,5)
+    # deliberately reversed to exercise the least/greatest canon
+    pairs = _pairs(spark, [(2, 1), (3, 1), (5, 4)])
+    kw = dict(payload_cols=["payload"])
+    slow = sorted(map(tuple, canonical_representatives(
+        df, "id", pairs, ["q"], **kw).collect()))
+    fast = sorted(map(tuple, canonical_representatives(
+        df, "id", pairs, ["q"], pairs_are_stars=True, **kw).collect()))
+    assert fast == slow
+    # singletons (6, 9) keep themselves in both paths
+    assert {t[0] for t in fast} == {1, 4, 6, 9}
+
+
 def test_guard_and_plan(spark):
     df = spark.createDataFrame([(1, 1)], "id long, q int")
     with pytest.raises(ValueError):
