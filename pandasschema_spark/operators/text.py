@@ -663,9 +663,10 @@ def boilerplate_scan(
     Only documents with at least one non-empty line appear.
 
     Scale shape at 10^12 docs: corpus bytes never shuffle — lines
-    explode and collapse to 32-hex digests inside the scan task; what
-    shuffles is the distinct (id, digest) pair frame and the
-    map-side-combined per-digest doc counts. The boilerplate
+    normalize, dedup per-document (row-locally: array_distinct over the
+    normalized split, no per-line shuffle) and collapse to 32-hex
+    digests inside the scan task; the ONLY data-sized exchanges are the
+    map-side-combined per-digest doc counts and the per-doc result agg. The boilerplate
     dictionary is bounded by total_lines / min_doc_freq and joins
     back broadcast by default; pass ``broadcast_dict=False`` when the
     frequent-line dictionary itself is too large to ship (low
@@ -679,17 +680,26 @@ def boilerplate_scan(
     """
     if min_doc_freq < 2:
         raise ValueError("min_doc_freq must be >= 2")
-    line = F.explode(F.split(F.col(text_col), "\n")).alias("__line__")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("__line__")), r"\s+", " "))
+    # per-document line DISTINCTNESS is computed ROW-LOCALLY: normalize
+    # the whole text once (collapse non-newline whitespace, strip the at
+    # most one space now bordering each newline, trim the string ends),
+    # split, array_distinct, drop empties — all native codegen-clean
+    # expressions (no HOF lambda), byte-equivalent to the former
+    # per-line trim(regexp_replace(lower(line), \s+, ' ')) rule
+    # (differential-fuzzed over NBSP/\r/\x0b/\x0c/tab/multi-newline
+    # corpora). This deletes what was the operator's LARGEST exchange:
+    # the groupBy(id, digest) distinct over the full per-line pair
+    # frame; the md5 applies after the row-local explode, so what
+    # remains shuffling is one doc-count agg over distinct digests.
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^\S\n]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.trim(t)
+    arr = F.array_remove(F.array_distinct(F.split(t, "\n")), "")
     pairs = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), line)
-        .select("id", norm.alias("__n__"))
-        .where(F.col("__n__") != "")
+        .select(F.col(id_col).alias("id"), F.explode(arr).alias("__n__"))
         .select("id", F.md5(F.encode(F.col("__n__"), "UTF-8")).alias("__d__"))
-        .groupBy("id", "__d__")
-        .agg(F.count(F.lit(1)).alias("__dummy__"))
-        .select("id", "__d__")
     )
     from pyspark.storagelevel import StorageLevel
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
