@@ -510,8 +510,12 @@ def minhash_dedup_pairs(
         df, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
     grams = doc_grams(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    cached = list(getattr(cands, "_psf_cached", [])) + [grams]
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # one agg, two broadcast join-backs: persist the slim (id, n_grams)
+    # frame so each build reads the cache instead of replaying the
+    # groupBy(id) exchange (same rationale as ngram_jaccard_pairs)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cached = list(getattr(cands, "_psf_cached", [])) + [grams, sizes]
     ga = grams.select(F.col("id").alias("id_a"), F.col("gram").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("gram").alias("g_b"))
     common = (
@@ -688,7 +692,14 @@ def contamination_check(
     else:
         index = train_grams.select("gram").distinct()
     ev = doc_grams(eval_df, text_col, id_col, n)
-    sizes = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # the per-eval-doc gram count is ROW-LOCAL: doc_grams explodes the
+    # already-distinct word_ngrams_expr array, so n_grams == size(array)
+    # — no second explode pass and no groupBy(id) exchange over the
+    # eval gram frame (NULL-text rows produce a NULL size and are
+    # dropped by the inner join below, exactly as explode dropped them)
+    sizes = eval_df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_ngrams_expr(F.col(text_col), n)).alias("n_grams"))
     shared = (ev.join(index, "gram", "left_semi")
               .groupBy("id")
               .agg(F.count(F.lit(1)).alias("n_shared_grams")))
